@@ -1,0 +1,67 @@
+"""Benchmark harness — the driver runs this per-round at sf0.1.
+
+Runs the headline queries on local[$SPARK_GRAFT_CPUS] against
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is fully materialized via the noop sink (all partitions
+computed, nothing shipped to the driver) — measuring engine throughput,
+not toPandas serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_s3_to_redshift_spark.queries import REGISTRY  # noqa: E402
+from etl_s3_to_redshift_spark.session import get_spark  # noqa: E402
+
+# Headline set: the scan/join/agg-heavy queries that dominate real use.
+# Extended as operators land; cheap O(1)-output probes are excluded.
+HEADLINE = [
+    "r1_projection",
+    "r2_multikey_left_join",
+    "r2_broadcast_enrich",
+    "r4_distinct_projection",
+    "r6_time_dim",
+    "r9_top_k",
+]
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # warm the JVM + file-listing caches once with the cheapest query
+    materialize(REGISTRY[names[0]].spark(spark, sf_dir).limit(1))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        materialize(REGISTRY[name].spark(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Fidelity tests for the reference-equivalent star-schema build.
+
+Each test pins a semantic documented in SURVEY.md §1/§5/§7 with a citation
+into /root/reference."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_s3_to_redshift_spark.plans import star_schema as SS
+from etl_s3_to_redshift_spark.sources.json_source import read_events_json, read_songs_json
+from tests.fixtures_sparkify import BASE_TS, EXPECT, write_fixtures
+
+
+@pytest.fixture(scope="module")
+def star(spark, tmp_path_factory):
+    events_path, songs_path = write_fixtures(tmp_path_factory.mktemp("sparkify"))
+    events = read_events_json(spark, events_path)
+    songs = read_songs_json(spark, songs_path)
+    return SS.build_star_schema(events, songs)
+
+
+def test_ingestion_casts(spark, tmp_path):
+    """SURVEY §1: epoch-ms→timestamp, ''→NULL long, number→string."""
+    events_path, _ = write_fixtures(tmp_path)
+    events = read_events_json(spark, events_path)
+    rows = events.orderBy("ts", "userId").collect()
+    first = rows[0]
+    # epochmillisecs conversion (reference sql_queries.py:123)
+    assert first["ts"] == dt.datetime(2018, 10, 31, 15, 33, 20)
+    # fractional-ms registration truncated, not errored
+    assert first["registration"].microsecond == 0
+    # ''→NULL (reference sql_queries.py:47 + README.md:42)
+    logged_out = [r for r in rows if r["auth"] == "Logged Out"]
+    assert logged_out and all(r["userId"] is None for r in logged_out)
+    # number→varchar status (reference sql_queries.py:44)
+    assert {r["status"] for r in rows} >= {"200", "307", "404"}
+    # decimal length kept decimal (reference sql_queries.py:36)
+    assert isinstance(events.schema["length"].dataType, T.DecimalType)
+
+
+def test_songplay_no_page_filter_and_counts(star):
+    """SURVEY §5: 8,056 songplays = ALL staged events — no 'NextSong'
+    filter (test_etl.ipynb cell-8/9), Home/Login rows included."""
+    assert star.songplay.count() == EXPECT["songplay_rows"]
+
+
+def test_songplay_three_key_join(star):
+    """Reference sql_queries.py:144-151: 3-key left outer join; decimal
+    cross-scale equality (R3) matches 200.1234 == 200.123400 but not
+    200.2; unmatched rows keep NULL ids."""
+    rows = star.songplay.collect()
+    matched = [r for r in rows if r["song_id"] is not None]
+    assert len(matched) == EXPECT["matched_songplays"]
+    assert matched[0]["song_id"] == "S1"
+    assert matched[0]["artist_id"] == "A1"
+    unmatched = [r for r in rows if r["song_id"] is None]
+    assert all(r["artist_id"] is None for r in unmatched)
+
+
+def test_songplay_schema_no_surrogate_key(star):
+    """README.md:52 documents song_play_id but the DDL (sql_queries.py:66-77)
+    has no such column — code wins."""
+    assert star.songplay.columns == [
+        "start_time", "user_id", "level", "song_id",
+        "artist_id", "session_id", "location", "user_agent",
+    ]
+
+
+def test_users_dim_distinct_and_null_filter(star):
+    """Reference sql_queries.py:155-160: DISTINCT tuple + userId NOT NULL."""
+    rows = star.users.collect()
+    assert len(rows) == EXPECT["users_rows"]
+    assert all(r["user_id"] is not None for r in rows)
+
+
+def test_songs_and_artists_dedup(star):
+    """Reference sql_queries.py:163-177: full-row DISTINCT; lat/long widen
+    to decimal(11,8) (sql_queries.py:103-104 vs :56-57)."""
+    assert star.songs.count() == EXPECT["songs_rows"]
+    artists = {r["artist_id"]: r for r in star.artists.collect()}
+    assert len(artists) == EXPECT["artists_rows"]
+    a1 = artists["A1"]
+    assert a1["artist_latitude"] == Decimal("51.50000000")
+    lat_type = star.artists.schema["artist_latitude"].dataType
+    assert lat_type == T.DecimalType(11, 8)
+    # null lat/long survive (nullable dims)
+    assert artists["A2" if "A2" in artists else list(artists)[1]] is not None
+
+
+def test_time_dim_distinct_timestamps(star):
+    """DISTINCT collapses duplicate ts (reference golden: 8023 < 8056)."""
+    rows = {r["start_time"]: r for r in star.time.collect()}
+    assert len(rows) == EXPECT["time_rows"]
+    t0 = dt.datetime(2018, 10, 31, 15, 33, 20)
+    r = rows[t0]
+    # extract parts (reference sql_queries.py:183-188); ISO week
+    assert (r["hour"], r["day"], r["week"], r["month"], r["year"]) == (15, 31, 44, 10, 2018)
+
+
+def test_full_pipeline_roundtrip(spark, tmp_path):
+    """etl.py:55-109 equivalent: read → build → overwrite-write; outputs
+    re-readable with expected cardinalities (full-refresh idempotency —
+    run twice)."""
+    events_path, songs_path = write_fixtures(tmp_path)
+    out = str(tmp_path / "warehouse")
+    for _ in range(2):  # idempotent full refresh (etl.py:22-29)
+        paths = SS.run_pipeline(spark, events_path, songs_path, out)
+    got = {name: spark.read.parquet(p).count() for name, p in paths.items()}
+    assert got == {
+        "songplay": EXPECT["songplay_rows"],
+        "users": EXPECT["users_rows"],
+        "songs": EXPECT["songs_rows"],
+        "artists": EXPECT["artists_rows"],
+        "time": EXPECT["time_rows"],
+    }
