@@ -25,11 +25,15 @@ from etl_s3_to_redshift_spark.session import get_spark  # noqa: E402
 # Headline set: the scan/join/agg-heavy queries that dominate real use.
 # Extended as operators land; cheap O(1)-output probes are excluded.
 HEADLINE = [
-    "r1_projection",
-    "r2_multikey_left_join",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
     "r2_broadcast_enrich",
+    "w1_top_orders_per_customer",
+    "w2_running_user_value",
+    "t1_hourly_event_rollup",
+    "sessionize_events",
     "r4_distinct_projection",
-    "r6_time_dim",
     "r9_top_k",
 ]
 

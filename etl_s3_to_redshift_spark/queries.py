@@ -261,6 +261,383 @@ def r9_top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Analytics extensions (SURVEY.md §2c ★ / §7 M2): aggregation, windows,
+# set-ops, sessionization — the bench-relevant surface
+# ===========================================================================
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag AS return_flag,
+           l_linestatus AS line_status,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(12,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)      AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "TPC-H Q1 shape: scan-heavy groupBy with 6 aggregates. All money "
+        "arithmetic in DECIMAL (operands are 2-decimal values, so the "
+        "operand cast is unambiguous and every product/sum is exact and "
+        "partition-order-independent); final values surface as DOUBLE. "
+        "Catalyst does map-side partial agg; only 4 groups cross the "
+        "shuffle."
+    ),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import money, ratio
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = money("l_extendedprice") * (1 - money("l_discount"))
+    charge = disc_price * (1 + money("l_tax"))
+    agg = li.groupBy(
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("l_linestatus").alias("line_status"),
+    ).agg(
+        F.sum(money("l_quantity")).alias("sum_qty_d"),
+        F.sum(money("l_extendedprice")).alias("sum_base_d"),
+        F.sum(disc_price).alias("sum_disc_d"),
+        F.sum(charge).alias("sum_charge_d"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return agg.select(
+        "return_flag",
+        "line_status",
+        F.col("sum_qty_d").cast("double").alias("sum_qty"),
+        F.col("sum_base_d").cast("double").alias("sum_base_price"),
+        F.col("sum_disc_d").cast("double").alias("sum_disc_price"),
+        F.col("sum_charge_d").cast("double").alias("sum_charge"),
+        ratio(F.col("sum_qty_d"), F.col("count_order")).alias("avg_qty"),
+        ratio(F.col("sum_base_d"), F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+    SELECT l.l_orderkey AS order_id,
+           o.o_orderdate AS order_date,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, order_id
+    LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q3 shape: selective dim filter → join → group → top-k. "
+        "customer/orders broadcast into the lineitem scan; the final top-k "
+        "is TakeOrderedAndProject (no global sort)."
+    ),
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import money
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(
+        F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")),
+        li["l_orderkey"] == o["o_orderkey"],
+        "inner",
+    )
+    revenue = money("l_extendedprice") * (1 - money("l_discount"))
+    agg = joined.groupBy(
+        li["l_orderkey"].alias("order_id"), o["o_orderdate"].alias("order_date")
+    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+    return agg.orderBy(F.col("revenue").desc(), F.col("order_id").asc()).limit(10)
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc=(
+        "TPC-H Q5 shape: 5-table star join with a region filter. All "
+        "dimensions broadcast (diststyle-all analogue) so the lineitem "
+        "fact is never shuffled for the joins — only the tiny per-nation "
+        "aggregate crosses the wire."
+    ),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import money
+
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    dims = (
+        c.join(F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")),
+               c["c_nationkey"] == n["n_nationkey"], "inner")
+    )
+    ord_dim = o.join(F.broadcast(dims), o["o_custkey"] == c["c_custkey"], "inner")
+    joined = li.join(F.broadcast(ord_dim), li["l_orderkey"] == o["o_orderkey"], "inner")
+    revenue = money("l_extendedprice") * (1 - money("l_discount"))
+    return joined.groupBy(n["n_name"].alias("nation")).agg(
+        F.sum(revenue).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "w1_top_orders_per_customer",
+    """
+    SELECT customer_id, order_id, total_price, rn
+    FROM (
+      SELECT o_custkey AS customer_id,
+             o_orderkey AS order_id,
+             o_totalprice AS total_price,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+    doc=(
+        "Window top-k per group (row_number over partition). One shuffle "
+        "on the group key; unique tiebreak makes it deterministic."
+    ),
+)
+def w1_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import top_k_per_group
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    return top_k_per_group(
+        o,
+        ["customer_id"],
+        [F.col("total_price").desc(), F.col("order_id").asc()],
+        3,
+    )
+
+
+@register(
+    "w2_running_user_value",
+    """
+    SELECT event_id, user_id,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+    FROM events
+    """,
+    doc=(
+        "Running aggregate window over the event stream (batch form). "
+        "Decimal accumulator keeps the running sum exact at every prefix."
+    ),
+)
+def w2_running_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w).cast("double").alias("running_value"),
+    )
+
+
+@register(
+    "t1_hourly_event_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS bucket,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc=(
+        "Tumbling-window aggregate over the event table (batch twin of the "
+        "streaming hourly rollup in streaming/windows.py): hypertable-style "
+        "time-bucket rollup via date_trunc."
+    ),
+)
+def t1_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "sessionize_events",
+    """
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+    FROM g
+    """,
+    doc=(
+        "Gap-based sessionization (30-min gap): lag + flag + running sum — "
+        "the islands pattern (operators/analytics.sessionize). Streaming "
+        "twin: F.session_window. One shuffle on user_id."
+    ),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, "user_id", "ts", gap_minutes=30)
+
+
+@register(
+    "semi_join_active_customers",
+    """
+    SELECT c_custkey AS customer_id, c_name AS customer_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+    doc=(
+        "Left semi join (EXISTS): customers having a >300k order. The semi "
+        "join short-circuits per probe row — no fact duplication."
+    ),
+)
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+    )
+
+
+@register(
+    "anti_join_dormant_customers",
+    """
+    SELECT c_custkey AS customer_id, c_name AS customer_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    """,
+    doc="Left anti join (NOT EXISTS): customers with no urgent orders.",
+)
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT l_returnflag AS return_flag,
+           l_linestatus AS line_status,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc=(
+        "Hierarchical ROLLUP aggregate (subtotals + grand total) — "
+        "grouping-sets family; Catalyst expands to a single shuffle."
+    ),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup(F.col("l_returnflag").alias("return_flag"), F.col("l_linestatus").alias("line_status"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS prop_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    """,
+    doc=(
+        "JSON scalar extraction from a string column (the reference's "
+        "semi-structured ingestion surface, applied at query time)."
+    ),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    prop = F.get_json_object(F.col("props"), "$.k")
+    return ev.select("event_id", prop.alias("prop_k")).filter(F.col("prop_k").isNotNull())
+
+
+@register(
+    "set_op_priority_orders",
+    """
+    SELECT o_orderkey AS order_id FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_orderkey FROM orders WHERE o_totalprice > 400000
+    EXCEPT
+    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F' AND o_orderpriority = '1-URGENT'
+          AND o_totalprice <= 400000
+    """,
+    doc="Set operations: UNION (dedup) + EXCEPT chained, ANSI semantics.",
+)
+def set_op_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(F.col("o_orderkey").alias("order_id"))
+    big = o.filter(F.col("o_totalprice") > 400000).select(F.col("o_orderkey").alias("order_id"))
+    excl = o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") <= 400000)
+    ).select(F.col("o_orderkey").alias("order_id"))
+    # (A UNION B) EXCEPT C, left-to-right as in ANSI; subtract == EXCEPT DISTINCT
+    return urgent.union(big).distinct().subtract(excl)
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract exports
 # ---------------------------------------------------------------------------
