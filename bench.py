@@ -19,8 +19,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from etl_s3_to_redshift_spark.queries import REGISTRY  # noqa: E402
+from etl_s3_to_redshift_spark.queries import REGISTRY, _load_extensions  # noqa: E402
 from etl_s3_to_redshift_spark.session import get_spark  # noqa: E402
+
+_load_extensions()
 
 # Headline set: the scan/join/agg-heavy queries that dominate real use.
 # Extended as operators land; cheap O(1)-output probes are excluded.
@@ -35,6 +37,14 @@ HEADLINE = [
     "sessionize_events",
     "r4_distinct_projection",
     "r9_top_k",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "sim_topk_cosine",
+    "text_quality",
+    "text_fingerprint",
+    "stream_tumbling_events",
+    "stream_session_window",
+    "mm_binary_features",
 ]
 
 
@@ -48,8 +58,14 @@ def main() -> None:
     spark = get_spark("bench")
 
     names = [n for n in HEADLINE if n in REGISTRY]
-    # warm the JVM + file-listing caches once with the cheapest query
+    missing = [n for n in HEADLINE if n not in REGISTRY]
+    if missing:
+        print(f"WARNING: headline queries missing from registry: {missing}", file=sys.stderr)
+    # warm the JVM + file-listing caches + Python/Arrow workers once
     materialize(REGISTRY[names[0]].spark(spark, sf_dir).limit(1))
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:

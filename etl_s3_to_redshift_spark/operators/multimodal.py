@@ -1,0 +1,135 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs (PIL/ffmpeg absent), so the decode
+kernels are STUBS behind import-tries: the Spark-side contract — schema,
+partition-preserving mapInPandas signature, Arrow batch shape, metadata
+propagation — is real and tested; ``decode_image`` raises
+NotImplementedError unless a codec is installed, and
+``fake_image_features`` is the deterministic stand-in used by tests/queries.
+
+Scale notes: binary payloads ride the scan (parquet BYTE_ARRAY) and are
+processed batch-at-a-time in Arrow — no per-row Python. Metadata-only
+transformations (length, hash, mime dispatch) stay in JVM expressions;
+only the decode kernel crosses into Python, and it sees ``pandas.Series``
+of bytes per batch. Frame sampling happens *inside* the kernel so video
+payloads never amplify across the shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def docs_as_media(docs: DataFrame) -> DataFrame:
+    """Adapter: treat the documents table's text bytes as an opaque binary
+    payload with metadata — the testdata has no real media column, so this
+    produces a real binary-typed DataFrame for the plumbing to chew on."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode kernel — requires an image codec, absent here."""
+    try:
+        from PIL import Image  # noqa: F401
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as e:  # pragma: no cover - container has no PIL
+        raise NotImplementedError(
+            "image decode requires PIL/pillow, not present in this "
+            "container; use fake_image_features for the plumbing path"
+        ) from e
+
+
+def fake_image_features(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic stand-in for a feature extractor: digest-derived
+    floats in [0,1). Same signature/shape a real CNN embedding would have."""
+    d = hashlib.sha256(payload).digest()
+    return [int.from_bytes(d[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas: each batch arrives as a pandas DataFrame with a bytes
+    column; the kernel computes per-payload metadata + features and yields
+    one output row per input row. Partitioning is preserved — no shuffle.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
+                    "feature": payloads.map(fake_image_features),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
+    """Frame-sampling plumbing: slice each payload into fixed-size frames
+    and keep every n-th, exploding to one row per sampled frame — the shape
+    a video pipeline needs (sample inside the kernel; never explode raw
+    bytes across a shuffle).
+    """
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_no", T.IntegerType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frame_nos, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                chunks = [
+                    payload[i : i + every_n_bytes]
+                    for i in range(0, len(payload), every_n_bytes)
+                ][:max_frames]
+                for no, chunk in enumerate(chunks):
+                    ids.append(mid)
+                    frame_nos.append(no)
+                    frames.append(chunk)
+            yield pd.DataFrame({"media_id": ids, "frame_no": frame_nos, "frame": frames})
+
+    return media.mapInPandas(kernel, schema=out_schema)

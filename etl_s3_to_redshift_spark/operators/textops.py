@@ -1,0 +1,86 @@
+"""Text-analysis operators over a documents table — language ID, quality
+scoring, token statistics, fingerprinting. Pure built-in expressions: these
+run inside the scan stage, shuffle-free, at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.functions.text import (
+    md5_fingerprint,
+    token_count_bpe,
+    token_count_ws,
+    words,
+)
+
+# Marker stopwords per language for the n-gram/stopword-count heuristic.
+# Ordered dict: ties broken by this order (deterministic argmax).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is"),
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "es": ("el", "la", "los", "y", "que", "es"),
+    "fr": ("le", "la", "les", "et", "est", "une"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+PUNCT_CHARS = ".,!?;:"
+
+
+def _count_in(tokens: Column, vocab: tuple[str, ...]) -> Column:
+    vocab_arr = F.array(*[F.lit(v) for v in vocab])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(vocab_arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: count per-language marker stopwords among the
+    lowercased tokens; argmax with deterministic tie-break (marker-table
+    order); 'und' (undetermined) when no marker hits at all."""
+    toks = words(F.lower(text))
+    scores = {lang: _count_in(toks, markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # reversed so earlier languages win ties (last when() wins in a chain
+    # built by wrapping: build from lowest priority outward)
+    for lang in reversed(list(LANG_MARKERS)):
+        result = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: char/token counts, mean token length,
+    punctuation density, English stopword ratio, alpha ratio — the standard
+    pre-filter features of web-scale corpus cleaning."""
+    text = F.col(text_col)
+    toks = words(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n_punct = n_chars - F.length(F.translate(text, PUNCT_CHARS, ""))
+    n_alpha = n_chars - F.length(F.regexp_replace(text, "[A-Za-z]", ""))
+    n_stop = _count_in(toks, STOPWORDS_EN)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, tok_chars.cast("double") / n_tok.cast("double")).alias("mean_token_len"),
+        (n_punct.cast("double") / n_chars.cast("double")).alias("punct_ratio"),
+        (n_alpha.cast("double") / n_chars.cast("double")).alias("alpha_ratio"),
+        F.when(n_tok > 0, n_stop.cast("double") / n_tok.cast("double")).alias("stopword_ratio"),
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    return df.select(
+        F.col(id_col),
+        token_count_ws(F.col(text_col)).alias("n_tokens_ws"),
+        token_count_bpe(F.col(text_col)).alias("n_tokens_bpe"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Engine-portable md5 content fingerprint of normalized text."""
+    return df.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fingerprint"))

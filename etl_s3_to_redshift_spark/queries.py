@@ -643,9 +643,16 @@ def set_op_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _load_extensions() -> None:
+    """Import side-registering query modules (idempotent)."""
+    from etl_s3_to_redshift_spark import queries_data  # noqa: F401
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_extensions()
     return {name: spec.spark for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_extensions()
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}

@@ -1,0 +1,486 @@
+"""Training-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing. Registered into the same driver-contract REGISTRY as
+the relational surface (queries.py imports this module).
+
+Oracle notes:
+- Shingling is expressed identically in Spark (split/slice/concat_ws) and
+  DuckDB (string_split_regex/list_slice/array_to_string) — verified
+  equivalent semantics incl. short-document truncation.
+- Cosine oracles use an explicit double-fold (DuckDB's
+  ``list_cosine_similarity`` computes in float32 and cannot match JVM
+  double math); both engines fold in index order in double.
+- MinHash/SimHash rely on xxhash64 (no DuckDB equivalent): their *candidate
+  generation* is Spark-only, but the final verified outputs are exact
+  Jaccard pairs, so the oracle is the brute-force Jaccard SQL — the LSH
+  miss probability at the planted duplicates' similarity (J ≥ 0.9, r=2
+  b=16) is ~3e-12, i.e. the approximate path is deterministically equal to
+  the exact one on this data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect) mirroring functions/text.py
+# ---------------------------------------------------------------------------
+
+SQL_WORDS = r"list_filter(string_split_regex(trim({t}), '\s+'), x -> x != '')"
+SQL_NORM = r"trim(regexp_replace(lower({t}), '\s+', ' ', 'g'))"
+SQL_SHINGLES = (
+    "list_distinct(list_transform(range(greatest(len({w})-2,1)),"
+    " i -> array_to_string(list_slice({w}, i+1, i+3), ' ')))"
+)
+
+JACCARD_PAIRS_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, {SQL_SHINGLES.format(w=SQL_WORDS.format(t='text'))} AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {{threshold}}
+"""
+
+# ===========================================================================
+# Deduplication
+# ===========================================================================
+
+
+@register(
+    "dedup_exact_docs",
+    f"""
+    SELECT min(doc_id) AS doc_id,
+           {SQL_NORM.format(t='text')} AS content_key,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY {SQL_NORM.format(t='text')}
+    """,
+    doc=(
+        "Exact dedup by normalized content: hash-groupBy keeps the lowest "
+        "id per key with a survivor count (operators/dedup.exact_dedup). "
+        "One shuffle; map-side partial agg collapses local dupes first."
+    ),
+)
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    JACCARD_PAIRS_SQL.format(threshold=0.8),
+    doc=(
+        "Exact 3-gram (word-shingle) Jaccard near-dup pairs at J>=0.8 via "
+        "inverted shingle index: only docs sharing a shingle are compared "
+        "(operators/dedup.jaccard_pairs)."
+    ),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    JACCARD_PAIRS_SQL.format(threshold=0.8),
+    doc=(
+        "MinHash (32 perms, xxhash64-seeded) + banded LSH (16 bands x 2) "
+        "candidates, exactly verified (operators/dedup.minhash_lsh_pairs). "
+        "Sub-quadratic: only bucket-mates are compared. The oracle is the "
+        "brute-force Jaccard — equal because the verified LSH miss "
+        "probability at the data's J>=0.9 duplicates is ~3e-12."
+    ),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=0.8,
+        num_hashes=32,
+        bands=16,
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64 has no DuckDB twin → rows-only check; pytest pins recall
+    doc=(
+        "64-bit SimHash near-dup pairs within Hamming distance 3, blocked "
+        "by 16-bit signature blocks (pigeonhole: d<4 implies a shared "
+        "block) (operators/dedup.simhash_pairs). Rows-only: signature bits "
+        "depend on xxhash64, which DuckDB lacks; recall vs exact Jaccard "
+        "pairs is pinned in tests/test_dedup.py."
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH dv AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_aggregate(list_transform(range(len(a.v)), i -> a.v[i+1] * b.v[i+1]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(len(a.v)), i -> a.v[i+1] * a.v[i+1]), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(len(b.v)), i -> b.v[i+1] * b.v[i+1]), 'sum'))) AS cos_sim
+      FROM dv a JOIN dv b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+    FROM scored WHERE round(cos_sim, 6) >= 0.4
+    """,
+    doc=(
+        "Embedding-cosine near-dup pairs (cos >= 0.4), double math "
+        "(operators/similarity.cosine_pairs). Rounded to 6 dp on both "
+        "sides: the two engines' fold orders agree to ~1e-12 but not to "
+        "the last ulp."
+    ),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import cosine_pairs
+
+    pairs = cosine_pairs(_t(spark, sf_dir, "embeddings"), threshold=-1.0)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cos_sim"), 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= 0.4)
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+
+@register(
+    "sim_topk_cosine",
+    """
+    WITH dv AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM dv WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_aggregate(list_transform(range(len(c.v)), i -> c.v[i+1] * q.qv[i+1]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(len(c.v)), i -> c.v[i+1] * c.v[i+1]), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(len(q.qv)), i -> q.qv[i+1] * q.qv[i+1]), 'sum'))), 6) AS cos_sim
+      FROM dv c, q WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    """,
+    doc=(
+        "Brute-force cosine top-10 for 5 query vectors against the corpus "
+        "(operators/similarity.brute_force_topk): broadcast queries, "
+        "streamed scoring, per-query window rank. The exact baseline the "
+        "LSH path is measured against."
+    ),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_s3_to_redshift_spark.functions.vectors import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+    )
+    # rank on the ROUNDED cosine (not the raw one) so sub-ulp fold
+    # differences between engines cannot flip ranks; id breaks exact ties.
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+@register(
+    "sim_ann_lsh",
+    None,  # approximate by construction → rows-only; recall pinned in tests
+    doc=(
+        "Approximate top-k via random-hyperplane LSH (16 planes, 4 bands, "
+        "seeded): bucketize corpus+queries with the same planes, equi-join "
+        "on (band, bucket), exact-rescore bucket-mates only "
+        "(operators/similarity.lsh_topk). The 100 TB path: replaces the "
+        "full scan with a hash join. Recall vs brute force pinned in "
+        "tests/test_similarity.py."
+    ),
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return lsh_topk(emb, queries, dim=64, k=10)
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+
+@register(
+    "text_token_stats",
+    rf"""
+    SELECT doc_id,
+           CAST(len({SQL_WORDS.format(t='text')}) AS INTEGER) AS n_tokens_ws,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_tokens_bpe
+    FROM documents
+    """,
+    doc=(
+        "Token counting: whitespace tokens + BPE-ish regex pre-tokens "
+        "(operators/textops.token_stats). Scan-stage only, no shuffle."
+    ),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.textops import token_stats
+
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    rf"""
+    WITH w AS (
+      SELECT doc_id, text, {SQL_WORDS.format(t='text')} AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CASE WHEN len(toks) > 0 THEN
+             list_aggregate(list_transform(toks, t -> length(t)), 'sum')::DOUBLE / len(toks)
+           END AS mean_token_len,
+           (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+             / length(text) AS punct_ratio,
+           (length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))::DOUBLE
+             / length(text) AS alpha_ratio,
+           CASE WHEN len(toks) > 0 THEN
+             len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t)))::DOUBLE
+               / len(toks)
+           END AS stopword_ratio
+    FROM w
+    """,
+    doc=(
+        "Quality-score features: length, token stats, punctuation/alpha "
+        "density, stopword ratio (operators/textops.quality_features) — "
+        "the standard corpus-cleaning pre-filters."
+    ),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.textops import quality_features
+
+    df = quality_features(_t(spark, sf_dir, "documents"))
+    return df.withColumn("n_chars", F.col("n_chars").cast("long"))
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''),
+            t -> list_contains(['the','and','of','to','a','in','is'], t))) AS s_en,
+        len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''),
+            t -> list_contains(['der','die','und','das','ist','nicht'], t))) AS s_de,
+        len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''),
+            t -> list_contains(['el','la','los','y','que','es'], t))) AS s_es,
+        len(list_filter(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x != ''),
+            t -> list_contains(['le','la','les','et','est','une'], t))) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de > 0 AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es > 0 AND s_es >= s_fr THEN 'es'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'und' END AS pred_lang
+    FROM s
+    """,
+    doc=(
+        "Heuristic language ID by marker-stopword counts with deterministic "
+        "argmax (operators/textops.lang_id). The synthetic corpus's lang "
+        "labels are random word-soup, so this predicts from content, not "
+        "labels — the operator shape is what matters."
+    ),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.textops import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+
+
+# ===========================================================================
+# Streaming window shapes (batch twins; streaming smoke in tests)
+# ===========================================================================
+
+
+@register(
+    "stream_tumbling_events",
+    """
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Tumbling 15-min window counts+sums (streaming/windows.py "
+        "tumbling_counts, batch twin): epoch-aligned F.window; the "
+        "streaming form adds withWatermark to bound state."
+    ),
+)
+def stream_tumbling_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(_t(spark, sf_dir, "events"), window="15 minutes")
+
+
+@register(
+    "stream_sliding_events",
+    """
+    WITH contrib AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket_start, event_type FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '15 minutes', event_type FROM events
+    )
+    SELECT bucket_start, event_type, count(*) AS n_events
+    FROM contrib GROUP BY 1, 2
+    """,
+    doc=(
+        "Sliding window (30-min length, 15-min slide): every event lands "
+        "in exactly 2 windows (streaming/windows.py sliding_counts). The "
+        "oracle materializes the 2 per-event contributions explicitly."
+    ),
+)
+def stream_sliding_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(_t(spark, sf_dir, "events"), window="30 minutes", slide="15 minutes")
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH g AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR date_diff('microsecond', lag(ts) OVER w, ts) >= 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM g
+    )
+    SELECT min(ts) AS session_start,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM s GROUP BY user_id, sess
+    """,
+    doc=(
+        "Session windows per user, 30-min gap, via the built-in stateful "
+        "F.session_window (streaming/windows.py session_aggregate). An "
+        "event at exactly gap distance starts a NEW session (half-open "
+        "[ts, ts+gap)) — hence >= in the oracle's islands twin."
+    ),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.streaming.windows import session_aggregate
+
+    return session_aggregate(_t(spark, sf_dir, "events"), gap="30 minutes")
+
+
+# ===========================================================================
+# Multimodal plumbing
+# ===========================================================================
+
+
+@register(
+    "mm_binary_features",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    doc=(
+        "Multimodal binary-column plumbing: opaque payload bytes processed "
+        "per Arrow batch via mapInPandas (operators/multimodal."
+        "extract_features) — metadata (length, digest) verified against "
+        "the oracle; the deterministic fake feature vector (the codec stub) "
+        "is exercised in tests and dropped here (no SQL twin for it)."
+    ),
+)
+def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.multimodal import docs_as_media, extract_features
+
+    media = docs_as_media(_t(spark, sf_dir, "documents"))
+    return extract_features(media).select("media_id", "n_bytes", "sha256")
+
+
+@register(
+    "mm_frame_sample",
+    None,  # binary frame slices: plumbing check (rows-only); shapes pinned in tests
+    doc=(
+        "Frame-sampling plumbing: payloads sliced into fixed-size frames "
+        "inside the Arrow kernel, ≤8 frames each, one row per frame "
+        "(operators/multimodal.sample_frames). Sampling happens inside the "
+        "kernel so raw payloads never amplify across a shuffle."
+    ),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.multimodal import docs_as_media, sample_frames
+
+    media = docs_as_media(_t(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n_bytes=128, max_frames=8)
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id, md5({SQL_NORM.format(t='text')}) AS fingerprint
+    FROM documents
+    """,
+    doc=(
+        "Engine-portable md5 content fingerprint of normalized text "
+        "(operators/textops.fingerprints) — the cross-system dedup key."
+    ),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.textops import fingerprints
+
+    return fingerprints(_t(spark, sf_dir, "documents"))

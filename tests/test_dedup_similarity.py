@@ -1,0 +1,103 @@
+"""Dedup + similarity operator semantics on the driver testdata (sf0.001
+for speed except where the planted near-dups at sf0.01 are the point)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.operators import dedup as D
+from etl_s3_to_redshift_spark.operators import similarity as S
+from etl_s3_to_redshift_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_ORACLE, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_ORACLE, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {(r.id_a, r.id_b): r.jaccard for r in D.jaccard_pairs(docs, 0.8).collect()}
+
+
+def test_exact_dedup_idempotent_and_counts(spark, docs):
+    manifest = D.exact_dedup(docs)
+    rows = manifest.collect()
+    # no exact duplicates in this corpus: every key survives with 1 copy
+    assert len(rows) == docs.count()
+    assert all(r.n_copies == 1 for r in rows)
+    # synthetic duplicate: doubling the table halves survivors, n_copies=2
+    doubled = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    m2 = D.exact_dedup(doubled)
+    assert m2.count() == docs.count()
+    assert m2.agg(F.max("n_copies")).first()[0] == 2
+    # keeper is the lowest id
+    assert m2.agg(F.max("doc_id")).first()[0] < 1_000_000
+
+
+def test_minhash_lsh_equals_exact_on_planted_dups(docs, exact_pairs):
+    """The planted near-dups sit at J>=0.9; verified LSH (16 bands x 2 of
+    32 xxhash64 minhashes) must find exactly the brute-force pairs."""
+    lsh = {(r.id_a, r.id_b): r.jaccard for r in D.minhash_lsh_pairs(docs, 0.8, num_hashes=32, bands=16).collect()}
+    assert lsh == exact_pairs
+    assert len(lsh) > 0
+
+
+def test_minhash_candidates_are_superset_of_verified(docs, exact_pairs):
+    cand = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(docs, 0.8, num_hashes=32, bands=16, verify=False).collect()
+    }
+    assert set(exact_pairs) <= cand
+
+
+def test_simhash_recall_and_shape(docs, exact_pairs):
+    pairs = D.simhash_pairs(docs, max_hamming=3).collect()
+    found = {(r.id_a, r.id_b) for r in pairs}
+    assert all(r.hamming <= 3 for r in pairs)
+    # hamming<=3 at 64 bits catches most J>=0.8 near-dups (measured 0.6)
+    recall = len(found & set(exact_pairs)) / len(exact_pairs)
+    assert recall >= 0.5
+
+
+def test_brute_force_topk_is_exact_and_ranked(emb):
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = S.brute_force_topk(emb, queries, k=5).collect()
+    by_q = {}
+    for r in topk:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.query_id != r.vec_id for r in rows)
+
+
+def test_lsh_ann_recall_floor(emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {(r.query_id, r.vec_id) for r in S.brute_force_topk(emb, queries, k=10).collect()}
+    ann = {(r.query_id, r.vec_id) for r in S.lsh_topk(emb, queries, dim=64, k=10).collect()}
+    # random-hyperplane LSH on weakly-similar random vectors: measured 0.4;
+    # floor at 0.25 to keep the test robust to data regeneration
+    assert len(bf & ann) / len(bf) >= 0.25
+    # every ANN hit must carry a correct exact rescore (cos in [-1, 1])
+    for r in S.lsh_topk(emb, queries, dim=64, k=10).collect():
+        assert -1.0 <= r.cos_sim <= 1.0
+
+
+def test_cosine_pairs_threshold(emb):
+    pairs = S.cosine_pairs(emb, threshold=0.4).collect()
+    assert len(pairs) > 0
+    assert all(r.cos_sim >= 0.4 and r.id_a < r.id_b for r in pairs)

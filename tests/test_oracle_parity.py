@@ -7,7 +7,9 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from etl_s3_to_redshift_spark.queries import REGISTRY
+from etl_s3_to_redshift_spark.queries import REGISTRY, _load_extensions
+
+_load_extensions()
 from etl_s3_to_redshift_spark.schemas import TESTDATA_TABLES
 from tests.conftest import SF_SMOKE
 from tools.check_oracle import canon_df

@@ -20,7 +20,9 @@ import pandas as pd
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from etl_s3_to_redshift_spark.queries import REGISTRY  # noqa: E402
+from etl_s3_to_redshift_spark.queries import REGISTRY, _load_extensions  # noqa: E402
+
+_load_extensions()
 from etl_s3_to_redshift_spark.schemas import TESTDATA_TABLES  # noqa: E402
 from etl_s3_to_redshift_spark.session import get_spark  # noqa: E402
 
