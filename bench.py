@@ -45,6 +45,12 @@ HEADLINE = [
     "stream_tumbling_events",
     "stream_session_window",
     "mm_binary_features",
+    "asof_last_purchase",
+    "range_join_shipments",
+    "pivot_event_counts",
+    "udf_minmax_normalize",
+    "text_tfidf_topterms",
+    "sim_topk_cosine_fast",
 ]
 
 

@@ -84,3 +84,41 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Engine-portable md5 content fingerprint of normalized text."""
     return df.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF, pure DataFrame ops (no
+    pyspark.ml pipeline): explode tokens → term frequencies → document
+    frequencies → idf = ln((N+1)/(df+1)) + 1 (smoothed) → window top-k.
+
+    Two shuffles (doc-term agg, term df agg joined back broadcast) + one
+    window — each linear in the token count. Deterministic tiebreak: term
+    asc at equal score."""
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # scalar action on metadata scale; cheap vs the scan
+    toks = df.select(
+        F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        id_col,
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

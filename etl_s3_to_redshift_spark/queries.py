@@ -645,7 +645,7 @@ def set_op_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _load_extensions() -> None:
     """Import side-registering query modules (idempotent)."""
-    from etl_s3_to_redshift_spark import queries_data  # noqa: F401
+    from etl_s3_to_redshift_spark import queries_data, queries_scalar  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

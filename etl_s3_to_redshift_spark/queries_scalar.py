@@ -1,0 +1,344 @@
+"""Scalar-function, temporal-join, pivot, percentile, and UDF queries —
+rounding out the engine surface beyond SURVEY.md §2 (reference §2c lists
+these as absent; the north star requires them).
+
+Registered into the driver-contract REGISTRY (queries.py imports this).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.queries import _t, register
+
+# ===========================================================================
+# Temporal joins
+# ===========================================================================
+
+
+@register(
+    "asof_last_purchase",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS asof_ts,
+           p.value AS asof_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    doc=(
+        "As-of join (backward, inclusive): each event matched to the same "
+        "user's latest purchase at-or-before it — operators/temporal."
+        "as_of_join (union + tagged sort + last-ignorenulls window: one "
+        "shuffle, no range explosion). Oracle: DuckDB native ASOF JOIN."
+    ),
+)
+def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return as_of_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", payload=["value"]
+    ).select("event_id", "user_id", "ts", "asof_ts", F.col("asof_value"))
+
+
+@register(
+    "range_join_shipments",
+    """
+    SELECT o.o_orderkey AS order_id,
+           count(*) AS n_quick_ships
+    FROM orders o
+    JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <  o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderkey
+    """,
+    doc=(
+        "Equi+range join: lineitems shipped within 30 days of their order. "
+        "Catalyst plans the equi key as a hash join and evaluates the range "
+        "as a post-join predicate — the right plan (the pure non-equi case "
+        "is operators/temporal.interval_bucket_join, unit-tested)."
+    ),
+)
+def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"])
+        & (li["l_shipdate"] >= o["o_orderdate"])
+        & (li["l_shipdate"] < o["o_orderdate"] + F.expr("INTERVAL 30 DAY")),
+        "inner",
+    )
+    return joined.groupBy(o["o_orderkey"].alias("order_id")).agg(
+        F.count(F.lit(1)).alias("n_quick_ships")
+    )
+
+
+# ===========================================================================
+# Pivot / percentile / sketches
+# ===========================================================================
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    doc=(
+        "Pivot: per-user event-type counts as columns. Explicit pivot "
+        "values keep the schema static (no extra distinct pass) — "
+        "mandatory at scale."
+    ),
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "percentile_order_value",
+    """
+    SELECT o_orderpriority AS priority,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc=(
+        "Exact percentiles (linear interpolation) per group — Spark "
+        "``percentile`` == DuckDB ``quantile_cont`` bit-for-bit (same "
+        "interpolation formula on the same doubles)."
+    ),
+)
+def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("median_price"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("p90_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "approx_sketches",
+    None,  # sketch outputs are engine-specific → rows-only; error bounds
+    # vs exact values pinned in tests/test_scalar_ops.py
+    doc=(
+        "Approximate aggregates: HyperLogLog++ distinct counts and GK "
+        "quantile sketches (approx_count_distinct / percentile_approx) — "
+        "the sub-linear-memory path for 100 TB cardinality/quantile "
+        "estimation. No oracle: sketch results are algorithm-specific; "
+        "tests pin relative error against exact."
+    ),
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+    )
+
+
+# ===========================================================================
+# UDF surface: grouped-map Pandas (Arrow) with an exactly-checkable kernel
+# ===========================================================================
+
+
+@register(
+    "udf_minmax_normalize",
+    """
+    SELECT o_orderkey AS order_id,
+           o_orderpriority AS priority,
+           CASE WHEN max(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                   = min(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                THEN 0.0
+                ELSE (o_totalprice - min(o_totalprice) OVER (PARTITION BY o_orderpriority))
+                     / (max(o_totalprice) OVER (PARTITION BY o_orderpriority)
+                        - min(o_totalprice) OVER (PARTITION BY o_orderpriority))
+           END AS price_norm
+    FROM orders
+    """,
+    doc=(
+        "Grouped-map Pandas UDF (applyInPandas over Arrow batches): "
+        "per-priority min-max normalization. Min/max/divide are exact on "
+        "doubles, so the Python kernel matches the window-SQL oracle "
+        "bit-for-bit — demonstrating the vectorized UDF path with a "
+        "correctness gate."
+    ),
+)
+def udf_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        lo, hi = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        span = hi - lo
+        norm = (pdf["o_totalprice"] - lo) / span if span > 0 else pdf["o_totalprice"] * 0.0
+        return pd.DataFrame(
+            {
+                "order_id": pdf["o_orderkey"],
+                "priority": pdf["o_orderpriority"],
+                "price_norm": norm,
+            }
+        )
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    return o.groupBy("o_orderpriority").applyInPandas(
+        kernel, schema="order_id long, priority string, price_norm double"
+    )
+
+
+# ===========================================================================
+# Scalar function suites
+# ===========================================================================
+
+
+@register(
+    "scalar_string_suite",
+    """
+    SELECT p_partkey AS part_id,
+           upper(p_type) AS type_upper,
+           lower(p_brand) AS brand_lower,
+           substr(p_name, 1, 12) AS name_prefix,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           replace(p_brand, '#', '-') AS brand_slug,
+           concat(p_brand, ':', p_type) AS brand_type,
+           CAST(levenshtein(p_brand, 'Brand#13') AS INTEGER) AS lev_to_b13,
+           CAST(strpos(p_type, 'AND') AS INTEGER) AS and_pos,
+           trim(CAST(p_size AS VARCHAR)) AS size_str,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    WHERE p_type LIKE '%AND%' OR p_name LIKE 's%'
+    """,
+    doc=(
+        "String scalar suite: case, substring, length, replace, concat, "
+        "levenshtein, position, pad, LIKE predicates — all JVM codegen'd."
+    ),
+)
+def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_type").like("%AND%") | F.col("p_name").like("s%")
+    ).select(
+        F.col("p_partkey").alias("part_id"),
+        F.upper("p_type").alias("type_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 12).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_slug"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#13")).alias("lev_to_b13"),
+        F.instr(F.col("p_type"), "AND").alias("and_pos"),
+        F.trim(F.col("p_size").cast("string")).alias("size_str"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@register(
+    "scalar_math_conditional",
+    """
+    SELECT l_orderkey AS order_id,
+           l_linenumber AS line_no,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2)) AS DOUBLE) AS tax_amount,
+           sqrt(l_quantity) AS qty_sqrt,
+           CAST(l_partkey % 16 AS BIGINT) AS part_bucket,
+           CAST(sign(l_discount - l_tax) AS DOUBLE) AS disc_vs_tax,
+           greatest(l_discount, l_tax) AS max_rate,
+           least(l_discount, l_tax) AS min_rate,
+           coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+           CASE WHEN l_quantity >= 40 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'standard'
+                ELSE 'small' END AS qty_class
+    FROM lineitem
+    WHERE l_linenumber <= 2
+    """,
+    doc=(
+        "Math + conditional scalar suite: abs/ceil/floor/round/sqrt/mod/"
+        "sign/greatest/least/coalesce/nullif/CASE — IEEE-exact operations "
+        "only, so the oracle matches bit-for-bit."
+    ),
+)
+def scalar_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    return li.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_no"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("qty_ceil7"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        (F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_tax").cast("decimal(12,2)")).cast("double").alias("tax_amount"),
+        F.sqrt(F.col("l_quantity")).alias("qty_sqrt"),
+        (F.col("l_partkey") % 16).alias("part_bucket"),
+        F.signum(F.col("l_discount") - F.col("l_tax")).alias("disc_vs_tax"),
+        F.greatest(F.col("l_discount"), F.col("l_tax")).alias("max_rate"),
+        F.least(F.col("l_discount"), F.col("l_tax")).alias("min_rate"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "standard")
+        .otherwise("small")
+        .alias("qty_class"),
+    )
+
+
+@register(
+    "scalar_datetime_suite",
+    """
+    SELECT o_orderkey AS order_id,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER) AS days_since_95,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec,
+           date_trunc('month', o_orderdate) AS month_start
+    FROM orders
+    """,
+    doc=(
+        "Date/time scalar suite: interval arithmetic, datediff, last_day, "
+        "quarter/dow/doy, formatting, epoch, truncation. DuckDB dayofweek "
+        "is 0=Sunday vs Spark 1=Sunday — the oracle shifts by one; "
+        "everything else maps 1:1."
+    ),
+)
+def scalar_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.last_day(F.col("o_orderdate")).cast("timestamp").alias("month_end"),
+        F.quarter(F.col("o_orderdate")).alias("qtr"),
+        F.dayofweek(F.col("o_orderdate")).alias("dow"),
+        F.dayofyear(F.col("o_orderdate")).alias("doy"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("ym"),
+        F.unix_timestamp(F.col("o_orderdate")).alias("epoch_sec"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )

@@ -1,0 +1,139 @@
+"""Physical-plan audits and scale-discipline tests: the queries must not
+just return right answers — they must produce the plans we designed for
+(broadcasts, pushdowns, no cartesian products, bucketed-join shuffle
+elision, salted-aggregation equivalence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.operators.skew import salt_join_skewed_keys, salted_aggregate
+from etl_s3_to_redshift_spark.plans import warehouse as WH
+from etl_s3_to_redshift_spark.queries import REGISTRY, _load_extensions
+from etl_s3_to_redshift_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+_load_extensions()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_enrich_broadcasts_all_dims(spark):
+    """diststyle-all dims (SURVEY §4) must become broadcast hash joins —
+    the fact side must never shuffle for enrichment."""
+    plan = plan_of(REGISTRY["r2_broadcast_enrich"].spark(spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_filter_and_projection_pushdown(spark):
+    """R5's predicate must reach the parquet scan (PushedFilters) and the
+    scan must read only the projected columns (ReadSchema pruning)."""
+    df = REGISTRY["r5_notnull_filter"].spark(spark, SF_SMOKE)
+    plan = plan_of(df)
+    scan_line = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "isnotnull(user_id" in scan_line and "event_type" in scan_line
+    # column pruning: scan reads only the 4 projected columns
+    assert "props" not in scan_line.split("ReadSchema")[0].split("[")[1].split("]")[0]
+    cols = scan_line.split("FileScan parquet [")[1].split("]")[0]
+    assert set(c.split("#")[0] for c in cols.split(",")) == {
+        "event_id", "user_id", "event_type", "value"
+    }
+
+
+def test_q1_partial_aggregation(spark):
+    """TPC-H Q1 must do map-side partial aggregation (only groups cross
+    the shuffle) — the plan shows two HashAggregates around one Exchange."""
+    plan = plan_of(REGISTRY["q1_pricing_summary"].spark(spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    """Global top-k must be TakeOrderedAndProject (per-partition heaps),
+    never a full Sort."""
+    plan = plan_of(REGISTRY["r9_top_k"].spark(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_products_anywhere(spark):
+    """No registered query may plan a CartesianProduct; the only
+    broadcast-nested-loops allowed are the deliberate similarity scans."""
+    allowed_bnl = {"dedup_embedding_cosine", "sim_topk_cosine", "sim_topk_cosine_fast"}
+    for name, spec in REGISTRY.items():
+        plan = plan_of(spec.spark(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        if name not in allowed_bnl:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_bucketed_join_elides_shuffle(spark, tmp_path):
+    """diststyle-key analogue: two tables bucketed on the join key must
+    join without any Exchange (SURVEY §4; plans/warehouse.save_table)."""
+    # spark.sql.warehouse.dir is static — tables land in ./spark-warehouse
+    # (gitignored); the DROPs below remove the managed files.
+    # Disable auto-broadcast: at real scale neither side is broadcastable —
+    # the point is that co-located buckets make the SORT-MERGE join
+    # shuffle-free.
+    before_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    WH.create_schema(spark, "bucketdemo")
+    WH.use_schema(spark, "bucketdemo")
+    try:
+        orders = load_table(spark, SF_SMOKE, "orders")
+        customer = load_table(spark, SF_SMOKE, "customer")
+        WH.save_table(orders, "orders_b", bucket_by=(8, "o_custkey"))
+        WH.save_table(customer, "customer_b", bucket_by=(8, "c_custkey"))
+        o_b = spark.table("orders_b")
+        c_b = spark.table("customer_b")
+        joined = o_b.join(c_b, o_b["o_custkey"] == c_b["c_custkey"]).hint("merge")
+        plan = plan_of(joined)
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() == orders.count()
+    finally:
+        WH.drop_tables(spark, ["orders_b", "customer_b"])
+        WH.use_schema(spark, "default")
+        spark.sql("DROP DATABASE IF EXISTS bucketdemo CASCADE")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before_thresh)
+
+
+def test_salted_aggregate_matches_plain(spark):
+    ev = load_table(spark, SF_SMOKE, "events")
+    plain = {
+        (r.event_type): (r.n, r.v)
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value").cast("decimal(12,2)")).alias("v"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.n, r.v)
+        for r in salted_aggregate(
+            ev,
+            ["event_type"],
+            {"n": ("event_id", "count"), "v": (F.col("value").cast("decimal(12,2)"), "sum")},
+        ).collect()
+    }
+    # normalize: salted count returns sum of partial counts (long)
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert plain[k][0] == salted[k][0] and plain[k][1] == salted[k][1]
+
+
+def test_salted_join_matches_plain(spark):
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    dim = customer.withColumnRenamed("c_custkey", "o_custkey")
+    plain = {
+        (r.o_orderkey, r.c_name)
+        for r in orders.join(dim, "o_custkey", "inner").collect()
+    }
+    hot = [r.o_custkey for r in orders.groupBy("o_custkey").count().orderBy(F.desc("count")).limit(3).collect()]
+    salted = {
+        (r.o_orderkey, r.c_name)
+        for r in salt_join_skewed_keys(orders, dim, "o_custkey", hot_keys=hot, n_salts=8).collect()
+    }
+    assert plain == salted

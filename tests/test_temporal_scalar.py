@@ -1,0 +1,101 @@
+"""Temporal joins (as-of, interval bucket), approx sketches, and the fast
+top-k path — semantics pinned against exact baselines."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.operators.similarity import brute_force_topk, brute_force_topk_np
+from etl_s3_to_redshift_spark.operators.temporal import as_of_join, interval_bucket_join
+from etl_s3_to_redshift_spark.sources.tables import load_table
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_as_of_join_semantics(spark):
+    """Backward inclusive: latest right at-or-before left; ties at equal ts
+    match (right sorts first); no match → NULLs."""
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00")), (1, ts("2024-01-01 11:00:00")),
+         (1, ts("2024-01-01 09:00:00")), (2, ts("2024-01-01 10:30:00"))],
+        "key long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), 100.0), (1, ts("2024-01-01 10:30:00"), 200.0),
+         (3, ts("2024-01-01 00:00:00"), 999.0)],
+        "key long, rt timestamp, v double",
+    )
+    out = {
+        (r.key, r.t): (r.asof_ts, r.asof_v)
+        for r in as_of_join(left, right, "key", "t", "rt", ["v"]).collect()
+    }
+    assert out[(1, ts("2024-01-01 09:00:00"))] == (None, None)  # nothing before
+    assert out[(1, ts("2024-01-01 10:00:00"))] == (ts("2024-01-01 10:00:00"), 100.0)  # inclusive
+    assert out[(1, ts("2024-01-01 11:00:00"))] == (ts("2024-01-01 10:30:00"), 200.0)  # latest
+    assert out[(2, ts("2024-01-01 10:30:00"))] == (None, None)  # key with no right rows
+
+
+def test_interval_bucket_join_equals_brute_force(spark):
+    """Bucketized non-equi join must equal the naive BETWEEN cross join."""
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "ts").limit(300)
+    base = ts("2024-01-01 00:00:00")
+    intervals = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(minutes=37 * i), base + dt.timedelta(minutes=37 * i + 25))
+            for i in range(20)
+        ],
+        "ivl_id long, start timestamp, end timestamp",
+    )
+    fast = {
+        (r.event_id, r.ivl_id)
+        for r in interval_bucket_join(events, intervals, "ts", "start", "end", 600).collect()
+    }
+    naive = {
+        (r.event_id, r.ivl_id)
+        for r in events.crossJoin(intervals)
+        .filter((F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+        .collect()
+    }
+    assert fast == naive and len(naive) > 0
+
+
+def test_approx_sketches_error_bounds(spark):
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey").alias("a_ord"),
+        F.countDistinct("l_orderkey").alias("e_ord"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_med"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("e_med"),
+    ).first()
+    assert abs(row.a_ord - row.e_ord) / row.e_ord < 0.05  # HLL++ default rsd 5%
+    assert abs(row.a_med - row.e_med) / row.e_med < 0.01
+
+
+def test_ivf_topk_recall_floor(spark):
+    from etl_s3_to_redshift_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, queries, k=10).collect()}
+    ivf = {(r.query_id, r.vec_id) for r in ivf_topk(emb, queries, dim=64, k=10).collect()}
+    # probing 4/16 cells on weakly-clustered random vectors: conservative floor
+    assert len(bf & ivf) / len(bf) >= 0.25
+    assert len(ivf) == len(bf)
+
+
+def test_fast_topk_matches_exact_ids(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, queries, k=10).collect()}
+    fast = {(r.query_id, r.vec_id) for r in brute_force_topk_np(emb, queries, k=10).collect()}
+    assert exact == fast
