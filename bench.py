@@ -51,6 +51,11 @@ HEADLINE = [
     "udf_minmax_normalize",
     "text_tfidf_topterms",
     "sim_topk_cosine_fast",
+    "q4_order_priority_check",
+    "q6_revenue_forecast",
+    "q10_top_returners",
+    "q14_promo_share",
+    "q18_large_orders",
 ]
 
 

@@ -638,6 +638,198 @@ def set_op_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return urgent.union(big).distinct().subtract(excl)
 
 
+@register(
+    "q4_order_priority_check",
+    """
+    SELECT o_orderpriority AS priority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1995-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape: correlated EXISTS with an inequality on the "
+        "correlated columns → left semi join with a residual condition, "
+        "then count per priority."
+    ),
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return matched.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc=(
+        "TPC-H Q6 shape: pure filter-scan aggregate — every predicate "
+        "pushes to the parquet scan; the whole query is one codegen stage."
+    ),
+)
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import money
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(money("l_extendedprice") * money("l_discount")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "q10_top_returners",
+    """
+    SELECT c.c_custkey AS customer_id,
+           c.c_name AS customer_name,
+           n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, customer_id
+    LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q10 shape: returned-item revenue per customer, top-20. "
+        "Dims broadcast; lineitem filtered at the scan on returnflag."
+    ),
+)
+def q10_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import money
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    joined = (
+        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+    )
+    revenue = money("l_extendedprice") * (1 - money("l_discount"))
+    agg = joined.groupBy(
+        c["c_custkey"].alias("customer_id"),
+        c["c_name"].alias("customer_name"),
+        n["n_name"].alias("nation"),
+    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+    return agg.orderBy(F.col("revenue").desc(), F.col("customer_id").asc()).limit(20)
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT 100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(12,2)))
+                    ELSE CAST(0 AS DECIMAL(25,4)) END) AS DOUBLE)
+           / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-07-01 00:00:00'
+    """,
+    doc=(
+        "TPC-H Q14 shape: conditional aggregation ratio (promo revenue "
+        "share). Both sums exact decimal; one double division at the end."
+    ),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import money
+
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-06-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    rev = money("l_extendedprice") * (1 - money("l_discount"))
+    promo = F.when(p["p_type"].like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(25,4)"))
+    agg = joined.agg(
+        F.sum(promo).cast("double").alias("promo_rev"),
+        F.sum(rev).cast("double").alias("total_rev"),
+    )
+    return agg.select(
+        (F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")).alias("promo_share_pct")
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+    SELECT o.o_orderkey AS order_id,
+           o.o_custkey AS customer_id,
+           o.o_totalprice AS total_price,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+    HAVING sum(CAST(l.l_quantity AS DECIMAL(12,2))) > 150
+    ORDER BY total_qty DESC, order_id
+    LIMIT 20
+    """,
+    doc=(
+        "TPC-H Q18 shape: GROUP BY + HAVING on an aggregate + top-k — "
+        "HAVING is a post-aggregation filter Catalyst runs before the "
+        "TakeOrdered merge."
+    ),
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    joined = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+    agg = (
+        joined.groupBy(
+            o["o_orderkey"].alias("order_id"),
+            o["o_custkey"].alias("customer_id"),
+            o["o_totalprice"].alias("total_price"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__qty"))
+        .filter(F.col("__qty") > 150)
+    )
+    return (
+        agg.select(
+            "order_id", "customer_id", "total_price", F.col("__qty").cast("double").alias("total_qty")
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("order_id").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-contract exports
 # ---------------------------------------------------------------------------

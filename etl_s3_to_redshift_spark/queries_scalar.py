@@ -79,6 +79,55 @@ def range_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sql_api_min_cost_supplier",
+    """
+    SELECT s.s_suppkey AS supplier_id,
+           s.s_name AS supplier_name,
+           n.n_name AS nation,
+           p.p_partkey AS part_id,
+           l.l_extendedprice AS price
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE l.l_extendedprice = (
+      SELECT min(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    AND p.p_size <= 5
+    """,
+    doc=(
+        "TPC-H Q2 shape via the SQL API (spark.sql over temp views — same "
+        "Catalyst plan as the DataFrame API): correlated scalar subquery "
+        "(min price per part) rewritten by Catalyst into an aggregate + "
+        "join; dims broadcast."
+    ),
+)
+def sql_api_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "supplier", "nation", "part"))
+    return spark.sql(
+        """
+        SELECT s.s_suppkey AS supplier_id,
+               s.s_name AS supplier_name,
+               n.n_name AS nation,
+               p.p_partkey AS part_id,
+               l.l_extendedprice AS price
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN part p     ON p.p_partkey = l.l_partkey
+        WHERE l.l_extendedprice = (
+          SELECT min(l2.l_extendedprice) FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey
+        )
+        AND p.p_size <= 5
+        """
+    )
+
+
 # ===========================================================================
 # Pivot / percentile / sketches
 # ===========================================================================

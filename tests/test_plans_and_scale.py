@@ -101,6 +101,27 @@ def test_bucketed_join_elides_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before_thresh)
 
 
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Date-partitioned layout (sinks.write_parquet partition_by) must
+    yield partition pruning: a day-filtered read lists only that day's
+    directory (PartitionFilters, not a full scan + post-filter)."""
+    from etl_s3_to_redshift_spark.sources.sinks import write_parquet
+
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_day")
+    write_parquet(ev, out, partition_by="event_date", sort_key="ts")
+    back = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-02")
+    plan = plan_of(back)
+    scan_line = [l for l in plan.splitlines() if "FileScan" in l][0]
+    assert "PartitionFilters" in scan_line
+    assert "isnotnull(event_date" in scan_line
+    n_days = ev.select("event_date").distinct().count()
+    expect = ev.filter(F.col("event_date") == "2024-01-02").count()
+    assert n_days > 1 and back.count() == expect > 0
+
+
 def test_salted_aggregate_matches_plain(spark):
     ev = load_table(spark, SF_SMOKE, "events")
     plain = {
