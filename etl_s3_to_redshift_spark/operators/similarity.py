@@ -22,7 +22,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_s3_to_redshift_spark.functions.vectors import cosine, to_double_array
+from etl_s3_to_redshift_spark.functions.vectors import cosine, dot, norm, to_double_array
 
 
 def brute_force_topk(
@@ -32,20 +32,39 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query. ``queries`` has (query_id, vec).
 
     Broadcast the queries against the corpus scan; rank with a window
     partitioned by query. Deterministic: ties broken by corpus id.
-    Excludes self-matches when ids coincide.
+    Excludes self-matches when ids coincide. ``round_to`` rounds the score
+    BEFORE ranking (cross-engine-stable ordering for oracle comparison).
     """
+    # precompute each side's norm ONCE per row — the naive cosine-per-pair
+    # recomputes the corpus norm for every query (3× the fold work);
+    # d/(na*nb) on precomputed norms yields bit-identical doubles.
     q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    d = dot(F.col("__cvec"), F.col("__qvec"))
+    sim = F.when(
+        (F.col("__cnorm") > 0) & (F.col("__qnorm") > 0),
+        d / (F.col("__cnorm") * F.col("__qnorm")),
+    )
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = c.crossJoin(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col("__qvec")).alias("cos_sim"),
+        sim.alias("cos_sim"),
     ).filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (

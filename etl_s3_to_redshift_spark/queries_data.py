@@ -194,31 +194,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from etl_s3_to_redshift_spark.functions.vectors import cosine
+    from etl_s3_to_redshift_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec")
+        F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    # rank on the ROUNDED cosine (not the raw one) so sub-ulp fold
-    # differences between engines cannot flip ranks; id breaks exact ties.
-    scored = (
-        emb.crossJoin(F.broadcast(queries))
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("__qvec")), 6).alias("cos_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "vec_id", "cos_sim", "rank")
-    )
+    # rank on the ROUNDED cosine (round_to=6) so sub-ulp fold differences
+    # between engines cannot flip ranks; id breaks exact ties.
+    return brute_force_topk(emb, queries, k=10, round_to=6)
 
 
 @register(

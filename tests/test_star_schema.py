@@ -102,6 +102,27 @@ def test_time_dim_distinct_timestamps(star):
     assert (r["hour"], r["day"], r["week"], r["month"], r["year"]) == (15, 31, 44, 10, 2018)
 
 
+def test_csv_source_roundtrip(spark, tmp_path):
+    """CSV source: explicit schema, ''→NULL, malformed→NULL (PERMISSIVE)."""
+    from pyspark.sql import types as T
+
+    from etl_s3_to_redshift_spark.sources.csv_source import read_csv
+
+    p = tmp_path / "u.csv"
+    p.write_text("user_id,name,score\n1,ada,3.5\n2,,\n,grace,bad\n")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    rows = {r.name: r for r in read_csv(spark, str(p), schema).collect()}
+    assert rows["ada"].score == 3.5
+    assert rows[None].user_id == 2
+    assert rows["grace"].user_id is None and rows["grace"].score is None
+
+
 def test_full_pipeline_roundtrip(spark, tmp_path):
     """etl.py:55-109 equivalent: read → build → overwrite-write; outputs
     re-readable with expected cardinalities (full-refresh idempotency —
