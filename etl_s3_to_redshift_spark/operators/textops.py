@@ -34,11 +34,16 @@ def _count_in(tokens: Column, vocab: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: F.array_contains(vocab_arr, t)))
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, toks: Column | None = None) -> Column:
     """Heuristic language ID: count per-language marker stopwords among the
     lowercased tokens; argmax with deterministic tie-break (marker-table
-    order); 'und' (undetermined) when no marker hits at all."""
-    toks = words(F.lower(text))
+    order); 'und' (undetermined) when no marker hits at all.
+
+    Pass a pre-materialized ``toks`` column when scoring many languages —
+    the per-language filters are higher-order functions that would
+    otherwise re-run the split per language."""
+    if toks is None:
+        toks = words(F.lower(text))
     scores = {lang: _count_in(toks, markers) for lang, markers in LANG_MARKERS.items()}
     best = F.greatest(*scores.values())
     result = F.lit("und")
@@ -52,9 +57,15 @@ def lang_id(text: Column) -> Column:
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features: char/token counts, mean token length,
     punctuation density, English stopword ratio, alpha ratio — the standard
-    pre-filter features of web-scale corpus cleaning."""
+    pre-filter features of web-scale corpus cleaning.
+
+    The token array is materialized in its own projection first: the four
+    token-consuming expressions are higher-order functions, which skip
+    whole-stage subexpression elimination — inline, the split would run
+    4× per row."""
+    df = df.select(F.col(id_col), F.col(text_col), words(F.col(text_col)).alias("__toks"))
     text = F.col(text_col)
-    toks = words(text)
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     n_chars = F.length(text)
     tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))

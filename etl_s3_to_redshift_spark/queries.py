@@ -639,6 +639,55 @@ def set_op_priority_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "full_outer_reconcile",
+    """
+    SELECT coalesce(c.c_custkey, s.s_suppkey) AS entity_id,
+           c.c_name AS customer_name,
+           s.s_name AS supplier_name
+    FROM customer c
+    FULL OUTER JOIN supplier s ON c.c_custkey = s.s_suppkey
+    """,
+    doc=(
+        "Full outer join (id-space reconciliation): rows surviving from "
+        "either side with NULLs opposite — completes the outer-join family "
+        "(left outer is R2)."
+    ),
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    joined = c.join(s, c["c_custkey"] == s["s_suppkey"], "full_outer")
+    return joined.select(
+        F.coalesce(c["c_custkey"], s["s_suppkey"]).alias("entity_id"),
+        c["c_name"].alias("customer_name"),
+        s["s_name"].alias("supplier_name"),
+    )
+
+
+@register(
+    "cross_join_region_nation",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           (n.n_regionkey = r.r_regionkey) AS is_home
+    FROM region r CROSS JOIN nation n
+    """,
+    doc=(
+        "Explicit cross join of two tiny dims (the only legitimate cross "
+        "join shape: bounded × bounded) — planned as a broadcast nested "
+        "loop, never a partitioned cartesian."
+    ),
+)
+def cross_join_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )
+
+
+@register(
     "q4_order_priority_check",
     """
     SELECT o_orderpriority AS priority, count(*) AS n_orders

@@ -339,10 +339,14 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.functions.text import words
     from etl_s3_to_redshift_spark.operators.textops import lang_id
 
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id(F.col("text")).alias("pred_lang"))
+    toked = docs.select("doc_id", words(F.lower(F.col("text"))).alias("__toks"))
+    return toked.select(
+        "doc_id", lang_id(F.lit(""), toks=F.col("__toks")).alias("pred_lang")
+    )
 
 
 @register(

@@ -208,6 +208,74 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus AS status,
+           o_orderpriority AS priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc=(
+        "CUBE grouping sets (all 4 combinations incl. grand total) — with "
+        "ROLLUP (rollup_revenue) this completes the grouping-sets family; "
+        "Catalyst expands the sets into one shuffle."
+    ),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.cube(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "array_map_suite",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           embedding[1] AS first_val,
+           list_max(embedding) AS max_val,
+           list_min(embedding) AS min_val,
+           list_slice(embedding, 1, 4) AS head4,
+           list_reverse_sort(embedding)[1] AS sorted_last,
+           list_contains(embedding, 0.0) AS has_zero,
+           CAST(label AS BIGINT) AS label_key,
+           map { 'label': CAST(label AS BIGINT), 'dim': CAST(len(embedding) AS BIGINT) }['label'][1] AS from_map
+    FROM embeddings
+    """,
+    doc=(
+        "Array + map scalar suite over the embedding column: size, "
+        "indexing, min/max, slice, sort, containment, map construction and "
+        "lookup — the nested-type surface (reference has none, SURVEY §1)."
+    ),
+)
+def array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    m = F.create_map(
+        F.lit("label"), F.col("label").cast("long"),
+        F.lit("dim"), F.size("embedding").cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+        F.slice("embedding", 1, 4).alias("head4"),
+        F.element_at(F.sort_array("embedding", asc=False), 1).alias("sorted_last"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+        F.col("label").cast("long").alias("label_key"),
+        F.element_at(m, "label").alias("from_map"),
+    )
+
+
 # ===========================================================================
 # UDF surface: grouped-map Pandas (Arrow) with an exactly-checkable kernel
 # ===========================================================================

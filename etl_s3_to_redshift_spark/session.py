@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The local testdata lake ships single small parquet files (a
+        # 600k-row lineitem is one ~10MB file): the default 128MB split
+        # size leaves a 32-core session scanning on 1 task. 4MB splits the
+        # files across cores (measured ~2× on scan-bound queries). On a
+        # real cluster with properly-sized files keep the 128MB default.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "4m"))
         # events.parquet carries TIMESTAMP(NANOS) which Spark refuses by
         # default; read as long and convert in the loader (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

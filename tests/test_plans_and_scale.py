@@ -63,7 +63,12 @@ def test_topk_uses_take_ordered(spark):
 def test_no_cartesian_products_anywhere(spark):
     """No registered query may plan a CartesianProduct; the only
     broadcast-nested-loops allowed are the deliberate similarity scans."""
-    allowed_bnl = {"dedup_embedding_cosine", "sim_topk_cosine", "sim_topk_cosine_fast"}
+    allowed_bnl = {
+        "dedup_embedding_cosine",
+        "sim_topk_cosine",
+        "sim_topk_cosine_fast",
+        "cross_join_region_nation",  # deliberate bounded×bounded cross join
+    }
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
