@@ -46,6 +46,34 @@ def write_parquet(
     writer.parquet(path)
 
 
+def stage_for_copy(
+    df: DataFrame,
+    staging_path: str,
+    table: str,
+    iam_role: str = "${REDSHIFT_COPY_ROLE}",
+    num_files: int | None = None,
+) -> str:
+    """The scalable Redshift load path: write parquet to a staging prefix
+    and return the COPY statement that loads it — the warehouse pulls the
+    files in parallel, data never transits the Spark driver or a JDBC
+    row stream.
+
+    This is the engine-side half of the reference's COPY pipeline
+    (reference sql_queries.py:121-128 loads raw JSON; post-Spark the
+    staged data is typed parquet, so the options collapse to
+    ``FORMAT AS PARQUET``). The returned SQL is what an orchestrator
+    executes against the warehouse; generation is pure and unit-testable
+    without one.
+    """
+    write_parquet(df, staging_path, num_files=num_files)
+    return (
+        f"COPY {table}\n"
+        f"FROM '{staging_path}'\n"
+        f"IAM_ROLE '{iam_role}'\n"
+        f"FORMAT AS PARQUET;"
+    )
+
+
 def write_redshift_jdbc(
     df: DataFrame,
     jdbc_url: str,
