@@ -56,6 +56,8 @@ HEADLINE = [
     "q10_top_returners",
     "q14_promo_share",
     "q18_large_orders",
+    "cube_order_stats",
+    "sql_api_min_cost_supplier",
 ]
 
 

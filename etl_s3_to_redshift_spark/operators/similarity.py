@@ -144,11 +144,23 @@ def cosine_pairs(
     """All (id_a < id_b) pairs with cosine ≥ threshold — embedding-space
     near-dup detection. O(n²) scoring but only the half-matrix, streamed
     via broadcast-nested-loop; at scale use lsh_topk buckets first."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = corpus.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        norm(F.col(vec_col)).alias("__na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        norm(F.col(vec_col)).alias("__nb"),
+    )
+    sim = F.when(
+        (F.col("__na") > 0) & (F.col("__nb") > 0),
+        dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb")),
+    )
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cos_sim"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
     )
 
