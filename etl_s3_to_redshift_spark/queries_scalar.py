@@ -209,6 +209,152 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_collect_ordered",
+    """
+    SELECT user_id,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+           CAST(count(DISTINCT event_type) AS INTEGER) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    doc=(
+        "Collect-style aggregation: per-user sorted distinct set rendered "
+        "as a string (collect_set + array_sort + array_join) — sorted so "
+        "the result is partition-order-independent."
+    ),
+)
+def agg_collect_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("event_types"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )
+
+
+@register(
+    "agg_argminmax",
+    """
+    SELECT o_custkey AS customer_id,
+           arg_max(o_orderkey, o_totalprice) AS biggest_order_id,
+           max(o_totalprice) AS biggest_order_value,
+           arg_min(o_orderkey, o_totalprice) AS smallest_order_id,
+           min(o_totalprice) AS smallest_order_value
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "Argmin/argmax aggregates (max_by/min_by): each customer's "
+        "biggest/smallest order. o_totalprice values are distinct within "
+        "customers in this data, so the arg result is unambiguous."
+    ),
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order_id"),
+        F.max("o_totalprice").alias("biggest_order_value"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order_id"),
+        F.min("o_totalprice").alias("smallest_order_value"),
+    )
+
+
+@register(
+    "agg_exact_moments",
+    """
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS s2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, n,
+           s1 / n AS mean_qty,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_qty
+    FROM m
+    """,
+    doc=(
+        "Variance/stddev from exact decimal moments: sum and sum-of-squares "
+        "accumulate exactly (order-independent), then one deterministic "
+        "double evaluation of the textbook formula — built-in stddev would "
+        "drift with partition order and never hash-match an oracle."
+    ),
+)
+def agg_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    m = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return m.select(
+        "flag",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+    )
+
+
+@register(
+    "lateral_posexplode",
+    """
+    SELECT doc_id, CAST(s.pos AS INTEGER) AS pos, s.term FROM (
+      SELECT doc_id,
+             unnest(list_transform(
+               list_filter(string_split_regex(trim(text), '\\s+'), x -> x != ''),
+               (x, i) -> {'pos': i - 1, 'term': x})) AS s
+      FROM documents WHERE doc_id < 50
+    )
+    """,
+    doc=(
+        "Lateral generator: posexplode of the token array with ordinality "
+        "— one output row per (doc, position, token). The generator runs "
+        "inside the scan stage; no shuffle."
+    ),
+)
+def lateral_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.functions.text import words
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "term")
+    )
+
+
+@register(
+    "regex_suite",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_numbers,
+           regexp_matches(text, 'data.*table') AS mentions_data_table,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_prefix
+    FROM documents
+    WHERE doc_id < 100
+    """,
+    doc=(
+        "Regex scalar suite: extract, extract-all count, boolean match, "
+        "global replace — restricted to the regex subset Java and RE2 "
+        "interpret identically (char classes, literals, quantifiers)."
+    ),
+)
+def regex_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), r"([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[0-9]+"), 0)).alias("n_numbers"),
+        F.col("text").rlike(r"data.*table").alias("mentions_data_table"),
+        F.regexp_replace(F.col("text"), r"[aeiou]", "_").alias("devoweled_prefix"),
+    )
+
+
+@register(
     "cube_order_stats",
     """
     SELECT o_orderstatus AS status,
