@@ -1,0 +1,81 @@
+"""Connected components over a pair/edge list — the step that turns
+near-duplicate PAIRS (dedup.py output) into dedup GROUPS ("keep one doc
+per component").
+
+Algorithm: iterative minimum-label propagation (a DataFrame-join form of
+the classic large-/small-star technique). Each vertex starts with its own
+id as label; every round each vertex adopts the minimum label in its
+closed neighborhood; converged when no label changes. Rounds needed ≈
+graph diameter — near-dup graphs are overwhelmingly tiny cliques/chains,
+so a handful of rounds closes them; ``max_iter`` bounds the worst case and
+convergence is checked with a cheap aggregate per round.
+
+Scale: each round is one join edges⋈labels + one min-aggregate — all
+hash-shuffles on vertex id. No driver-side graph state; the edge list
+never leaves the cluster. (GraphFrames would provide this too, but needs
+an external jar; this stays in-core.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(vertex, component) for every vertex in the pair list; component =
+    the minimum vertex id reachable from it."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("u").alias("vertex"))
+        .distinct()
+        .withColumn("component", F.col("vertex"))
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for each edge u->v, v's current label
+        nbr = (
+            edges.join(labels.withColumnRenamed("vertex", "v"), "v")
+            .select(F.col("u").alias("vertex"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("vertex")
+            .agg(F.min("component").alias("component"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        changed = (
+            labels.withColumnRenamed("component", "old")
+            .join(new_labels, "vertex")
+            .filter(F.col("old") != F.col("component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup groups from a pair list: (component, member, is_keeper) —
+    keeper = the minimum id of the component (matching exact_dedup's
+    keep-lowest-id convention)."""
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        F.col("component"),
+        F.col("vertex").alias("member"),
+        (F.col("vertex") == F.col("component")).alias("is_keeper"),
+    )

@@ -109,7 +109,10 @@ def jaccard_pairs(
     minhash_lsh_pairs to verify candidates instead of standalone, or cap
     hot shingles (stop-shingle removal) — see minhash_lsh_pairs.
     """
-    sh = _shingled(df, text_col, id_col, k).cache()
+    # sh is consumed twice (sizes + self-join); recompute instead of
+    # cache() — an operator-internal cache can never be unpersisted by the
+    # caller and would pin executor memory for the session lifetime.
+    sh = _shingled(df, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -237,16 +240,16 @@ def simhash_signatures(
     """
     tok = _spread(df, id_col).select(F.col(id_col), F.explode(words(F.col(text_col))).alias("tok"))
     h = F.xxhash64(F.col("tok"))
+    # per-bit set-count instead of ±1 conditionals: sign(Σ±1) > 0 ⇔
+    # 2·(set count) > n — pure shifts/masks, no branches in the agg loop
     bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"b{b}")
         for b in range(nbits)
     ]
-    agg = tok.groupBy(id_col).agg(*bit_sums)
+    agg = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
     sig = None
     for b in range(nbits):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit = (2 * F.col(f"b{b}") > F.col("__n")).cast("long")
         term = bit * F.lit(1 << b).cast("long") if b < 63 else bit * F.lit(-(1 << 63)).cast("long")
         sig = term if sig is None else (sig + term)
     return agg.select(F.col(id_col), sig.alias("simhash"))

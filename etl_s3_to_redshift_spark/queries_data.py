@@ -129,6 +129,48 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_groups_connected",
+    f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, {SQL_SHINGLES.format(w=SQL_WORDS.format(t='text'))} AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), cc(vertex, component) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, c.component FROM edges e JOIN cc c ON c.vertex = e.v
+    )
+    SELECT min(component) AS component,
+           vertex AS member,
+           (vertex = min(component)) AS is_keeper
+    FROM cc GROUP BY vertex
+    """,
+    doc=(
+        "Near-dup GROUPS from the pair list: distributed connected "
+        "components via iterative min-label propagation (operators/"
+        "components.py — join+aggregate per round, no driver graph state); "
+        "keeper = component minimum, matching exact_dedup's convention. "
+        "Oracle: recursive CTE reachability over the same pairs."
+    ),
+)
+def dedup_groups_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.components import dedup_groups
+    from etl_s3_to_redshift_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=32, bands=16
+    )
+    return dedup_groups(pairs)
+
+
+@register(
     "dedup_embedding_cosine",
     """
     WITH dv AS (
