@@ -73,11 +73,26 @@ def decode_image(payload: bytes) -> "object":
         ) from e
 
 
+def _make_feature_fn(dim: int = 8):
+    """Factory returning the digest-feature closure. The closure (not a
+    module-level function) is what Arrow kernels must capture: cloudpickle
+    serializes closures BY VALUE, whereas a module-level function is
+    pickled by reference and the executor-side Python worker — whose
+    sys.path need not contain this repo — would fail to import it."""
+
+    def feats(payload: bytes) -> list[float]:
+        import hashlib
+
+        d = hashlib.sha256(payload).digest()
+        return [int.from_bytes(d[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
+
+    return feats
+
+
 def fake_image_features(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a feature extractor: digest-derived
     floats in [0,1). Same signature/shape a real CNN embedding would have."""
-    d = hashlib.sha256(payload).digest()
-    return [int.from_bytes(d[4 * i : 4 * i + 4], "big") / 2**32 for i in range(dim)]
+    return _make_feature_fn(dim)(payload)
 
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
@@ -87,8 +102,11 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     column; the kernel computes per-payload metadata + features and yields
     one output row per input row. Partitioning is preserved — no shuffle.
     """
+    feats = _make_feature_fn()
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -96,7 +114,7 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                     "media_id": pdf["media_id"],
                     "n_bytes": payloads.map(len).astype("int64"),
                     "sha256": payloads.map(lambda b: hashlib.sha256(b).hexdigest()),
-                    "feature": payloads.map(fake_image_features),
+                    "feature": payloads.map(feats),
                 }
             )
 

@@ -386,11 +386,11 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT vec_id,
            CAST(len(embedding) AS INTEGER) AS dim,
-           embedding[1] AS first_val,
-           list_max(embedding) AS max_val,
-           list_min(embedding) AS min_val,
-           list_slice(embedding, 1, 4) AS head4,
-           list_reverse_sort(embedding)[1] AS sorted_last,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           CAST(list_max(embedding) AS DOUBLE) AS max_val,
+           CAST(list_min(embedding) AS DOUBLE) AS min_val,
+           list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE)) AS head4,
+           CAST(list_reverse_sort(embedding)[1] AS DOUBLE) AS sorted_last,
            list_contains(embedding, 0.0) AS has_zero,
            CAST(label AS BIGINT) AS label_key,
            map { 'label': CAST(label AS BIGINT), 'dim': CAST(len(embedding) AS BIGINT) }['label'][1] AS from_map
@@ -411,11 +411,11 @@ def array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.element_at("embedding", 1).alias("first_val"),
-        F.array_max("embedding").alias("max_val"),
-        F.array_min("embedding").alias("min_val"),
-        F.slice("embedding", 1, 4).alias("head4"),
-        F.element_at(F.sort_array("embedding", asc=False), 1).alias("sorted_last"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias("head4"),
+        F.element_at(F.sort_array("embedding", asc=False), 1).cast("double").alias("sorted_last"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
         F.col("label").cast("long").alias("label_key"),
         F.element_at(m, "label").alias("from_map"),

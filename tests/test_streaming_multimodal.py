@@ -69,6 +69,34 @@ def test_sliding_amplification(events_batch):
     assert total == 2 * n  # each event lands in exactly window/slide windows
 
 
+def test_rate_source_tumbling(spark):
+    """The built-in rate source (offline-capable generator) drives the
+    same tumbling operator — demonstrates a second streaming source
+    besides files; row counts are bounded by the run window."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "500")
+        .load()
+        .withColumnRenamed("timestamp", "ts")
+        .withColumn("event_type", (F.col("value") % 3).cast("string"))
+        .withColumn("value", (F.col("value") % 100).cast("double"))
+    )
+    agg = SW.tumbling_counts(rate, window="1 seconds", streaming=True)
+    q = agg.writeStream.outputMode("complete").format("memory").queryName("t_rate").start()
+    try:
+        import time
+
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            time.sleep(2)
+            if spark.sql("SELECT sum(n_events) FROM t_rate").first()[0] or 0 >= 100:
+                break
+    finally:
+        q.stop()
+    total = spark.sql("SELECT coalesce(sum(n_events), 0) FROM t_rate").first()[0]
+    assert total >= 100
+
+
 def test_multimodal_features_roundtrip(spark):
     docs = load_table(spark, SF_SMOKE, "documents").limit(50)
     media = MM.docs_as_media(docs)
