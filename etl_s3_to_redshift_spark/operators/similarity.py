@@ -218,37 +218,20 @@ def lsh_bucketize(
     ).drop("__bb")
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    dim: int,
-    k: int = 10,
-    n_lists: int = 16,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: k-means coarse quantizer partitions the
-    corpus into ``n_lists`` cells; each query exact-rescores only the
-    ``n_probe`` cells nearest its own vector.
-
-    The quantizer is trained with pyspark.ml KMeans (seeded, deterministic);
-    centroids are tiny and ship to the driver; cell assignment is a
-    JVM-side argmin over centroid literals (no Python in the scan). At
-    100 TB the corpus is written bucketed by cell so a probe touches only
-    n_probe/n_lists of the data — the classic IVF trade of recall for scan
-    fraction (recall pinned in tests).
+class IvfIndex:
+    """A built IVF index: the trained coarse quantizer (centroid list,
+    driver-side — n_lists × dim doubles, tiny) plus the cell-assigned
+    corpus (id, vec, cell). Build ONCE, probe many times — training the
+    quantizer per query call is the anti-pattern this type exists to kill.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(array_to_vector(to_double_array(F.col(vec_col))).alias("features"))
-    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    centroids = [np.asarray(c).tolist() for c in km.clusterCenters()]
+    def __init__(self, centroids: list[list[float]], cells: DataFrame, id_col: str, vec_col: str):
+        self.centroids = centroids
+        self.cells = cells
+        self.id_col = id_col
+        self.vec_col = vec_col
 
-    def nearest_cells(vec: Column, n: int) -> Column:
+    def nearest_cells(self, vec: Column, n: int) -> Column:
         """Indices of the n nearest centroids (squared L2) as an array —
         computed as a sort of (dist, idx) structs, all JVM expressions."""
         dists = F.array(
@@ -265,19 +248,84 @@ def ivf_topk(
                     ).alias("d"),
                     F.lit(i).alias("i"),
                 )
-                for i, c in enumerate(centroids)
+                for i, c in enumerate(self.centroids)
             ]
         )
         return F.slice(F.transform(F.array_sort(dists), lambda s: s["i"]), 1, n)
 
-    c_cells = corpus.select(
-        F.col(id_col), F.col(vec_col).alias("__cvec"),
-        F.element_at(nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+    def save(self, path: str) -> None:
+        """Persist: cells as parquet PARTITIONED BY cell (a probe then
+        reads only n_probe/n_lists of the files — parquet partition
+        pruning, the on-disk analogue of the inverted file), centroids as
+        a tiny JSON dataset alongside. Works on any Hadoop-visible path
+        (local, S3A, HDFS) — no driver-local filesystem writes."""
+        spark = self.cells.sparkSession
+        self.cells.select(
+            F.col(self.id_col), F.col(self.vec_col), F.col("cell")
+        ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+        cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)]
+        spark.createDataFrame(cent_rows, "i int, centroid array<double>").coalesce(
+            1
+        ).write.mode("overwrite").json(f"{path}/centroids")
+
+    @classmethod
+    def load(cls, spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
+        cent = spark.read.json(f"{path}/centroids").collect()
+        centroids = [list(r["centroid"]) for r in sorted(cent, key=lambda r: r["i"])]
+        cells = spark.read.parquet(f"{path}/cells")
+        return cls(centroids, cells, id_col, vec_col)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_fraction: float = 1.0,
+) -> IvfIndex:
+    """Train the coarse quantizer and assign every corpus vector to its
+    cell. The quantizer is pyspark.ml KMeans (seeded, deterministic);
+    centroids ship to the driver; cell assignment is a JVM-side argmin
+    over centroid literals (no Python in the scan). At 100 TB train on a
+    sample (``train_fraction``) — k-means needs thousands of points per
+    centroid, not the full corpus — then assign cells in one full pass.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train_src = corpus if train_fraction >= 1.0 else corpus.sample(train_fraction, seed=seed)
+    train = train_src.select(array_to_vector(to_double_array(F.col(vec_col))).alias("features"))
+    km = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
+    centroids = [np.asarray(c).tolist() for c in km.clusterCenters()]
+    idx = IvfIndex(centroids, cells=None, id_col=id_col, vec_col=vec_col)
+    idx.cells = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(idx.nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
     )
+    return idx
+
+
+def ivf_probe(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a built index: each query exact-rescores only the ``n_probe``
+    cells nearest its own vector. The cell filter is an equi-join key, so
+    on a saved index (cells = partitioned parquet) it prunes at the scan —
+    the classic IVF trade of recall for scan fraction (recall pinned in
+    tests)."""
+    id_col, vec_col = index.id_col, index.vec_col
     q_cells = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("__qvec"),
-        F.explode(nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(index.nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
     )
+    c_cells = index.cells.select(F.col(id_col), F.col(vec_col).alias("__cvec"), "cell")
     cand = c_cells.join(F.broadcast(q_cells), "cell").filter(
         F.col(query_id_col) != F.col(id_col)
     )
@@ -290,6 +338,28 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN in one shot: build_ivf_index + ivf_probe.
+    Convenience wrapper for ad-hoc queries; production callers build the
+    index once (optionally ``IvfIndex.save``) and probe repeatedly —
+    re-training the quantizer per query is where all the time goes.
+    ``dim`` is accepted for signature parity with lsh_topk; the quantizer
+    infers it from the data."""
+    index = build_ivf_index(corpus, n_lists, id_col, vec_col, seed)
+    return ivf_probe(index, queries, k, n_probe, query_id_col)
 
 
 def lsh_topk(

@@ -99,3 +99,50 @@ def test_fast_topk_matches_exact_ids(spark):
     exact = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, queries, k=10).collect()}
     fast = {(r.query_id, r.vec_id) for r in brute_force_topk_np(emb, queries, k=10).collect()}
     assert exact == fast
+
+
+def test_ivf_index_save_load_probe(spark, tmp_path):
+    """Index-once / probe-many: build -> save -> load -> probe equals the
+    one-shot ivf_topk, and the saved layout is partitioned by cell so the
+    probe's scan can prune (dynamic partition pruning on the broadcast
+    side's cell keys)."""
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        build_ivf_index, ivf_probe, ivf_topk, IvfIndex,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one_shot = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_topk(emb, queries, dim=64, k=10).collect()
+    }
+
+    idx = build_ivf_index(emb)
+    path = str(tmp_path / "ivf_index")
+    idx.save(path)
+    loaded = IvfIndex.load(spark, path)
+    assert loaded.centroids == idx.centroids  # exact doubles through JSON
+    probed = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in ivf_probe(loaded, queries, k=10).collect()
+    }
+    assert probed == one_shot and len(probed) == 50
+
+    # the on-disk layout IS the inverted file: one directory per cell
+    import os
+
+    cell_dirs = [d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")]
+    assert len(cell_dirs) == 16
+
+
+def test_ivf_train_fraction_subsample(spark):
+    """Quantizer trained on a sample still assigns every corpus row a cell
+    (full-pass assignment is decoupled from training)."""
+    from etl_s3_to_redshift_spark.operators.similarity import build_ivf_index
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    idx = build_ivf_index(emb, train_fraction=0.5)
+    assert idx.cells.count() == emb.count()
+    assert idx.cells.filter(F.col("cell").isNull()).count() == 0
