@@ -199,6 +199,14 @@ def minhash_lsh_pairs(
     sub-quadratic end-to-end. One shingle computation feeds both the
     signature and the verify branch; only ids+buckets (16 B/row) flow
     through the candidate shuffle, never the shingle arrays.
+
+    Note Spark re-executes the shingle subtree per physical join branch
+    (no subplan sharing). Single-node that's a measured wash (scan is
+    page-cached, shingling parallelizes), so no operator-internal
+    localCheckpoint — it would pin executor storage and break lineage
+    recovery. At 100 TB, stage instead: materialize minhash_signatures
+    (and the shingle sets) to a table once, then run banding + verify
+    against the staged tables.
     """
     rows_per_band = num_hashes // bands
     sets = _shingle_sets(df, text_col, id_col, k)
