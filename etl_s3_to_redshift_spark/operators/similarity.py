@@ -19,7 +19,7 @@ At 100 TB the LSH path turns the scan into an equi-join on bucket keys.
 from __future__ import annotations
 
 import numpy as np
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_s3_to_redshift_spark.functions.vectors import cosine, dot, norm, to_double_array

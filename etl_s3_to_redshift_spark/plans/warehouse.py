@@ -42,7 +42,7 @@ def save_table(
     ``bucket_by=(n, col)`` is the Spark analogue of ``diststyle key``: two
     tables bucketed identically on their join key co-locate, and Catalyst
     elides the shuffle on later joins between them (verified in
-    tests/test_warehouse.py). ``sort_key`` mirrors Redshift sortkey →
+    tests/test_plans_and_scale.py::test_bucketed_join_elides_shuffle). ``sort_key`` mirrors Redshift sortkey →
     parquet row-group stats pruning."""
     writer = df.write.mode("overwrite")
     if bucket_by is not None:

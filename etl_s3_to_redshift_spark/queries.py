@@ -341,8 +341,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "TPC-H Q3 shape: selective dim filter → join → group → top-k. "
-        "customer/orders broadcast into the lineitem scan; the final top-k "
-        "is TakeOrderedAndProject (no global sort)."
+        "orders and (filtered) customer both grow with the dataset, so no "
+        "broadcast hint is pinned — AQE broadcasts at small SF and falls "
+        "back to shuffle joins at fact scale (diststyle-even analogue, "
+        "reference sql_queries.py:76). Final top-k is TakeOrderedAndProject "
+        "(no global sort)."
     ),
 )
 def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +355,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     joined = li.join(
-        F.broadcast(o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"], "inner")),
+        o.join(c, o["o_custkey"] == c["c_custkey"], "inner"),
         li["l_orderkey"] == o["o_orderkey"],
         "inner",
     )
@@ -378,10 +381,12 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     """,
     doc=(
-        "TPC-H Q5 shape: 5-table star join with a region filter. All "
-        "dimensions broadcast (diststyle-all analogue) so the lineitem "
-        "fact is never shuffled for the joins — only the tiny per-nation "
-        "aggregate crosses the wire."
+        "TPC-H Q5 shape: 5-table star join with a region filter. Only the "
+        "bounded dimensions (nation×region: 25×5 rows at every SF) are "
+        "broadcast; customer/orders/lineitem all grow with the dataset, so "
+        "their joins are left to AQE — broadcast at small SF, shuffle "
+        "(sort-merge) at fact scale. Diststyle-all for true dims, "
+        "diststyle-even for facts (reference sql_queries.py:76)."
     ),
 )
 def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -396,8 +401,8 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"], "inner")),
                c["c_nationkey"] == n["n_nationkey"], "inner")
     )
-    ord_dim = o.join(F.broadcast(dims), o["o_custkey"] == c["c_custkey"], "inner")
-    joined = li.join(F.broadcast(ord_dim), li["l_orderkey"] == o["o_orderkey"], "inner")
+    ord_dim = o.join(dims, o["o_custkey"] == c["c_custkey"], "inner")
+    joined = li.join(ord_dim, li["l_orderkey"] == o["o_orderkey"], "inner")
     revenue = money("l_extendedprice") * (1 - money("l_discount"))
     return joined.groupBy(n["n_name"].alias("nation")).agg(
         F.sum(revenue).cast("double").alias("revenue")
@@ -773,7 +778,9 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "TPC-H Q10 shape: returned-item revenue per customer, top-20. "
-        "Dims broadcast; lineitem filtered at the scan on returnflag."
+        "lineitem filtered at the scan on returnflag; only nation (25 rows "
+        "at every SF) keeps a broadcast hint — orders and customer are "
+        "fact-scale, their join strategy is AQE's call."
     ),
 )
 def q10_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -784,8 +791,8 @@ def q10_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
     joined = (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
     )
     revenue = money("l_extendedprice") * (1 - money("l_discount"))
@@ -814,7 +821,9 @@ def q10_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "TPC-H Q14 shape: conditional aggregation ratio (promo revenue "
-        "share). Both sums exact decimal; one double division at the end."
+        "share). Both sums exact decimal; one double division at the end. "
+        "part grows with SF (200k rows/SF) so it carries no broadcast "
+        "hint — AQE broadcasts while it fits and shuffle-joins beyond."
     ),
 )
 def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -825,7 +834,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1995-07-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
     rev = money("l_extendedprice") * (1 - money("l_discount"))
     promo = F.when(p["p_type"].like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(25,4)"))
     agg = joined.agg(
@@ -852,27 +861,31 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 20
     """,
     doc=(
-        "TPC-H Q18 shape: GROUP BY + HAVING on an aggregate + top-k — "
-        "HAVING is a post-aggregation filter Catalyst runs before the "
-        "TakeOrdered merge."
+        "TPC-H Q18 shape: GROUP BY + HAVING on an aggregate + top-k. "
+        "Scale plan: lineitem is pre-aggregated on the join key FIRST "
+        "(map-side partial agg, then HAVING shrinks it to the few "
+        "qualifying orders) and only that residue joins orders — "
+        "equivalent to the grouped fact-fact join because o_orderkey is "
+        "unique in orders. No broadcast hint on either fact: AQE sees the "
+        "post-HAVING size at runtime and picks broadcast when it fits, "
+        "sort-merge when it doesn't."
     ),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    joined = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-    agg = (
-        joined.groupBy(
-            o["o_orderkey"].alias("order_id"),
-            o["o_custkey"].alias("customer_id"),
-            o["o_totalprice"].alias("total_price"),
-        )
+    qty = (
+        li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__qty"))
         .filter(F.col("__qty") > 150)
     )
+    joined = o.join(qty, o["o_orderkey"] == qty["l_orderkey"])
     return (
-        agg.select(
-            "order_id", "customer_id", "total_price", F.col("__qty").cast("double").alias("total_qty")
+        joined.select(
+            o["o_orderkey"].alias("order_id"),
+            o["o_custkey"].alias("customer_id"),
+            o["o_totalprice"].alias("total_price"),
+            F.col("__qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.col("total_qty").desc(), F.col("order_id").asc())
         .limit(20)

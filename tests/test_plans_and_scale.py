@@ -76,6 +76,49 @@ def test_no_cartesian_products_anywhere(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_fact_joins_are_size_driven_not_pinned(spark):
+    """The headline fact joins must carry NO broadcast hint on a
+    fact-scale side (orders/customer/part/lineitem subtrees): with
+    auto-broadcast disabled — the 100 TB regime, where no fact fits in an
+    executor — the optimizer must fall back to SortMergeJoin, and the only
+    surviving BroadcastHashJoins are the explicitly-hinted bounded dims
+    (nation: 25 rows, region: 5 rows at every SF). An explicit F.broadcast
+    on a fact would bypass the threshold and OOM at scale; this test
+    proves none is pinned (VERDICT r01 items 1; SCALING.md 'facts
+    sort-merge, dims replicate')."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # query -> number of hinted bounded-dim broadcasts that must remain
+        expected_dim_broadcasts = {
+            "q3_top_revenue_orders": 0,
+            "q5_nation_revenue": 2,   # region→nation, nation⋈region→customer
+            "q10_top_returners": 1,   # nation
+            "q14_promo_share": 0,
+            "q18_large_orders": 0,
+        }
+        for name, n_dims in expected_dim_broadcasts.items():
+            plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+            assert plan.count("BroadcastHashJoin") == n_dims, (name, plan)
+            assert "SortMergeJoin" in plan, name
+            assert "BroadcastNestedLoopJoin" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_q18_preaggregates_before_join(spark):
+    """Q18's lineitem side must be aggregated (partial + final HashAggregate
+    on l_orderkey, HAVING filter applied) BEFORE the join with orders — the
+    join probe side is the post-HAVING residue, not the raw 4·SF-row fact."""
+    plan = plan_of(REGISTRY["q18_large_orders"].spark(spark, SF_SMOKE))
+    join_pos = min(plan.find("SortMergeJoin") % (1 << 30), plan.find("BroadcastHashJoin") % (1 << 30))
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1 and join_pos < (1 << 30)
+    # aggregate appears below (after, in toString order) the join operator
+    assert plan.count("HashAggregate") >= 2 and "partial_" in plan
+    assert agg_pos > join_pos, "aggregation must be a child of the join, not its parent"
+
+
 def test_bucketed_join_elides_shuffle(spark, tmp_path):
     """diststyle-key analogue: two tables bucketed on the join key must
     join without any Exchange (SURVEY §4; plans/warehouse.save_table)."""
