@@ -165,6 +165,60 @@ def cosine_pairs(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    n_planes: int = 32,
+    bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int | None = None,
+) -> DataFrame:
+    """LSH-blocked near-dup pairs: bucket equi-join → exact cosine verify.
+
+    The scale-safe replacement for ``cosine_pairs``' broadcast-nested-loop:
+    the corpus is bucketized by banded hyperplane signatures, candidates are
+    the (id_a < id_b) pairs sharing ≥1 (band, bucket) key — a plain shuffled
+    equi-join, no full-corpus broadcast, no BroadcastNestedLoopJoin — and
+    only candidates get the exact cosine, joined back against the corpus so
+    vectors never ride through the candidate shuffle.
+
+    Recall honesty (b bands × r bits): a pair at cosine c collides somewhere
+    with prob 1-(1-p^r)^b, p = 1-acos(c)/π. Near-dup regimes (c ≥ ~0.8,
+    p ≥ .8) prune hard: r=8, b=6 keeps background collisions at b/2^r ≈ 2%
+    of pairs with recall > .99. At low thresholds (c ≈ .4, p ≈ .63 vs .5
+    background) NO parameter choice separates signal from noise —
+    candidates approach all pairs and the method degrades gracefully to
+    brute force, but with bounded executor memory (bucket-sized join
+    partitions, AQE-splittable) instead of an O(corpus) broadcast. The
+    defaults (r=2, b=16) are completeness-first for exactly that low-
+    threshold regime: measured recall 1.0 on the test corpus at both SFs
+    (pinned in tests with the seeded planes).
+    """
+    b = lsh_bucketize(corpus.select(id_col, vec_col), dim, n_planes, bands, vec_col, seed)
+    left = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine(F.col("__va"), F.col("__vb"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes (driver-side constants, shipped as
     literals — tiny: n_planes × dim doubles)."""

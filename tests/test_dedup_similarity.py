@@ -101,3 +101,46 @@ def test_cosine_pairs_threshold(emb):
     pairs = S.cosine_pairs(emb, threshold=0.4).collect()
     assert len(pairs) > 0
     assert all(r.cos_sim >= 0.4 and r.id_a < r.id_b for r in pairs)
+
+
+def test_embedding_neardup_matches_all_pairs_exactly(emb):
+    """The LSH-blocked path must reproduce the brute-force answer verbatim
+    at the registry's threshold/params: the seeded r=2/b=16 banding has
+    candidate recall 1.0 on this corpus, and the exact verify scores each
+    candidate with the same expression as cosine_pairs."""
+    brute = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in S.cosine_pairs(emb, threshold=0.4).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): round(r.cos_sim, 6)
+        for r in S.embedding_neardup_pairs(emb, threshold=0.4, dim=64).collect()
+    }
+    assert blocked == brute
+
+
+def test_embedding_neardup_plan_has_no_broadcast_nested_loop(emb):
+    plan = S.embedding_neardup_pairs(
+        emb, threshold=0.4, dim=64
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_high_threshold_params_prune(emb):
+    """The regime the blocker targets: near-dup banding (r=8 bits, b=6)
+    keeps background candidates at ~b/2^r of the half-matrix. Pin that the
+    candidate equi-join examines <10% of all pairs — the sub-quadratic
+    claim — on this corpus (background cosine ~0, collision prob 0.5/bit)."""
+    n = emb.count()
+    bucketed = S.lsh_bucketize(emb.select("vec_id", "embedding"), dim=64, n_planes=48, bands=6)
+    left = bucketed.select(F.col("vec_id").alias("id_a"), "band", "bucket")
+    right = bucketed.select(F.col("vec_id").alias("id_b"), "band", "bucket")
+    n_cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    assert n_cand < 0.10 * n * (n - 1) / 2

@@ -64,7 +64,6 @@ def test_no_cartesian_products_anywhere(spark):
     """No registered query may plan a CartesianProduct; the only
     broadcast-nested-loops allowed are the deliberate similarity scans."""
     allowed_bnl = {
-        "dedup_embedding_cosine",
         "sim_topk_cosine",
         "sim_topk_cosine_fast",
         "cross_join_region_nation",  # deliberate bounded×bounded cross join
