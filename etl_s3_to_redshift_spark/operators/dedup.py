@@ -204,13 +204,75 @@ def minhash_lsh_pairs(
     (no subplan sharing). Single-node that's a measured wash (scan is
     page-cached, shingling parallelizes), so no operator-internal
     localCheckpoint — it would pin executor storage and break lineage
-    recovery. At 100 TB, stage instead: materialize minhash_signatures
-    (and the shingle sets) to a table once, then run banding + verify
-    against the staged tables.
+    recovery. At 100 TB use the staged form: ``stage_minhash`` writes
+    (id, sh, h*) once, ``minhash_lsh_pairs_staged`` runs banding + verify
+    as column-pruned scans of that table — identical output, shingles
+    computed exactly once (pinned in tests).
     """
-    rows_per_band = num_hashes // bands
     sets = _shingle_sets(df, text_col, id_col, k)
-    sig = sets.select(F.col(id_col), *_sig_cols(num_hashes))
+    staged = sets.select(F.col(id_col), F.col("sh"), *_sig_cols(num_hashes))
+    return _lsh_pairs_from(staged, threshold, id_col, num_hashes, bands, verify)
+
+
+def stage_minhash(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> None:
+    """Materialize the MinHash staging table ONCE: (id, shingle set,
+    h0..h{n-1}) as parquet at ``path`` (any Hadoop-visible URI — local,
+    S3A, HDFS).
+
+    This is the 100 TB form of minhash_lsh_pairs: Spark has no subplan
+    sharing, so the inline pipeline physically recomputes the
+    tokenize→shingle→hash subtree in all four join branches. Staging pays
+    one full computation plus one write, and every downstream branch
+    becomes a column-pruned parquet scan (banding reads id+h*, verify
+    reads id+sh). Explicit caller-side materialization — not a
+    lineage-breaking cache/checkpoint hidden inside the operator; the
+    staged table is also the natural incremental seam (append new docs,
+    re-run banding)."""
+    sets = _shingle_sets(df, text_col, id_col, k)
+    sets.select(F.col(id_col), F.col("sh"), *_sig_cols(num_hashes)).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def minhash_lsh_pairs_staged(
+    spark,
+    path: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    verify: bool = True,
+) -> DataFrame:
+    """Banded-LSH candidate + verify pipeline over a ``stage_minhash``
+    table: identical output to ``minhash_lsh_pairs`` (same hashes, same
+    banding, same exact-Jaccard verify — pinned in tests), but every
+    branch reads the staged parquet instead of re-deriving shingles from
+    text. ``num_hashes`` is inferred from the staged schema."""
+    staged = spark.read.parquet(path)
+    num_hashes = sum(1 for c in staged.columns if c.startswith("h") and c[1:].isdigit())
+    return _lsh_pairs_from(staged, threshold, id_col, num_hashes, bands, verify)
+
+
+def _lsh_pairs_from(
+    staged: DataFrame,
+    threshold: float,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    verify: bool,
+) -> DataFrame:
+    """Shared banding + candidate join + exact-Jaccard verify over a
+    (id, sh, h0..h{n-1}) frame — the seam between the inline and staged
+    MinHash paths."""
+    rows_per_band = num_hashes // bands
+    sets = staged.select(F.col(id_col), F.col("sh"))
+    sig = staged.select(F.col(id_col), *[F.col(f"h{i}") for i in range(num_hashes)])
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),

@@ -58,6 +58,29 @@ def test_minhash_candidates_are_superset_of_verified(docs, exact_pairs):
     assert set(exact_pairs) <= cand
 
 
+def test_staged_minhash_matches_inline_and_skips_recompute(spark, docs, tmp_path):
+    """The 100 TB staging path must (a) produce verbatim the inline
+    minhash_lsh_pairs output and (b) plan every branch as a parquet scan
+    of the staged table — no re-derivation of shingles from text (no
+    array_min signature computation, no tokenizer split) anywhere in the
+    staged plan."""
+    path = str(tmp_path / "minhash_stage")
+    D.stage_minhash(docs, path)
+    staged_df = D.minhash_lsh_pairs_staged(spark, path, threshold=0.5)
+    inline_df = D.minhash_lsh_pairs(docs, threshold=0.5)
+    staged = {(r.id_a, r.id_b): r.jaccard for r in staged_df.collect()}
+    inline = {(r.id_a, r.id_b): r.jaccard for r in inline_df.collect()}
+    assert staged == inline and len(staged) > 0
+
+    plan = staged_df._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" not in plan          # signatures come from the scan
+    assert "split(" not in plan             # no tokenization of text
+    assert plan.count("FileScan parquet") >= 2  # banding + verify branches
+    # and the inline plan (for contrast) DOES recompute signatures
+    inline_plan = inline_df._jdf.queryExecution().executedPlan().toString()
+    assert "array_min" in inline_plan
+
+
 def test_simhash_recall_and_shape(docs, exact_pairs):
     pairs = D.simhash_pairs(docs, max_hamming=3).collect()
     found = {(r.id_a, r.id_b) for r in pairs}
