@@ -66,7 +66,10 @@ def sessionize(
     session_alias: str = "session_id",
 ) -> DataFrame:
     """Gap-based sessionization (batch): a new session starts when the gap
-    to the previous event of the same user exceeds the threshold.
+    to the previous event of the same user is >= the threshold — the same
+    boundary rule as ``F.session_window`` (a session covers [ts, ts+gap);
+    an event at exactly ts+gap starts a new one), so batch and streaming
+    sessionization agree on events spaced exactly at the gap.
 
     lag + conditional flag + running sum — the classic islands pattern;
     identical SQL runs on any ANSI engine (the oracle uses the same text).
@@ -78,7 +81,7 @@ def sessionize(
     prev_ts = F.lag(ts_col).over(w)
     is_new = F.when(
         prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_sec),
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) >= gap_sec),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn("__new_sess", is_new).withColumn(

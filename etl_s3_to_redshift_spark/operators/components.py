@@ -29,7 +29,14 @@ def connected_components(
     max_iter: int = 20,
 ) -> DataFrame:
     """(vertex, component) for every vertex in the pair list; component =
-    the minimum vertex id reachable from it."""
+    the minimum vertex id reachable from it.
+
+    Raises ``RuntimeError`` if label propagation has not converged within
+    ``max_iter`` rounds (component diameter > max_iter): a truncated
+    result would silently split components, and a dedup built on it would
+    keep documents it should drop. Raise ``max_iter`` for long-chain
+    graphs — near-dup graphs are tiny cliques/chains, so hitting the
+    bound means the input is not the workload this was designed for."""
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -61,8 +68,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter); raise max_iter — a "
+        "truncated labeling would be silently wrong"
+    )
 
 
 def dedup_groups(

@@ -81,12 +81,17 @@ def interval_bucket_join(
     start_col: str,
     end_col: str,
     bucket_width_seconds: int,
-    how: str = "inner",
 ) -> DataFrame:
     """Pure non-equi interval join (point BETWEEN start AND end, no equi
     key) made scalable: explode each interval to the bucket-grid cells it
     overlaps, bucket each point, equi-join on the cell, then apply the
     exact range predicate.
+
+    Inner-join semantics only, by construction: the range predicate is
+    applied as a post-join filter, which would silently drop the
+    null-extended rows of any outer mode (they fail BETWEEN) — so the
+    API does not offer one. For a left-outer interval join, run this and
+    re-join the result to ``points``.
 
     Without this, Spark's only plan is a broadcast-nested-loop (O(n·m)).
     Pick ``bucket_width_seconds`` near the typical interval length: cost is
@@ -104,7 +109,7 @@ def interval_bucket_join(
         ),
     )
     return (
-        p_b.join(i_b, "__cell", how)
+        p_b.join(i_b, "__cell", "inner")
         .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
         .drop("__cell")
     )

@@ -508,7 +508,7 @@ def t1_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT event_id, user_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
-                    OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                    OR date_diff('second', lag(ts) OVER w, ts) >= 1800
                   THEN 1 ELSE 0 END AS new_sess
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
@@ -58,8 +59,12 @@ def make_profile_updater(idle_timeout_ms: int | None):
         for pdf in batches:
             n += len(pdf)
             # per-row rounding (matches the batch twin's round-then-sum; a
-            # round-of-sum would disagree once per-row noise accumulates)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            # round-of-sum would disagree once per-row noise accumulates).
+            # HALF_UP via copysign-floor — pandas .round() is half-to-even
+            # and diverges from the batch twin's F.round (HALF_UP) exactly
+            # on .5 cents (e.g. value 0.125).
+            v = pdf["value"].to_numpy() * 100
+            cents += int(np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64").sum())
             if len(pdf):
                 micros = pdf["ts"].astype("datetime64[ns]").astype("int64") // 1000
                 last = max(last, int(micros.max()))

@@ -65,3 +65,15 @@ def test_dedup_groups_end_to_end(spark):
     assert got == expect
     keepers = {r.member for r in groups if r.is_keeper}
     assert keepers == set(expect.values())
+
+
+def test_components_raises_on_nonconvergence(spark):
+    """A path graph of diameter > max_iter must raise, not return a
+    silently-truncated labeling."""
+    chain = [(i, i + 1) for i in range(30)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=3)
+    # and enough rounds converges fine
+    got = {r.vertex: r.component for r in connected_components(df, max_iter=40).collect()}
+    assert set(got.values()) == {0}

@@ -14,7 +14,20 @@ from tests.conftest import SF_SMOKE
 
 
 def test_stateful_profile_converges_to_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
     events = load_table(spark, SF_SMOKE, "events").select("user_id", "ts", "value")
+    # plant exact half-cent values: HALF_UP (F.round, and the kernel's
+    # copysign-floor) gives 13/-13 cents where pandas' half-to-even .round()
+    # would give 12/-12 — the divergence this test exists to catch
+    halfway = events.limit(2).select(
+        (F.col("user_id") + 1_000_000).alias("user_id"),
+        "ts",
+        F.when(F.col("user_id") % 2 == 0, F.lit(0.125))
+        .otherwise(F.lit(-0.125))
+        .alias("value"),
+    )
+    events = events.unionByName(halfway)
     # restage as µs parquet so the stream source can read it
     path = str(tmp_path / "events")
     events.write.mode("overwrite").parquet(path)
