@@ -1,5 +1,7 @@
-"""Measure headline-query scaling across sf0.001/0.01/0.1 → SCALING_DATA.json
-and a markdown table on stdout. Usage: python tools/scaling_probe.py
+"""Measure headline-query scaling across sf0.001/0.01/0.1 (+ the local
+sf1 lake if tools/gen_sf1.py has been run — the data-bound point where
+constants stop dominating) → SCALING_DATA.json and a markdown table on
+stdout. Usage: python tools/scaling_probe.py
 """
 
 from __future__ import annotations
@@ -26,7 +28,14 @@ QUERIES = [
     "sim_topk_cosine_fast",
     "text_tfidf_topterms",
 ]
-SFS = ["sf0.001", "sf0.01", "sf0.1"]
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIRS = {
+    "sf0.001": "/root/testdata/sf0.001",
+    "sf0.01": "/root/testdata/sf0.01",
+    "sf0.1": "/root/testdata/sf0.1",
+    "sf1": os.path.join(_REPO, ".localdata", "sf1"),
+}
+SFS = [sf for sf, d in SF_DIRS.items() if os.path.isdir(d)]
 
 
 def main() -> None:
@@ -41,7 +50,7 @@ def main() -> None:
             best = float("inf")
             for _ in range(2):
                 t0 = time.time()
-                REGISTRY[name].spark(spark, f"/root/testdata/{sf}").write.format("noop").mode(
+                REGISTRY[name].spark(spark, SF_DIRS[sf]).write.format("noop").mode(
                     "overwrite"
                 ).save()
                 best = min(best, time.time() - t0)
