@@ -177,3 +177,60 @@ TESTDATA_TABLES = (
 # replication (reference sql_queries.py:85,95,105,116; README.md:75):
 # always broadcast these in joins.
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+# --------------------------------------------------------------------------
+# varchar(n)/char(n) length budgets from the reference DDL. Spark strings
+# are unbounded, so these are not enforced by the schemas above; callers
+# that need Redshift-COPY fidelity apply enforce_varchar_lengths before a
+# warehouse write.
+# --------------------------------------------------------------------------
+
+VARCHAR_LENGTHS: dict[str, dict[str, int]] = {
+    # reference sql_queries.py:30-47
+    "staging_events": {"gender": 1, "level": 6, "status": 10},
+    # reference sql_queries.py:83 (users.gender char(1))
+    "users": {"gender": 1},
+}
+
+
+def enforce_varchar_lengths(df, lengths: dict[str, int], mode: str = "error"):
+    """Apply the reference DDL's varchar(n)/char(n) budgets to a frame.
+
+    Redshift COPY semantics (reference sql_queries.py:121-128 loads into
+    the length-constrained staging DDL at :30-47):
+    - ``mode="error"``: a too-long value aborts the load (COPY's default
+      behavior) → raises ``ValueError`` naming the column, after ONE
+      validation pass (an any-over-max aggregate, not a collect).
+    - ``mode="truncate"``: COPY's TRUNCATECOLUMNS option → values are cut
+      to the first n characters.
+
+    Caveat, documented rather than emulated: Redshift counts BYTES of the
+    UTF-8 encoding, Spark ``substring`` counts characters — identical for
+    the reference's ASCII data; multi-byte text would need a byte-sliced
+    variant. char(n) pad semantics (blank-padding) are not emulated:
+    Redshift strips trailing blanks on comparison, so padding is
+    unobservable in query results.
+    """
+    from pyspark.sql import functions as F
+
+    if mode not in ("error", "truncate"):
+        raise ValueError(f"mode must be 'error' or 'truncate', got {mode!r}")
+    present = {c: n for c, n in lengths.items() if c in df.columns}
+    if mode == "error":
+        checks = df.agg(
+            *[
+                F.max(F.when(F.length(F.col(c)) > n, F.length(F.col(c))).otherwise(0)).alias(c)
+                for c, n in present.items()
+            ]
+        ).collect()[0]
+        bad = {c: checks[c] for c, n in present.items() if checks[c] > n}
+        if bad:
+            detail = ", ".join(f"{c} (max {ln} > varchar({present[c]}))" for c, ln in bad.items())
+            raise ValueError(f"varchar length violation: {detail}")
+        return df
+    return df.select(
+        *[
+            F.substring(F.col(c), 1, present[c]).alias(c) if c in present else F.col(c)
+            for c in df.columns
+        ]
+    )

@@ -139,3 +139,30 @@ def test_full_pipeline_roundtrip(spark, tmp_path):
         "artists": EXPECT["artists_rows"],
         "time": EXPECT["time_rows"],
     }
+
+
+def test_varchar_length_enforcement(spark):
+    """Redshift COPY fidelity (reference sql_queries.py:30-47): the
+    length-budget helper must reject overlong values like COPY's default
+    and cut them like TRUNCATECOLUMNS."""
+    import pytest as _pytest
+
+    from etl_s3_to_redshift_spark.schemas import enforce_varchar_lengths
+
+    df = spark.createDataFrame(
+        [("M", "free", "200"), ("F", "paidpaidpaid", "307")],
+        "gender string, level string, status string",
+    )
+    ok = df.filter(df.level == "free")
+    # within budget: error mode passes rows through untouched
+    assert enforce_varchar_lengths(ok, {"gender": 1, "level": 6, "status": 10}).count() == 1
+    # overlong level: error mode aborts the load, naming the column
+    with _pytest.raises(ValueError, match="level"):
+        enforce_varchar_lengths(df, {"gender": 1, "level": 6, "status": 10})
+    # TRUNCATECOLUMNS analogue: first n chars survive, schema unchanged
+    got = {
+        r.level for r in enforce_varchar_lengths(
+            df, {"gender": 1, "level": 6, "status": 10}, mode="truncate"
+        ).collect()
+    }
+    assert got == {"free", "paidpa"}
