@@ -45,12 +45,18 @@ def shingles(words_col: Column, k: int = 3) -> Column:
     yield their full token join as a single shingle so they still
     participate in dedup.
     """
+    return F.array_distinct(shingles_all(words_col, k))
+
+
+def shingles_all(words_col: Column, k: int = 3) -> Column:
+    """k-word shingles WITH duplicates (position-ordered) — the multiset
+    form repetition scoring needs (``shingles`` is its distinct
+    projection). Same short-document convention."""
     n = F.size(words_col)
-    k_shingles = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words_col, i + 1, k)),
     )
-    return F.array_distinct(k_shingles)
 
 
 def md5_fingerprint(col: Column) -> Column:

@@ -1,0 +1,122 @@
+"""Deterministic sampling / splitting / packing operators for training-data
+pipelines.
+
+Everything here is content-addressed and engine-portable: split and sample
+decisions derive from md5 of the row's id (identical hex in Spark, DuckDB,
+Redshift), never from RNG state, partition order, or row position. That is
+the property that matters at 100 TB: re-running the pipeline on a different
+cluster layout — or incrementally on new data — assigns every historical
+row to the same split/sample, so train/val contamination can't creep in
+through nondeterminism. All three operators are pure DataFrame expressions
+(zero Python, zero UDFs); only ``stratified_sample`` and
+``pack_sequences`` shuffle at all (one window each).
+
+The reference has no sampling surface (it loads everything); these extend
+the engine for the dataset-curation workloads in SURVEY §2c.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_HEX_WIDTH = 8  # 32 bits of the md5 — plenty below any realistic split skew
+
+
+def _hash_key(id_col: Column, seed: str) -> Column:
+    """First 8 hex chars of md5('{seed}:{id}') — a fixed-width lowercase
+    hex string whose LEXICOGRAPHIC order equals its numeric order, so
+    range-splitting works with plain string comparison in any engine."""
+    return F.substring(F.md5(F.concat(F.lit(seed), F.lit(":"), id_col.cast("string"))), 1, _HEX_WIDTH)
+
+
+def split_boundaries(weights: dict[str, float]) -> list[tuple[str, str | None]]:
+    """(split_name, upper_hex_bound) pairs for cumulative weights; the
+    last split's bound is None (it is the CASE/when fallback, so weights
+    that do not sum to exactly 1.0 — float drift — still cover every
+    row)."""
+    total = sum(weights.values())
+    bounds, acc = [], 0.0
+    names = list(weights)
+    for i, name in enumerate(names):
+        acc += weights[name] / total
+        upper = None if i == len(names) - 1 else format(int(acc * 16**_HEX_WIDTH), f"0{_HEX_WIDTH}x")
+        bounds.append((name, upper))
+    return bounds
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split42",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content hash.
+
+    Each row lands in the split whose cumulative-weight range contains its
+    32-bit md5 bucket — a pure per-row expression (no shuffle, no RNG).
+    Stable under re-runs, appends, repartitioning, and engine ports (md5
+    hex is identical everywhere; the oracle uses the same CASE WHEN over
+    the same substring).
+    """
+    key = _hash_key(F.col(id_col), seed)
+    bounds = split_boundaries(weights)
+    expr = None
+    for name, upper in bounds[:-1]:
+        cond = key < F.lit(upper)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(bounds[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "sample42",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each stratum by
+    their content hash (id tiebreak) and keep the first k.
+
+    Equivalent to a uniform random sample per stratum, but reproducible:
+    the chosen set is a function of ids only. One shuffle on the strata
+    key; rank via row_number (per-partition heaps would need a custom agg —
+    at k ≪ stratum size the window is fine because only k rows per stratum
+    survive the filter)."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        _hash_key(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Greedy sequential sequence packing: walk each partition's documents
+    in ``order_col`` order, concatenating into context windows of
+    ``budget`` tokens; a document starts in the bin its running prefix sum
+    falls into (documents may straddle a boundary — the pack-with-split
+    convention of LM training pipelines).
+
+    bin = floor(exclusive_prefix_sum / budget): one window cumsum per
+    partition key — a single shuffle, no iteration, no driver state. The
+    same arithmetic runs as ANSI SQL for the oracle."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return df.withColumn(bin_col, F.floor(prev / F.lit(budget)))

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from etl_s3_to_redshift_spark.functions.text import (
     md5_fingerprint,
+    shingles,
+    shingles_all,
     token_count_bpe,
     token_count_ws,
     words,
@@ -95,6 +97,60 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def fingerprints(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Engine-portable md5 content fingerprint of normalized text."""
     return df.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def repetition_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Intra-document repetition: fraction of duplicated k-gram slots
+    (1 − distinct/total over the position-ordered shingle multiset) plus
+    the duplicated-token fraction — the standard boilerplate/spam signals
+    for corpus filtering (high ratio ⇒ templated or looping text).
+
+    Pure per-row array expressions inside the scan stage — zero shuffles
+    at any corpus size."""
+    toks = words(F.col(text_col))
+    sh = shingles_all(toks, k)
+    dup_frac = lambda arr: F.when(  # noqa: E731
+        F.size(arr) > 0,
+        F.round(1.0 - F.size(F.array_distinct(arr)) / F.size(arr).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        dup_frac(sh).alias(f"dup_{k}gram_frac"),
+        dup_frac(toks).alias("dup_token_frac"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: count, per corpus document, the distinct
+    k-gram shingles it shares with ANY benchmark document — the standard
+    guard against eval-set leakage into training data (docs with
+    n_shared > 0 are dropped or audited upstream).
+
+    Scale shape: benchmark n-gram sets are tiny relative to the corpus
+    (eval suites, not datasets) → distinct benchmark shingles BROADCAST;
+    the corpus side explodes shingles inside its scan stage and the only
+    exchange is the per-doc count aggregation. The corpus is never
+    self-joined and never shuffled by shingle."""
+    bench_sh = (
+        benchmark.select(F.explode(shingles(words(F.col(text_col)), k)).alias("shingle"))
+        .distinct()
+    )
+    corp_sh = corpus.select(
+        F.col(id_col), F.explode(shingles(words(F.col(text_col)), k)).alias("shingle")
+    )
+    return (
+        corp_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+    )
 
 
 def tfidf_top_terms(

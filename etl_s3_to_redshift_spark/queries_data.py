@@ -595,3 +595,161 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.textops import fingerprints
 
     return fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Dataset curation: deterministic splits / sampling / packing /
+# decontamination / repetition (operators/sampling.py, textops.py)
+# ===========================================================================
+
+SQL_HASHKEY = "substring(md5('{seed}:' || CAST({id} AS VARCHAR)), 1, 8)"
+
+
+@register(
+    "data_hash_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {SQL_HASHKEY.format(seed='split42', id='doc_id')} < 'e6666666' THEN 'train'
+                WHEN {SQL_HASHKEY.format(seed='split42', id='doc_id')} < 'f3333333' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc=(
+        "Deterministic 90/5/5 train/val/test split by md5 content hash "
+        "(operators/sampling.hash_split): a pure per-row expression — no "
+        "RNG, no shuffle — identical assignment on every engine and "
+        "re-run, which is what keeps splits stable as the corpus grows."
+    ),
+)
+def data_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, {"train": 0.9, "val": 0.05, "test": 0.05}).select("doc_id", "split")
+
+
+@register(
+    "data_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {SQL_HASHKEY.format(seed='sample42', id='doc_id')}, doc_id
+             ) AS rk
+      FROM documents
+    ) t WHERE rk <= 20
+    """,
+    doc=(
+        "Deterministic 20-per-language sample: rank by content hash inside "
+        "each stratum, keep the first k (operators/sampling."
+        "stratified_sample). One shuffle on the strata key; reproducible "
+        "across engines/re-runs because the choice is a function of ids."
+    ),
+)
+def data_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, ["lang"], k=20).select("doc_id", "lang")
+
+
+@register(
+    "data_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len({SQL_WORDS.format(t='text')})::INTEGER AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                 PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / 2048.0) AS BIGINT) AS bin_id
+    FROM t
+    """,
+    doc=(
+        "Greedy sequence packing into 2048-token context windows per "
+        "language (operators/sampling.pack_sequences): bin = exclusive "
+        "prefix sum div budget — one window cumsum, no iteration, the "
+        "pack-with-split convention of LM training pipelines."
+    ),
+)
+def data_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.functions.text import token_count_ws
+    from etl_s3_to_redshift_spark.operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=2048)
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS.format(t='text')} AS wl FROM documents
+    ), s AS (
+      SELECT doc_id, wl,
+             list_transform(range(greatest(len(wl)-2,1)),
+                            i -> array_to_string(list_slice(wl, i+1, i+3), ' ')) AS sh
+      FROM w
+    )
+    SELECT doc_id,
+           CASE WHEN len(sh) > 0
+                THEN round(1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_3gram_frac,
+           CASE WHEN len(wl) > 0
+                THEN round(1.0 - len(list_distinct(wl)) / CAST(len(wl) AS DOUBLE), 6)
+                ELSE 0.0 END AS dup_token_frac
+    FROM s
+    """,
+    doc=(
+        "Intra-document repetition scores: duplicated 3-gram-slot and "
+        "duplicated-token fractions (operators/textops.repetition_scores) "
+        "— boilerplate/loop detection for corpus filtering. Pure per-row "
+        "array expressions inside the scan stage; zero shuffles."
+    ),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.textops import repetition_scores
+
+    return repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS.format(t='text')} AS wl FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(greatest(len(wl)-4,1)),
+                    i -> array_to_string(list_slice(wl, i+1, i+5), ' ')))) AS shingle
+      FROM w
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id < 20
+    ), corp AS (
+      SELECT doc_id, shingle FROM sh WHERE doc_id >= 20
+    )
+    SELECT corp.doc_id AS doc_id, count(*) AS n_shared_ngrams
+    FROM corp JOIN bench USING (shingle)
+    GROUP BY corp.doc_id
+    """,
+    doc=(
+        "Benchmark decontamination: per corpus doc (doc_id >= 20), the "
+        "count of distinct 5-gram shingles shared with the benchmark set "
+        "(doc_id < 20) — eval-leakage detection (operators/textops."
+        "decontaminate). Benchmark shingles broadcast (eval suites are "
+        "tiny); the corpus is never self-joined or shuffled by shingle."
+    ),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.textops import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), k=5
+    )
