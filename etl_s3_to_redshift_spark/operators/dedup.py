@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_s3_to_redshift_spark.functions.text import normalize_text, shingles, words
+from etl_s3_to_redshift_spark.operators.blocking import pairs_within_buckets
 
 
 def exact_dedup(
@@ -283,17 +284,10 @@ def _lsh_pairs_from(
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    # bucket-grouped pair expansion beats the banded self-join here: the
+    # signature subtree runs once instead of twice, and minhash buckets
+    # are banding-bounded (see operators/blocking.py for the contract)
+    cand = pairs_within_buckets(banded, ["band", "bucket"], id_col)
     if not verify:
         return cand
     # Verify ONLY the candidates (this is the whole point of LSH): join the
@@ -383,6 +377,11 @@ def simhash_pairs(
     blocked = sig.select(id_col, "simhash", F.explode(F.array(*block_cols)).alias("bb")).select(
         id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.key").alias("key")
     )
+    # Self-join, NOT pairs_within_buckets: measured head-to-head (sf0.1:
+    # 3.1s vs 5.1s; sf1: wash) — recomputing the fully-codegen'd signature
+    # aggregate per join side is cheaper than the extra collect_set
+    # exchange, and the 16-bit key space (vs minhash's 64-bit buckets)
+    # makes hot blocks possible, where the self-join lets AQE skew-split.
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
