@@ -918,9 +918,10 @@ _DRIVER_FIRST = [
     "lateral_posexplode", "regex_suite", "cube_order_stats",
     "array_map_suite", "udf_minmax_normalize", "scalar_string_suite",
     "scalar_math_conditional", "scalar_datetime_suite",
-    # round-2 additions (dataset curation) — also no driver row yet
+    # round-2 additions (dataset curation, stream-stream join) — also no
+    # driver row yet
     "data_hash_split", "data_stratified_sample", "data_pack_sequences",
-    "text_repetition", "text_decontaminate",
+    "text_repetition", "text_decontaminate", "stream_interval_join",
 ]
 
 

@@ -753,3 +753,33 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(
         docs.filter(F.col("doc_id") >= 20), docs.filter(F.col("doc_id") < 20), k=5
     )
+
+
+@register(
+    "stream_interval_join",
+    """
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           date_diff('second', v.ts, p.ts) AS secs_to_purchase
+    FROM events v
+    JOIN events p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1800 SECONDS
+    WHERE v.event_type = 'view'
+      AND p.event_type = 'purchase'
+    """,
+    doc=(
+        "Stream-stream interval join (view→purchase attribution within 30 "
+        "min, streaming/joins.py): equi-join on user_id with the "
+        "event-time range INSIDE the join condition — the watermark+bound "
+        "combination that lets Structured Streaming drop buffered state. "
+        "This batch twin is plan-identical minus watermarks; streaming == "
+        "batch is pinned in tests/test_streaming_multimodal.py."
+    ),
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.streaming.joins import view_to_purchase_funnel
+
+    return view_to_purchase_funnel(_t(spark, sf_dir, "events"))

@@ -59,6 +59,38 @@ def test_session_stream_equals_batch(spark, events_batch, events_stream):
     assert got == batch and len(got) > 0
 
 
+def test_interval_join_stream_equals_batch(spark, events_batch, events_stream):
+    """Stream-stream interval join (view→purchase funnel): the streaming
+    run over two readStream sources must produce exactly the batch twin's
+    pairs (inner joins emit eagerly — no watermark hold)."""
+    from etl_s3_to_redshift_spark.streaming import joins as SJ
+
+    batch = {
+        (r.user_id, r.view_id, r.purchase_id, r.secs_to_purchase)
+        for r in SJ.view_to_purchase_funnel(events_batch).collect()
+    }
+    streamed_df = SJ.view_to_purchase_funnel(
+        events_batch,
+        streaming_views=events_stream,
+        streaming_purchases=events_stream,
+    )
+    q = (
+        streamed_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r.user_id, r.view_id, r.purchase_id, r.secs_to_purchase)
+        for r in spark.sql("SELECT * FROM funnel").collect()
+    }
+    assert streamed == batch and len(batch) > 0
+
+
 def test_sliding_amplification(events_batch):
     n = events_batch.count()
     total = (
