@@ -316,8 +316,9 @@ def simhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     nbits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash: per-token xxhash64; signature bit b is the sign of
+    """SimHash: per-token hash; signature bit b is the sign of
     Σ_tokens (±1 depending on the token's bit b).
 
     Implemented as explode → one aggregate with nbits conditional sums →
@@ -330,9 +331,19 @@ def simhash_signatures(
     whole-stage codegen, while this sum-aggregate is fully codegen'd) and
     a 16-lane SWAR-packed fold (at best a tie, plus a 65535-tokens/doc
     lane-overflow cap). Returns (id, simhash long).
+
+    ``token_hash``: ``"xxhash64"`` (default — JVM intrinsic, fastest, no
+    cross-engine twin) or ``"md5"`` — the first 15 hex chars of md5
+    parsed as a 60-bit int, which DuckDB/Redshift compute identically
+    (use nbits=60 with it); slower per token but makes the whole SimHash
+    exactly oracle-checkable.
     """
     tok = _spread(df, id_col).select(F.col(id_col), F.explode(words(F.col(text_col))).alias("tok"))
-    h = F.xxhash64(F.col("tok"))
+    if token_hash == "md5":
+        assert nbits <= 60, "md5-prefix hash carries 60 usable bits"
+        h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(F.col("tok"))
     # per-bit set-count instead of ±1 conditionals: sign(Σ±1) > 0 ⇔
     # 2·(set count) > n — pure shifts/masks, no branches in the agg loop
     bit_sums = [
@@ -354,17 +365,22 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     blocks: int = 4,
+    nbits: int = 64,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs within a Hamming radius.
 
-    Blocking: split the 64-bit signature into ``blocks`` 16-bit blocks; by
+    Blocking: split the nbits signature into ``blocks`` equal blocks; by
     pigeonhole, two signatures within Hamming distance < blocks share at
     least one exact block → equi-join per block, then verify the true
-    Hamming distance with bit_count(xor). Sub-quadratic; no UDFs.
+    Hamming distance with bit_count(xor). Sub-quadratic; no UDFs. The
+    blocking is EXACT for max_hamming < blocks (never misses a qualifying
+    pair), so a brute-force all-pairs oracle matches verbatim.
     """
     assert max_hamming < blocks, "pigeonhole requires max_hamming < blocks"
-    sig = simhash_signatures(df, text_col, id_col)
-    width = 64 // blocks
+    assert nbits % blocks == 0, "blocks must evenly split the signature"
+    sig = simhash_signatures(df, text_col, id_col, nbits, token_hash)
+    width = nbits // blocks
     block_cols = [
         F.struct(
             F.lit(i).alias("blk"),

@@ -9,12 +9,15 @@ Oracle notes:
 - Cosine oracles use an explicit double-fold (DuckDB's
   ``list_cosine_similarity`` computes in float32 and cannot match JVM
   double math); both engines fold in index order in double.
-- MinHash/SimHash rely on xxhash64 (no DuckDB equivalent): their *candidate
+- MinHash relies on xxhash64 (no DuckDB equivalent): its *candidate
   generation* is Spark-only, but the final verified outputs are exact
   Jaccard pairs, so the oracle is the brute-force Jaccard SQL — the LSH
   miss probability at the planted duplicates' similarity (J ≥ 0.9, r=2
   b=16) is ~3e-12, i.e. the approximate path is deterministically equal to
   the exact one on this data.
+- SimHash's registry query runs the engine-portable md5-prefix token hash
+  (60 bits), so its brute-force DuckDB twin matches the blocked plan
+  exactly — pigeonhole blocking is lossless within the Hamming radius.
 """
 
 from __future__ import annotations
@@ -111,21 +114,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Portable SimHash oracle: 60-bit md5-prefix token hash (identical int in
+# Spark's conv(substring(md5,1,15),16,10) and DuckDB's '0x'||hex cast),
+# brute-force all pairs — exact vs the blocked Spark plan because
+# pigeonhole blocking NEVER misses a pair within hamming < blocks.
+_SIMHASH_BITS = 60
+_SIMHASH_BIT_SUMS = ", ".join(f"sum((hv >> {b}) & 1) AS b{b}" for b in range(_SIMHASH_BITS))
+_SIMHASH_ASSEMBLE = " + ".join(
+    f"(CASE WHEN 2*b{b} > n THEN {1 << b} ELSE 0 END)" for b in range(_SIMHASH_BITS)
+)
+SIMHASH_PAIRS_SQL = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({SQL_WORDS.format(t='text')}) AS t FROM documents
+    ), h AS (
+      SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS hv FROM tok
+    ), bits AS (
+      SELECT doc_id, count(*) AS n, {_SIMHASH_BIT_SUMS} FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {_SIMHASH_ASSEMBLE} AS simhash FROM bits
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 @register(
     "dedup_simhash",
-    None,  # xxhash64 has no DuckDB twin → rows-only check; pytest pins recall
+    SIMHASH_PAIRS_SQL,
     doc=(
-        "64-bit SimHash near-dup pairs within Hamming distance 3, blocked "
-        "by 16-bit signature blocks (pigeonhole: d<4 implies a shared "
-        "block) (operators/dedup.simhash_pairs). Rows-only: signature bits "
-        "depend on xxhash64, which DuckDB lacks; recall vs exact Jaccard "
-        "pairs is pinned in tests/test_dedup.py."
+        "SimHash near-dup pairs within Hamming distance 3, blocked by "
+        "15-bit signature blocks (pigeonhole: d<4 implies a shared block) "
+        "(operators/dedup.simhash_pairs). Round 2: runs the engine-"
+        "portable 60-bit md5-prefix token hash, so the brute-force DuckDB "
+        "twin matches the blocked plan EXACTLY (blocking is lossless "
+        "inside the radius) — graduated from rows-only. The xxhash64 "
+        "default remains the pure-Spark fast path; its recall is pinned "
+        "in tests."
     ),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.dedup import simhash_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=3, nbits=60, token_hash="md5"
+    )
 
 
 @register(
