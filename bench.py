@@ -80,14 +80,15 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    # best-of-2 per query: the container shares its host (load avg ~3 while
-    # idle was measured), which flaps single-shot wall times by up to 5×.
-    # The minimum of two runs is the standard noise-robust estimator and
-    # still includes full plan+codegen+execution each time.
+    # best-of-3 per query: the container shares its host (load avg ~3 while
+    # idle was measured), which flaps single-shot wall times by up to 5×
+    # (round-2 measurement: back-to-back full runs spanned 18–28s total).
+    # The minimum of three runs is the noise-robust estimator and still
+    # includes full plan+codegen+execution each time.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             materialize(REGISTRY[name].spark(spark, sf_dir))
             best = min(best, time.time() - t0)
