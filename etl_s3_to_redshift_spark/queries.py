@@ -899,7 +899,11 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _load_extensions() -> None:
     """Import side-registering query modules (idempotent)."""
-    from etl_s3_to_redshift_spark import queries_data, queries_scalar  # noqa: F401
+    from etl_s3_to_redshift_spark import (  # noqa: F401
+        queries_data,
+        queries_scalar,
+        queries_tpch2,
+    )
 
 
 # The external driver verifies at most the first 50 ``queries()`` entries
@@ -922,6 +926,12 @@ _DRIVER_FIRST = [
     # driver row yet
     "data_hash_split", "data_stratified_sample", "data_pack_sequences",
     "text_repetition", "text_decontaminate", "stream_interval_join",
+    # round-2 TPC-H-shape additions (queries_tpch2.py) — no driver row yet
+    "q7_nation_trade_volume", "q8_market_share", "q9_product_profit",
+    "q12_late_shipment_priority", "q13_order_count_distribution",
+    "q15_top_revenue_supplier", "q16_supplier_part_count",
+    "q17_small_quantity_revenue", "q19_bracketed_revenue",
+    "q21_waiting_supplier", "q22_dormant_value_customers",
 ]
 
 
