@@ -58,6 +58,17 @@ HEADLINE = [
     "q18_large_orders",
     "cube_order_stats",
     "sql_api_min_cost_supplier",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q15_top_revenue_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q19_bracketed_revenue",
+    "q21_waiting_supplier",
+    "q22_dormant_value_customers",
 ]
 
 

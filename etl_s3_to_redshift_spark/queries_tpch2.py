@@ -368,9 +368,11 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (~F.col("p_type").like("PROMO%"))
         & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
     )
+    # No broadcast hint on the excluded-supplier set: supplier grows with
+    # SF (unlike nation/region), so the anti-join strategy is AQE's call.
     bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
     j = (
-        l.join(F.broadcast(bad_supp), l["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+        l.join(bad_supp, l["l_suppkey"] == F.col("s_suppkey"), "left_anti")
         .join(p, F.col("l_partkey") == p["p_partkey"])
     )
     return j.groupBy(

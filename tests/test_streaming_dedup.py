@@ -1,0 +1,103 @@
+"""Streaming dedup (dropDuplicatesWithinWatermark) and the foreachBatch
+incremental-upsert sink, each pinned against its batch twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.sources.tables import load_table
+from etl_s3_to_redshift_spark.streaming import dedup as SD
+from etl_s3_to_redshift_spark.streaming import upsert as SU
+from etl_s3_to_redshift_spark.streaming.windows import run_stream_to_memory
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def dup_events(spark):
+    """Events with guaranteed duplicates: the frame unioned with a
+    deterministic half of itself."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    dups = ev.filter(F.col("event_id") % 2 == 0)
+    return ev.unionByName(dups)
+
+
+@pytest.fixture(scope="module")
+def dup_stream(spark, dup_events, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("dedup_stream") / "events")
+    # several files → several micro-batches, so cross-batch duplicate
+    # suppression (the state-store path) is actually exercised
+    dup_events.repartition(4).write.mode("overwrite").parquet(path)
+    return (
+        spark.readStream.schema(dup_events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def test_streaming_dedup_equals_batch(spark, dup_events, dup_stream):
+    batch_ids = {r.event_id for r in SD.dedup_events(dup_events, ["event_id"]).collect()}
+    # micro-batches are random row subsets, not time-ordered: a watermark
+    # wider than the whole event span keeps shuffled arrivals from being
+    # dropped as late (in production the delay matches real disorder)
+    streamed = run_stream_to_memory(
+        spark,
+        SD.dedup_events(dup_stream, ["event_id"], watermark="3650 days", streaming=True),
+        "t_dedup_stream",
+        output_mode="append",
+    )
+    got = streamed.collect()
+    assert {r.event_id for r in got} == batch_ids
+    assert len(got) == len(batch_ids)  # every duplicate suppressed exactly once
+
+
+def test_distinct_keys_manifest(spark, dup_events):
+    m = SD.distinct_keys(dup_events, ["user_id", "event_type"])
+    assert m.count() == dup_events.select("user_id", "event_type").distinct().count()
+
+
+@pytest.fixture()
+def cdc_updates(spark):
+    rows = [
+        # key, attribute, version
+        (1, "a0", 10), (2, "b0", 10), (3, "c0", 10),   # initial inserts
+        (2, "b1", 20), (4, "d0", 20),                   # update + insert
+        (2, "b2", 30), (1, "a1", 5),                    # late out-of-order update loses
+    ]
+    return spark.createDataFrame(rows, "k int, attr string, ver int")
+
+
+def test_upsert_snapshot_latest_wins(spark, cdc_updates, tmp_path):
+    target = str(tmp_path / "target")
+    SU.upsert_snapshot(spark, cdc_updates, target, "k", "ver")
+    got = {r.k: (r.attr, r.ver) for r in spark.read.parquet(target).collect()}
+    # k=1 sees ver 10 then a late ver 5 in the same delta: highest version
+    # wins regardless of arrival order
+    assert got == {1: ("a0", 10), 2: ("b2", 30), 3: ("c0", 10), 4: ("d0", 20)}
+
+
+def test_upsert_stream_converges_to_batch(spark, cdc_updates, tmp_path):
+    src = str(tmp_path / "src")
+    target = str(tmp_path / "tgt")
+    ckpt = str(tmp_path / "ckpt")
+    # one file per micro-batch: the merge runs repeatedly against its own
+    # prior snapshot, not once over the union
+    cdc_updates.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(cdc_updates.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = SU.start_upsert_stream(stream, target, "k", "ver", ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.k: (r.attr, r.ver) for r in spark.read.parquet(target).collect()}
+    want = {
+        r.k: (r.attr, r.ver)
+        for r in SU.latest_per_key(cdc_updates, "k", "ver").collect()
+    }
+    assert got == want and len(got) == 4
