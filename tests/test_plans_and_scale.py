@@ -67,6 +67,7 @@ def test_no_cartesian_products_anywhere(spark):
         "sim_topk_cosine",
         "sim_topk_cosine_fast",
         "cross_join_region_nation",  # deliberate bounded×bounded cross join
+        "q22_dormant_value_customers",  # 1-row global-average broadcast (scalar subquery)
     }
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))
@@ -103,6 +104,56 @@ def test_fact_joins_are_size_driven_not_pinned(spark):
             assert "BroadcastNestedLoopJoin" not in plan, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_tpch2_joins_are_size_driven_not_pinned(spark):
+    """Round-2 TPC-H shapes under the 100 TB regime (auto-broadcast off):
+    the only surviving BroadcastHashJoins are the hinted bounded sides —
+    nation/region (25/5 rows at every SF) and 1-row scalar aggregates
+    (q15 max, q22 global average, the latter a 1-row-build BNLJ). Every
+    fact-fact edge falls back to SortMergeJoin."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # query -> (hinted bounded broadcasts, 1-row-build BNLJs)
+        expected = {
+            "q7_nation_trade_volume": (2, 0),   # nation ×2
+            "q8_market_share": (3, 0),          # nation ×2 + region
+            "q9_product_profit": (1, 0),        # nation
+            "q12_late_shipment_priority": (0, 0),
+            "q13_order_count_distribution": (0, 0),
+            "q15_top_revenue_supplier": (1, 0),  # 1-row max aggregate
+            "q16_supplier_part_count": (0, 0),
+            "q17_small_quantity_revenue": (0, 0),
+            "q19_bracketed_revenue": (0, 0),
+            "q21_waiting_supplier": (0, 0),
+            "q22_dormant_value_customers": (0, 1),  # 1-row global average
+        }
+        for name, (n_bhj, n_bnl) in expected.items():
+            plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+            assert plan.count("BroadcastHashJoin") == n_bhj, (name, plan)
+            assert plan.count("BroadcastNestedLoopJoin") == n_bnl, (name, plan)
+            assert "SortMergeJoin" in plan, name
+            assert "CartesianProduct" not in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+
+def test_q19_or_predicate_pushes_to_both_scans(spark):
+    """Q19's OR-of-ANDs must be factored: the single-side conjunct
+    disjunctions push below the join into BOTH parquet scans (quantity
+    brackets -> lineitem, brand/size brackets -> part), leaving only the
+    cross-side residual on the join."""
+    df = REGISTRY["q19_bracketed_revenue"].spark(spark, SF_SMOKE)
+    # formatted explain: toString truncates long PushedFilters lines
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    li_pushed = next(l for l in pushed if "l_quantity" in l)
+    p_pushed = next(l for l in pushed if "p_brand" in l)
+    assert "Or(" in li_pushed, li_pushed
+    assert "Or(" in p_pushed, p_pushed
 
 
 def test_q18_preaggregates_before_join(spark):
