@@ -1,0 +1,90 @@
+"""The composed curation pipeline: stage accounting, dedup guarantees,
+decontamination, split determinism, staged==unstaged equivalence."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.operators.dedup import minhash_lsh_pairs
+from etl_s3_to_redshift_spark.plans.curation import curate_corpus, write_curated
+from etl_s3_to_redshift_spark.sources.tables import load_table
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+
+@pytest.fixture(scope="module")
+def bench_docs(spark, docs):
+    # a bench_docs cut from the corpus itself: guaranteed contamination hits
+    return docs.orderBy("doc_id").limit(5).select("text")
+
+
+@pytest.fixture(scope="module")
+def result(spark, docs, bench_docs):
+    return curate_corpus(spark, docs, bench_docs)
+
+
+def test_stage_accounting_monotone(result):
+    s = result.stats
+    order = ["raw", "quality_gated", "exact_deduped", "neardup_removed", "decontaminated"]
+    vals = [s[k] for k in order]
+    assert vals == sorted(vals, reverse=True)
+    assert s["raw"] == 500 and s["curated"] > 0
+
+
+def test_near_dups_actually_removed(spark, docs, result):
+    """At most one member of every LSH near-dup pair survives curation."""
+    pairs = minhash_lsh_pairs(docs, threshold=0.7).select("id_a", "id_b").collect()
+    assert pairs, "smoke corpus should contain planted near-dups"
+    survivors = {r.doc_id for r in result.curated.select("doc_id").collect()}
+    for p in pairs:
+        assert not ({p.id_a, p.id_b} <= survivors), (p.id_a, p.id_b)
+
+
+def test_decontamination_drops_benchmark_members(result, bench_docs):
+    """Docs whose text IS a benchmark doc can't survive (they share every
+    k-gram)."""
+    bench_texts = {r.text for r in bench_docs.collect()}
+    surviving_texts = {r.text for r in result.curated.select("text").collect()}
+    assert not (bench_texts & surviving_texts)
+
+
+def test_split_deterministic_and_complete(spark, docs, bench_docs, result):
+    splits = dict(
+        result.curated.groupBy("split").count().rdd.map(lambda r: (r["split"], r["count"])).collect()
+    )
+    assert set(splits) <= {"train", "val", "test"} and splits.get("train", 0) > 0
+    rerun = curate_corpus(spark, docs, bench_docs)
+    a = {(r.doc_id, r.split) for r in result.curated.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in rerun.curated.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_staged_equals_unstaged(spark, docs, bench_docs, result, tmp_path):
+    staged = curate_corpus(
+        spark, docs, bench_docs, staging_dir=str(tmp_path / "stage")
+    )
+    assert staged.stats == result.stats
+    a = {(r.doc_id, r.split) for r in result.curated.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in staged.curated.select("doc_id", "split").collect()}
+    assert a == b
+
+
+def test_write_curated_partitions_by_split(spark, result, tmp_path):
+    out = str(tmp_path / "corpus")
+    write_curated(result, out)
+    parts = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert "split=train" in parts
+    back = spark.read.parquet(out)
+    assert back.count() == result.stats["curated"]
+    # partition pruning: reading one split touches only its directory
+    assert (
+        back.filter(F.col("split") == "train").count()
+        == result.curated.filter(F.col("split") == "train").count()
+    )

@@ -27,6 +27,11 @@ QUERIES = [
     "dedup_minhash_lsh",
     "sim_topk_cosine_fast",
     "text_tfidf_topterms",
+    # round-2 TPC-H shapes: deepest join tree, outer-join double agg,
+    # and the triple self-join — the plans most worth a data-bound point
+    "q9_product_profit",
+    "q13_order_count_distribution",
+    "q21_waiting_supplier",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
