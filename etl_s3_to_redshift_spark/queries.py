@@ -932,6 +932,7 @@ _DRIVER_FIRST = [
     "q15_top_revenue_supplier", "q16_supplier_part_count",
     "q17_small_quantity_revenue", "q19_bracketed_revenue",
     "q21_waiting_supplier", "q22_dormant_value_customers",
+    "q11_important_part_value", "q20_prolific_part_suppliers",
 ]
 
 

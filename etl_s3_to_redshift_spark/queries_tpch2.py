@@ -18,6 +18,8 @@ onto p_brand/p_size/l_linestatus):
 - q19 OR-of-ANDs pushdown across a join boundary
 - q21 self-join EXISTS + NOT EXISTS (semi + anti on the same fact)
 - q22 global scalar subquery + anti-join (dormant high-balance accounts)
+- q11 group + self-referential scalar threshold (important stock)
+- q20 nested semi-joins with a correlated grouped threshold
 
 Scale notes (100 TB design point): none of these broadcast a fact-scale
 side — nation/region (25/5 rows at every SF) are the only hinted
@@ -593,4 +595,139 @@ def q22_dormant_value_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy(F.col("c_nationkey").alias("nation_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("numcust"),
         F.sum(money("c_acctbal")).cast("double").alias("totacctbal"),
+    )
+
+
+@register(
+    "q11_important_part_value",
+    """
+    WITH v AS (
+      SELECT l.l_partkey AS partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS part_value
+    FROM v
+    WHERE CAST(val AS DOUBLE) > (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM v)
+    """,
+    doc=(
+        "TPC-H Q11 shape (important stock): per-part supplied value from "
+        "one nation's suppliers, kept only when it exceeds a fraction of "
+        "the nation's total — a global scalar subquery over the same "
+        "aggregate. No partsupp table in the testdata, so value is the "
+        "discounted lineitem revenue rather than supplycost*availqty; the "
+        "plan shape (group + self-referential scalar threshold) is "
+        "identical. The per-part aggregate is computed ONCE and reused "
+        "for both the rows and the threshold (the scalar total is a "
+        "1-row broadcast cross join, never a recompute); threshold "
+        "compare is double-vs-double of exact decimal sums on both "
+        "engines. Nation filter broadcasts (25 rows at every SF); the "
+        "lineitem-supplier join is AQE's call."
+    ),
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s_keys = s.join(
+        F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]
+    ).select("s_suppkey")
+    v = (
+        l.join(s_keys, l["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_rev_col()).alias("__val"))
+    )
+    thr = v.agg((F.sum("__val").cast("double") * F.lit(0.001)).alias("__thr"))
+    return (
+        v.crossJoin(F.broadcast(thr))
+        .filter(F.col("__val").cast("double") > F.col("__thr"))
+        .select("partkey", F.col("__val").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q20_prolific_part_suppliers",
+    """
+    WITH pair AS (
+      SELECT l.l_suppkey AS suppkey, l.l_partkey AS partkey,
+             sum(l.l_quantity) AS win_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      GROUP BY l.l_suppkey, l.l_partkey
+    ),
+    pavg AS (
+      SELECT partkey, CAST(sum(win_qty) AS DOUBLE) / count(*) AS avg_qty
+      FROM pair GROUP BY partkey
+    ),
+    qual AS (
+      SELECT DISTINCT pair.suppkey
+      FROM pair JOIN pavg ON pair.partkey = pavg.partkey
+      WHERE pair.win_qty > 2.0 * pavg.avg_qty
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS s_name, n.n_name AS nation_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (SELECT suppkey FROM qual)
+    """,
+    doc=(
+        "TPC-H Q20 shape (potential part promotion): suppliers in one "
+        "region who shipped more than 2x the per-part average quantity "
+        "of a LIKE-named part family during 1995. No partsupp.availqty "
+        "in the testdata, so the original 'availqty > 0.5 * shipped' "
+        "correlated threshold becomes 'pair quantity > 2.0 * per-part "
+        "average pair quantity' — the same nested shape: LIKE-filtered "
+        "join, grouped pair aggregate, correlated scalar re-expressed as "
+        "a pre-aggregated equi-join (q17's pattern), DISTINCT semi-join "
+        "up to supplier. Quantities are small integers stored as "
+        "doubles, so sum/count division is exact and the 2.0x compare "
+        "is deterministic. nation/region broadcast; the pair aggregate "
+        "and its per-part rollup share the l_partkey-prefixed grouping, "
+        "and the final IN is a left-semi on s_suppkey."
+    ),
+)
+def q20_prolific_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    pair = (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("l_partkey").alias("partkey"),
+        )
+        .agg(F.sum("l_quantity").alias("win_qty"))
+    )
+    pavg = pair.groupBy(F.col("partkey").alias("__pk")).agg(
+        (F.sum("win_qty").cast("double") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    qual = (
+        pair.join(pavg, pair["partkey"] == F.col("__pk"))
+        .filter(F.col("win_qty") > F.lit(2.0) * F.col("avg_qty"))
+        .select("suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .join(qual, s["s_suppkey"] == qual["suppkey"], "left_semi")
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("s_name"),
+            F.col("n_name").alias("nation_name"),
+        )
     )
