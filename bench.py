@@ -69,6 +69,8 @@ HEADLINE = [
     "q19_bracketed_revenue",
     "q21_waiting_supplier",
     "q22_dormant_value_customers",
+    "q11_important_part_value",
+    "q20_prolific_part_suppliers",
 ]
 
 

@@ -17,17 +17,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Must hold for any caller-supplied session (the driver builds its
         # own): TIMESTAMP(NANOS) parquet is unreadable without this conf.
+        # Harmless when the lake carries µs timestamps instead.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanosecond
-        # timestamp type, so (with spark.sql.legacy.parquet.nanosAsLong=true,
-        # set in session.py) it arrives as epoch-nanos long. Truncate to
-        # microseconds — the values are µs-granular, so this is lossless and
-        # matches DuckDB's TIMESTAMP_NS view of the same file.
-        # integer division: epoch-nanos (~1.7e18) exceeds double's 53-bit
-        # mantissa, so float division would corrupt the low microseconds.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # The driver lake's timestamp layout has varied across rounds:
+    # TIMESTAMP(NANOS) (arrives as epoch-nanos long under nanosAsLong) vs
+    # naive TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ). Normalize both to
+    # session-local TimestampType so every downstream comparison/window sees
+    # one type; the session is pinned to UTC (session.py), so the NTZ cast
+    # is value-preserving and matches DuckDB's naive reading of the file.
+    for col, dtype in df.dtypes:
+        if name == "events" and col == "ts" and dtype == "bigint":
+            # integer division: epoch-nanos (~1.7e18) exceeds double's 53-bit
+            # mantissa, so float division would corrupt the low microseconds.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
