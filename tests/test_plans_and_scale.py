@@ -68,6 +68,7 @@ def test_no_cartesian_products_anywhere(spark):
         "sim_topk_cosine_fast",
         "cross_join_region_nation",  # deliberate bounded×bounded cross join
         "q22_dormant_value_customers",  # 1-row global-average broadcast (scalar subquery)
+        "q11_important_part_value",  # 1-row global-threshold broadcast (scalar subquery)
     }
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))
