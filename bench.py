@@ -71,6 +71,9 @@ HEADLINE = [
     "q22_dormant_value_customers",
     "q11_important_part_value",
     "q20_prolific_part_suppliers",
+    "ts_gapfill_hourly",
+    "fuzzy_customer_match",
+    "emb_label_centroids",
 ]
 
 

@@ -1,0 +1,97 @@
+"""Fuzzy string matching via complement-key blocking + edit-distance
+verify — the entity-resolution shape (match dirty strings against a clean
+reference) done as equi-joins, never a cross product.
+
+Reference anchor: the reference joins staging rows to dimensions on exact
+keys only (/root/reference/sql_queries.py:144-151); fuzzy matching is the
+north-star extension of that enrichment join to corrupted keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _segment_bounds(n_segments: int) -> list[tuple[str, str]]:
+    """(start, length) SQL expressions for the i-th of n equal segments of
+    a string column named ``__s`` (1-indexed, remainder to the last)."""
+    bounds = []
+    for i in range(n_segments):
+        start = f"cast(floor(length(__s) * {i} / {n_segments}) as int) + 1"
+        end = f"cast(floor(length(__s) * {i + 1} / {n_segments}) as int)"
+        bounds.append((start, f"({end}) - ({start}) + 1"))
+    return bounds
+
+
+def blocked_substitution_join(
+    probes: DataFrame,
+    reference: DataFrame,
+    probe_id: str,
+    probe_col: str,
+    ref_id: str,
+    ref_col: str,
+    max_dist: int = 1,
+    n_segments: int = 3,
+) -> DataFrame:
+    """Match each probe string to reference strings within ``max_dist``
+    substitution edits (same length, ≤ max_dist differing positions).
+
+    Blocking: split each string into ``n_segments`` contiguous segments
+    and emit one block key per segment — the COMPLEMENT of that segment
+    (all other characters) plus the total length. A substitution edit
+    corrupts exactly one segment, so for ``max_dist < n_segments`` every
+    true pair shares at least one complement key verbatim (pigeonhole) —
+    recall is exactly 1.0, proven, not probabilistic. Candidates then
+    verify with ``levenshtein() <= max_dist``.
+
+    Scale: block keys are near-unique (a complement carries all but ~1/n
+    of the string), so candidate counts track true-match counts, not the
+    corpus square. Two shuffles: the block equi-join and the pair
+    distinct. Same pigeonhole idea as dedup.simhash_pairs' bit blocks;
+    for insert/delete edits (shifted positions break segment alignment)
+    use shingle blocking (dedup.jaccard_pairs) instead.
+
+    Returns (probe_id, ref_id, dist) with dist = levenshtein distance.
+    """
+    if max_dist >= n_segments:
+        raise ValueError("pigeonhole needs max_dist < n_segments")
+
+    def keyed(df: DataFrame, id_col: str, s_col: str, out_id: str) -> DataFrame:
+        segs = []
+        for start, length in _segment_bounds(n_segments):
+            # complement of segment i = prefix before it + suffix after it
+            segs.append(
+                f"concat(substring(__s, 1, ({start}) - 1),"
+                f" substring(__s, ({start}) + ({length})))"
+            )
+        arr = "array(" + ", ".join(segs) + ")"
+        return (
+            df.select(F.col(id_col).alias(out_id), F.col(s_col).alias("__s"))
+            .select(out_id, "__s", F.posexplode(F.expr(arr)).alias("__seg", "__key"))
+            .withColumn("__len", F.length("__s"))
+        )
+
+    p = keyed(probes, probe_id, probe_col, "__pid")
+    r = keyed(reference, ref_id, ref_col, "__rid")
+    cand = (
+        p.alias("p")
+        .join(
+            r.alias("r"),
+            (F.col("p.__seg") == F.col("r.__seg"))
+            & (F.col("p.__key") == F.col("r.__key"))
+            & (F.col("p.__len") == F.col("r.__len")),
+        )
+        .select(
+            F.col("p.__pid").alias(probe_id),
+            F.col("r.__rid").alias(ref_id),
+            F.col("p.__s").alias("__ps"),
+            F.col("r.__s").alias("__rs"),
+        )
+        .dropDuplicates([probe_id, ref_id])
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("__ps", "__rs"))
+        .filter(F.col("dist") <= max_dist)
+        .select(probe_id, ref_id, F.col("dist").cast("int").alias("dist"))
+    )

@@ -456,3 +456,39 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-label centroid of an embedding column, one row per (label,
+    dimension): posexplode the vectors and average per (label, pos).
+
+    Row-oriented output (label, pos, centroid) rather than a re-assembled
+    array: the exploded form is what downstream jobs join against (e.g.
+    IvfIndex cell assignment scores against centroid components), and it
+    keeps the result hash-comparable as scalars.
+
+    Scale: explode multiplies rows by the dimension (64 here) but each
+    row is 3 scalars — the shuffle moves label+pos+partial sums, with
+    map-side partial aggregation collapsing each partition to at most
+    labels x dims rows before the exchange. Centroids are rounded to
+    ``round_dp`` decimals: the float32 components promote to double
+    exactly on both engines, and rounding absorbs the sub-ulp drift of
+    summation order.
+    """
+    exploded = embeddings.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "__v")
+    )
+    return (
+        exploded.groupBy(label_col, "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("__v").cast("double")) / F.count(F.lit(1)), round_dp
+            ).alias("centroid")
+        )
+        .select(label_col, F.col("pos").cast("int").alias("pos"), "centroid")
+    )

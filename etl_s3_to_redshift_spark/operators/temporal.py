@@ -113,3 +113,62 @@ def interval_bucket_join(
         .filter((F.col(point_col) >= F.col(start_col)) & (F.col(point_col) <= F.col(end_col)))
         .drop("__cell")
     )
+
+
+def resample_gapfill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    step_hours: int = 1,
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid per key: bucket
+    events, generate the dense bucket spine between each key's first and
+    last bucket (data-side via ``sequence``+``explode`` — the spine is
+    never driver-materialized), left-join the observed buckets onto it,
+    and forward-fill the last observed bucket total across gaps.
+
+    Returns (key, bucket_start, n_events, bucket_value, carried_value):
+    empty buckets carry n_events=0, bucket_value=0.0, and carried_value =
+    the most recent non-empty bucket's total (never NULL — the spine
+    starts at each key's first observation).
+
+    Scale: one shuffle for the bucket aggregate, one tiny per-key bounds
+    aggregate, and a window sort per key for the fill — the same cost
+    profile as any per-key windowed aggregate. Spine size is bounded by
+    keys x (span/step); pick the step so that product stays row-like
+    (hourly grid over months, not millisecond grid over years). The
+    bucket aggregate sums exact decimals; doubles appear only in the
+    final projection.
+    """
+    step = F.expr(f"INTERVAL {step_hours} HOURS")
+    hourly = (
+        events.groupBy(
+            F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("bucket_start")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col(value_col).cast("decimal(12,2)")).alias("__v"),
+        )
+    )
+    bounds = hourly.groupBy(key_col).agg(
+        F.min("bucket_start").alias("__b0"), F.max("bucket_start").alias("__b1")
+    )
+    spine = bounds.select(
+        key_col, F.explode(F.sequence("__b0", "__b1", step)).alias("bucket_start")
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, [key_col, "bucket_start"], "left")
+        .select(
+            key_col,
+            "bucket_start",
+            F.coalesce(F.col("__n"), F.lit(0).cast("long")).alias("n_events"),
+            F.coalesce(F.col("__v"), F.lit(0)).cast("double").alias("bucket_value"),
+            F.last("__v", ignorenulls=True).over(w).cast("double").alias("carried_value"),
+        )
+    )

@@ -901,6 +901,7 @@ def _load_extensions() -> None:
     """Import side-registering query modules (idempotent)."""
     from etl_s3_to_redshift_spark import (  # noqa: F401
         queries_data,
+        queries_ops2,
         queries_scalar,
         queries_tpch2,
     )
@@ -933,6 +934,9 @@ _DRIVER_FIRST = [
     "q17_small_quantity_revenue", "q19_bracketed_revenue",
     "q21_waiting_supplier", "q22_dormant_value_customers",
     "q11_important_part_value", "q20_prolific_part_suppliers",
+    # round-2b operator-coverage additions (queries_ops2.py)
+    "ts_gapfill_hourly", "fuzzy_customer_match", "emb_label_centroids",
+    "unpivot_lineitem_measures", "skew_salted_event_agg",
 ]
 
 

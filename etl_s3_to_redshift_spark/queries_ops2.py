@@ -1,0 +1,251 @@
+"""Round-2b operator-coverage queries: time-series regularization,
+fuzzy entity matching, embedding centroids, unpivot/melt, and salted
+(skew-safe) aggregation — each with an exact DuckDB oracle.
+
+Exactness rules follow queries.py: decimal casts before summation,
+doubles only in final projections, counts BIGINT on both engines,
+rounding only where summation order can drift sub-ulp (centroids).
+
+Reference anchor: the reference's surface is exact-key enrichment +
+full-refresh loads (/root/reference/sql_queries.py:132-190); these
+queries extend that surface with the time-series, entity-resolution and
+skew shapes a warehouse-scale corpus pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill / resample
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_gapfill_hourly",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+             count(*) AS n, sum(CAST(value AS DECIMAL(12,2))) AS v
+      FROM events WHERE user_id % 10 = 0
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, min(bucket_start) AS b0, max(bucket_start) AS b1
+      FROM hourly GROUP BY 1
+    ), spine AS (
+      SELECT user_id, unnest(generate_series(b0, b1, INTERVAL 1 HOUR)) AS bucket_start
+      FROM bounds
+    )
+    SELECT s.user_id, s.bucket_start,
+           coalesce(h.n, 0) AS n_events,
+           CAST(coalesce(h.v, 0) AS DOUBLE) AS bucket_value,
+           CAST(last_value(h.v IGNORE NULLS) OVER (
+                  PARTITION BY s.user_id ORDER BY s.bucket_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS carried_value
+    FROM spine s LEFT JOIN hourly h
+      ON h.user_id = s.user_id AND h.bucket_start = s.bucket_start
+    """,
+    doc=(
+        "Hourly resample with gap-fill and forward-carry per user "
+        "(operators/temporal.resample_gapfill): dense spine generated "
+        "data-side with sequence+explode between each key's first/last "
+        "bucket, observed buckets left-joined on, last non-empty total "
+        "carried over gaps with last(ignorenulls) — one bucket-agg "
+        "shuffle plus a per-key window sort, no driver loops. Subset to "
+        "user_id%10=0 keeps the spine row-like at any SF."
+    ),
+)
+def ts_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.temporal import resample_gapfill
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    return resample_gapfill(ev, key_col="user_id", ts_col="ts", value_col="value")
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy entity matching (blocked levenshtein join)
+# ---------------------------------------------------------------------------
+
+# Deterministic dirty probes derived from customer names: substitute the
+# (c_custkey % 9)-th digit of the 9-digit suffix with 'x'. Substitution
+# keeps lengths equal, so segment blocking is position-aligned and the
+# pigeonhole recall argument is exact.
+_PROBE_SQL = """
+      SELECT c_custkey AS probe_id,
+             concat(substring(c_name, 1, 9 + (c_custkey % 9)), 'x',
+                    substring(c_name, 11 + (c_custkey % 9))) AS probe
+      FROM customer
+"""
+
+
+@register(
+    "fuzzy_customer_match",
+    f"""
+    WITH probes AS ({_PROBE_SQL})
+    SELECT p.probe_id, c.c_custkey AS matched_id,
+           CAST(levenshtein(p.probe, c.c_name) AS INTEGER) AS dist
+    FROM probes p JOIN customer c
+      ON length(p.probe) = length(c.c_name)
+     AND levenshtein(p.probe, c.c_name) <= 1
+    """,
+    doc=(
+        "Entity resolution: match corrupted customer names (one digit "
+        "substituted) back to the reference table within edit distance 1 "
+        "(operators/fuzzy.blocked_substitution_join). Spark plan blocks "
+        "on complement segment keys (equi-join, candidates track true "
+        "matches) and verifies with levenshtein; the oracle IS the naive "
+        "all-pairs definition, equal because complement-key pigeonhole "
+        "recall is exactly 1.0 for substitution edits — never a cross "
+        "product on the Spark side."
+    ),
+)
+def fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.fuzzy import blocked_substitution_join
+
+    customer = _t(spark, sf_dir, "customer")
+    probes = customer.select(
+        F.col("c_custkey").alias("probe_id"),
+        F.expr(
+            "concat(substring(c_name, 1, 9 + (c_custkey % 9)), 'x',"
+            " substring(c_name, 11 + (c_custkey % 9)))"
+        ).alias("probe"),
+    )
+    return blocked_substitution_join(
+        probes,
+        customer.select(F.col("c_custkey").alias("matched_id"), "c_name"),
+        probe_id="probe_id",
+        probe_col="probe",
+        ref_id="matched_id",
+        ref_col="c_name",
+        max_dist=1,
+        n_segments=3,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroids per label
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_label_centroids",
+    """
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           round(sum(v) / count(*), 6) AS centroid
+    FROM (
+      SELECT label,
+             generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    doc=(
+        "Per-label centroid components (operators/similarity."
+        "label_centroids): posexplode to (label, pos, component), "
+        "average per cell with map-side partial agg — the shuffle carries "
+        "labels x dims partials, not vectors. Row-oriented output joins "
+        "directly against IVF cell scoring. Rounded to 6 dp (summation "
+        "order drift is sub-ulp; float32 components promote to double "
+        "exactly on both engines)."
+    ),
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import label_centroids
+
+    return label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_lineitem_measures",
+    """
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+             CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM a
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+    """,
+    doc=(
+        "Wide-to-long unpivot (DataFrame.unpivot / SQL UNPIVOT): per-flag "
+        "measure matrix melted to (flag, measure, value) rows. The "
+        "aggregate runs once; unpivot is a zero-shuffle projection "
+        "(Expand node), NOT three re-scans — the oracle's UNION ALL form "
+        "is the portable ANSI equivalent of the same result."
+    ),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double").alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(12,2)")).cast("double").alias("sum_disc"),
+    )
+    return agg.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "sum_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted (skew-safe) aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_event_agg",
+    """
+    SELECT event_type,
+           count(value) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
+           CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Two-phase salted aggregation over a low-cardinality (hence "
+        "skew-prone) group key (operators/skew.salted_aggregate): phase 1 "
+        "groups by (key, salt) spreading each hot key over 16 reducers, "
+        "phase 2 re-aggregates the tiny partials by the true key. The "
+        "oracle is the plain GROUP BY — equal because sum/count/max over "
+        "exact decimals are salt-partition-insensitive."
+    ),
+)
+def skew_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.skew import salted_aggregate
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__vd", F.col("value").cast("decimal(12,2)")
+    )
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("__vd", "count"),
+            "total_value": ("__vd", "sum"),
+            "max_value": ("__vd", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )

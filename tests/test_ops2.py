@@ -1,0 +1,98 @@
+"""Semantic-edge tests for the round-2b operators: gap-fill carry
+semantics, complement-key pigeonhole recall, centroid cells, unpivot
+plan shape, and the salted-agg registry projection."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.operators.fuzzy import blocked_substitution_join
+from etl_s3_to_redshift_spark.operators.similarity import label_centroids
+from etl_s3_to_redshift_spark.operators.temporal import resample_gapfill
+from tests.conftest import SF_SMOKE
+
+
+def test_gapfill_fills_gaps_and_carries_last_value(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 10), 5.0),
+            (1, datetime(2024, 1, 1, 0, 50), 3.0),
+            # 3-hour gap
+            (1, datetime(2024, 1, 1, 4, 5), 7.0),
+            (2, datetime(2024, 1, 1, 9, 0), 1.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = {
+        (r.user_id, r.bucket_start.hour): (r.n_events, r.bucket_value, r.carried_value)
+        for r in resample_gapfill(ev).collect()
+    }
+    # key 1: spine covers hours 0..4 inclusive (5 buckets), key 2: 1 bucket
+    assert len(rows) == 6
+    assert rows[(1, 0)] == (2, 8.0, 8.0)
+    # gap hours exist, zero-filled, carrying hour 0's total
+    for h in (1, 2, 3):
+        assert rows[(1, h)] == (0, 0.0, 8.0)
+    assert rows[(1, 4)] == (1, 7.0, 7.0)
+    assert rows[(2, 9)] == (1, 1.0, 1.0)
+
+
+def test_gapfill_spine_is_data_side(spark):
+    """The spine must come from sequence+explode (Generate node), not a
+    driver-side collect/range."""
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    plan = resample_gapfill(ev)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate explode(sequence" in plan
+
+
+def test_blocked_substitution_join_recall_every_segment(spark):
+    """A substitution in ANY segment (incl. first/last char) must be
+    caught: the complement of the corrupted segment is intact."""
+    names = [(i, f"Item#{i:05d}xyz") for i in range(40)]
+    ref = spark.createDataFrame(names, "rid long, name string")
+    # corrupt one char at every possible position across probes
+    probes = [(i, n[:i % len(n)] + "?" + n[i % len(n) + 1 :]) for i, n in names]
+    pr = spark.createDataFrame(probes, "pid long, probe string")
+    got = blocked_substitution_join(
+        pr, ref, "pid", "probe", "rid", "name", max_dist=1, n_segments=3
+    )
+    pairs = {(r.pid, r.rid) for r in got.collect()}
+    # every probe recovers its source (dist exactly 1)
+    assert all((i, i) in pairs for i in range(40))
+
+
+def test_blocked_substitution_join_rejects_distance_two(spark):
+    ref = spark.createDataFrame([(1, "abcdefghi")], "rid long, name string")
+    pr = spark.createDataFrame(
+        [(1, "abcdefghi"), (2, "Xbcdefghi"), (3, "XbcdefghX")],
+        "pid long, probe string",
+    )
+    got = blocked_substitution_join(
+        pr, ref, "pid", "probe", "rid", "name", max_dist=1, n_segments=3
+    )
+    res = {r.pid: r.dist for r in got.collect()}
+    assert res == {1: 0, 2: 1}  # dist-2 probe 3 excluded
+
+
+def test_label_centroids_cells(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (0, [3.0, 6.0]), (1, [10.0, 20.0])],
+        "label int, embedding array<float>",
+    )
+    got = {(r.label, r.pos): r.centroid for r in label_centroids(emb).collect()}
+    assert got == {(0, 0): 2.0, (0, 1): 4.0, (1, 0): 10.0, (1, 1): 20.0}
+
+
+def test_unpivot_is_expand_not_rescan(spark):
+    """unpivot must plan as a single scan + Expand, not one scan per
+    measure column."""
+    from etl_s3_to_redshift_spark.queries_ops2 import unpivot_lineitem_measures
+
+    df = unpivot_lineitem_measures(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
+    assert df.count() == 9  # 3 flags x 3 measures
