@@ -120,3 +120,37 @@ def pack_sequences(
     )
     prev = F.coalesce(F.sum(token_col).over(w), F.lit(0))
     return df.withColumn(bin_col, F.floor(prev / F.lit(budget)))
+
+
+def training_order(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle42",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Deterministic global shuffle order for training readers — WITHOUT a
+    global sort. A single ``row_number() OVER (ORDER BY hash)`` would
+    funnel the whole corpus through one task; instead the permutation is
+    factored into (bucket, pos): the content hash routes each row to one
+    of ``n_buckets`` buckets, and rows rank only within their bucket —
+    every window partition runs in parallel. A reader consuming buckets in
+    index order, each bucket in pos order, sees a deterministic
+    pseudo-random permutation of the corpus (hash order is independent of
+    ingest order), and epoch reshuffles are just a new seed.
+
+    Same portability contract as hash_split: order derives from md5 hex,
+    identical in any engine, stable under re-runs/appends/repartitioning.
+    Set ``n_buckets`` to O(corpus/executor-memory) at scale so each
+    bucket's sort fits one task comfortably.
+    """
+    key = _hash_key(F.col(id_col), seed)
+    bucket = (
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % n_buckets
+    ).alias("bucket")
+    w = Window.partitionBy("bucket").orderBy(F.col("__hk").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__hk", key)
+        .withColumn("bucket", bucket)
+        .withColumn("pos", F.row_number().over(w))
+        .drop("__hk")
+    )

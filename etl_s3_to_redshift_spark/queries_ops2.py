@@ -249,3 +249,41 @@ def skew_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value").cast("double").alias("total_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training order (global shuffle without a global sort)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "data_training_order",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             substring(md5('shuffle42:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hk
+      FROM documents
+    )
+    SELECT doc_id,
+           ('0x' || substring(hk, 1, 2))::INTEGER % 32 AS bucket,
+           row_number() OVER (
+             PARTITION BY ('0x' || substring(hk, 1, 2))::INTEGER % 32
+             ORDER BY hk, doc_id) AS pos
+    FROM h
+    """,
+    doc=(
+        "Deterministic global training-shuffle order "
+        "(operators/sampling.training_order): the permutation is factored "
+        "into (bucket, pos) — content hash routes rows to 32 buckets, "
+        "rank runs per bucket in parallel — so no single task ever sorts "
+        "the corpus (a bare row_number() OVER (ORDER BY hash) would). "
+        "Reader order = buckets by index, rows by pos; a new seed "
+        "reshuffles the epoch. md5-derived, so assignment is identical "
+        "across engines/re-runs/appends (same contract as data_hash_split)."
+    ),
+)
+def data_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.sampling import training_order
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return training_order(docs, id_col="doc_id", seed="shuffle42", n_buckets=32)

@@ -96,3 +96,28 @@ def test_unpivot_is_expand_not_rescan(spark):
     assert plan.count("FileScan") == 1
     assert "Expand" in plan
     assert df.count() == 9  # 3 flags x 3 measures
+
+
+def test_training_order_is_permutation_and_parallel(spark):
+    """(bucket, pos) must be a bijection over doc_ids, stable across
+    runs/partitionings, and must NOT plan a single-partition global sort."""
+    from etl_s3_to_redshift_spark.operators.sampling import training_order
+
+    docs = spark.range(0, 300).select(F.col("id").alias("doc_id"))
+    a = training_order(docs)
+    rows = a.collect()
+    assert len(rows) == 300 and len({r.doc_id for r in rows}) == 300
+    # per-bucket positions are 1..n contiguous
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.pos)
+    for poss in by_bucket.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # stable under a different input partitioning
+    b = training_order(docs.repartition(7)).collect()
+    assert {(r.doc_id, r.bucket, r.pos) for r in rows} == {
+        (r.doc_id, r.bucket, r.pos) for r in b
+    }
+    # window partitions by bucket — never a single global sort partition
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy=[bucket" in plan or "hashpartitioning(bucket" in plan
