@@ -57,8 +57,9 @@ def get_spark(
         # files across cores (measured ~2× on scan-bound queries). On a
         # real cluster with properly-sized files keep the 128MB default.
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "4m"))
-        # events.parquet carries TIMESTAMP(NANOS) which Spark refuses by
-        # default; read as long and convert in the loader (sources/tables.py).
+        # Some lake generations carry TIMESTAMP(NANOS), which Spark refuses
+        # by default; read as long and convert in the loader
+        # (sources/tables.py, dtype-driven — harmless for µs lakes).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -19,9 +19,9 @@ Replication semantics (replica i, key offset i*10^7):
   shingle overlap drops to zero — dedup output grows linearly (10x the
   pairs), not as 10-cliques of exact copies, which is the workload shape
   the dedup operators are designed for. n_chars is recomputed.
-- events.ts is written as epoch-nanos int64 (the TIMESTAMP(NANOS)
-  source arrives as long under nanosAsLong=true and sources/tables.py
-  divides it down regardless of the parquet logical type).
+- events.ts is copied in whatever layout the source lake carries
+  (epoch-nanos int64 or µs timestamp); sources/tables.py normalizes
+  either at load, dtype-driven.
 """
 
 from __future__ import annotations
