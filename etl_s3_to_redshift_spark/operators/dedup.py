@@ -123,9 +123,12 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    # sizes is one row per doc — corpus-scale, so NO pinned broadcast: AQE
+    # replicates it while it fits and shuffle-joins beyond (the pair set is
+    # already hashed by id, so these are cheap co-partitioned joins).
     out = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -178,7 +178,10 @@ def tfidf_top_terms(
         "term",
         (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0).alias("idf"),
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    # idf is one row per distinct term — vocabulary-scale, which on raw
+    # web text grows without bound (typos/urls), so NO pinned broadcast:
+    # AQE replicates it while it fits and shuffle-joins beyond.
+    scored = tf.join(idf, "term").select(
         id_col,
         "term",
         F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),

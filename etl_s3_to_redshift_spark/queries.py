@@ -136,7 +136,13 @@ def r2_multikey_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Flagship: fact enriched through a broadcast dimension chain "
         "(orders→customer→nation→region) + date-part extraction — the "
         "reference's songplay build recast (R1+R2+R6; diststyle-all dims "
-        "= broadcast, README.md:75). The fact side never shuffles."
+        "= broadcast, README.md:75). Bounded dims (nation/region) carry "
+        "pinned hints; customer — which grows with SF, like the "
+        "reference's users dim grows with the log — is size-driven: AQE "
+        "broadcasts it while it fits (every test SF, so the fact side "
+        "never shuffles here) and falls back to a shuffle join at the "
+        "scale where replication would OOM, exactly the call a Redshift "
+        "DBA would make by switching diststyle all→key."
     ),
 )
 def r2_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,7 +151,7 @@ def r2_broadcast_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
     joined = (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"], "left_outer")
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"], "left_outer")
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"], "left_outer")
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"], "left_outer")
     )

@@ -23,11 +23,24 @@ def plan_of(df) -> str:
 
 def test_flagship_enrich_broadcasts_all_dims(spark):
     """diststyle-all dims (SURVEY §4) must become broadcast hash joins —
-    the fact side must never shuffle for enrichment."""
+    the fact side must never shuffle for enrichment at any test SF.
+    customer's broadcast is size-driven (no pinned hint — it grows with
+    SF), so at the 100 TB point it degrades to a shuffle join instead of
+    an OOM; nation/region hints are pinned (bounded at every SF)."""
     plan = plan_of(REGISTRY["r2_broadcast_enrich"].spark(spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") == 3
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # the 100 TB regime: with auto-broadcast off, the unpinned customer
+    # join falls back to sort-merge while the pinned bounded dims remain
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(REGISTRY["r2_broadcast_enrich"].spark(spark, SF_SMOKE))
+        assert plan.count("BroadcastHashJoin") == 2  # nation, region
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
 
 
 def test_filter_and_projection_pushdown(spark):
