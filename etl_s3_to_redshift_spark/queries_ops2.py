@@ -287,3 +287,45 @@ def data_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return training_order(docs, id_col="doc_id", seed="shuffle42", n_buckets=32)
+
+
+# ---------------------------------------------------------------------------
+# Window-function shapes not exercised elsewhere
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w3_window_shapes",
+    """
+    SELECT event_id, user_id, value,
+           lead(event_id) OVER w AS next_event,
+           first_value(event_id) OVER w AS first_event,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    doc=(
+        "Ranking/navigation window family not covered by w1/w2: lead, "
+        "first_value, ntile, percent_rank over one per-user window — all "
+        "four share a single sort (one shuffle on user_id, one per-key "
+        "sort). The (value, event_id) ordering is a unique total order, "
+        "so ntile/percent_rank are deterministic and percent_rank's "
+        "(rank-1)/(n-1) divides identical operands on both engines — "
+        "exact double equality, no rounding needed."
+    ),
+)
+def w3_window_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lead("event_id").over(w).alias("next_event"),
+        F.first("event_id").over(w).alias("first_event"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
