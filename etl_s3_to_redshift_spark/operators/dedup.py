@@ -417,3 +417,63 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_repeated_chunks(
+    df: DataFrame,
+    chunk_words: int = 15,
+    max_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level (paragraph-style) dedup: drop every ``chunk_words``-word
+    chunk whose exact text occurs more than ``max_freq`` times across the
+    corpus, then reassemble each document from its surviving chunks — the
+    C4/RefinedWeb "remove duplicated spans, keep the document" curation
+    step, as opposed to whole-document dedup (``exact_dedup``).
+
+    Plan: chunk data-side (sequence+transform+posexplode — no Python),
+    count chunk frequency by a 60-bit md5-prefix hash (the frequency join
+    shuffles 8-byte keys, never chunk text; md5 keeps the oracle
+    portable), filter, reassemble with sort_array(collect_list(struct))
+    so chunk order is restored deterministically. Docs whose every chunk
+    was dropped (or that were empty) survive with clean_text = ''.
+
+    Scale: two shuffles (frequency agg by hash, reassembly by doc) —
+    both linear in chunk count; the only wide rows are the per-doc
+    collect_list at reassembly, bounded by the original document length.
+
+    Returns (id, clean_text, n_total, n_kept).
+    """
+    from etl_s3_to_redshift_spark.functions.text import words
+
+    cw = chunk_words
+    w = words(F.col(text_col))
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.ceil(F.size(w) / cw).cast("int"), F.lit(1)) - 1),
+        lambda i: F.array_join(F.slice(w, i * cw + 1, cw), " "),
+    )
+    base = df.select(F.col(id_col), chunk_arr.alias("__chunks"))
+    chunks = base.select(
+        id_col, F.posexplode("__chunks").alias("idx", "seg")
+    ).withColumn(
+        "__h", F.conv(F.substring(F.md5(F.col("seg")), 1, 15), 16, 10).cast("long")
+    )
+    freq = chunks.groupBy("__h").agg(F.count(F.lit(1)).alias("__freq"))
+    kept = chunks.join(freq, "__h").filter(F.col("__freq") <= max_freq)
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "seg"))), lambda x: x["seg"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = base.select(id_col, F.size("__chunks").cast("long").alias("n_total"))
+    return totals.join(clean, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        "n_total",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+    )

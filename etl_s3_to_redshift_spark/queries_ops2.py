@@ -329,3 +329,60 @@ def w3_window_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level (paragraph-style) dedup: drop repeated chunks, keep the doc
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x != '')"
+
+
+@register(
+    "dedup_repeated_chunks",
+    f"""
+    WITH base AS (
+      SELECT doc_id, {_WORDS_SQL} AS w FROM documents
+    ), chunked AS (
+      SELECT doc_id,
+             list_transform(
+               range(greatest(CAST(ceil(len(w) / 15.0) AS INTEGER), 1)),
+               i -> array_to_string(list_slice(w, i*15 + 1, i*15 + 15), ' ')) AS chunks
+      FROM base
+    ), c AS (
+      SELECT doc_id,
+             generate_subscripts(chunks, 1) - 1 AS idx,
+             unnest(chunks) AS seg
+      FROM chunked
+    ), f AS (
+      SELECT seg, count(*) AS freq FROM c GROUP BY seg
+    ), kept AS (
+      SELECT c.doc_id, c.idx, c.seg FROM c JOIN f USING (seg) WHERE f.freq <= 1
+    ), clean AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) AS clean_text,
+             count(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT ch.doc_id,
+           coalesce(cl.clean_text, '') AS clean_text,
+           len(ch.chunks) AS n_total,
+           coalesce(cl.n_kept, 0) AS n_kept
+    FROM chunked ch LEFT JOIN clean cl USING (doc_id)
+    """,
+    doc=(
+        "Span-level dedup, the C4/RefinedWeb curation step "
+        "(operators/dedup.dedup_repeated_chunks): every 15-word chunk "
+        "seen more than once across the corpus is dropped and documents "
+        "are reassembled from their surviving chunks (vs whole-doc "
+        "dedup_exact_docs). Spark counts chunk frequency by 60-bit "
+        "md5-prefix hash so the frequency shuffle moves 8-byte keys, not "
+        "text; the oracle counts by chunk text — equal because the "
+        "collision odds at this corpus are ~1e-8 (same rationale as "
+        "dedup_simhash's portable hash). Reassembly restores chunk order "
+        "via sort_array(collect_list(struct)) / string_agg(ORDER BY)."
+    ),
+)
+def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.dedup import dedup_repeated_chunks as op
+
+    return op(_t(spark, sf_dir, "documents"), chunk_words=15, max_freq=1)

@@ -121,3 +121,34 @@ def test_training_order_is_permutation_and_parallel(spark):
     # window partitions by bucket — never a single global sort partition
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "partitionBy=[bucket" in plan or "hashpartitioning(bucket" in plan
+
+
+def test_dedup_repeated_chunks_semantics(spark):
+    """Chunks repeated across docs are dropped; unique chunks survive in
+    original order; fully-duplicated docs survive with empty clean_text."""
+    from etl_s3_to_redshift_spark.operators.dedup import dedup_repeated_chunks
+
+    boiler = " ".join(f"b{i}" for i in range(15))  # 15-word repeated chunk
+    u1 = " ".join(f"u{i}" for i in range(15))
+    u2 = " ".join(f"v{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {u1}"),   # boiler + unique
+            (2, f"{boiler} {u2}"),   # boiler + other unique
+            (3, boiler),             # only the repeated chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup_repeated_chunks(docs, chunk_words=15).collect()}
+    assert got[1].clean_text == u1 and (got[1].n_total, got[1].n_kept) == (2, 1)
+    assert got[2].clean_text == u2
+    assert got[3].clean_text == "" and got[3].n_kept == 0  # doc survives
+
+
+def test_dedup_repeated_chunks_restores_order(spark):
+    from etl_s3_to_redshift_spark.operators.dedup import dedup_repeated_chunks
+
+    text = " ".join(f"w{i}" for i in range(60))  # 4 unique chunks, in order
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = dedup_repeated_chunks(docs, chunk_words=15).collect()[0]
+    assert got.clean_text == text and got.n_kept == 4
