@@ -263,6 +263,25 @@ def minhash_lsh_pairs_staged(
     return _lsh_pairs_from(staged, threshold, id_col, num_hashes, bands, verify)
 
 
+def _band_keys(
+    sig_frame: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bucket) LSH band keys from a (id, ..., h0..h{n-1})
+    frame: bucket = xxhash64 of the band's signature rows."""
+    rows_per_band = num_hashes // bands
+    sig = sig_frame.select(F.col(id_col), *[F.col(f"h{i}") for i in range(num_hashes)])
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def _lsh_pairs_from(
     staged: DataFrame,
     threshold: float,
@@ -274,19 +293,8 @@ def _lsh_pairs_from(
     """Shared banding + candidate join + exact-Jaccard verify over a
     (id, sh, h0..h{n-1}) frame — the seam between the inline and staged
     MinHash paths."""
-    rows_per_band = num_hashes // bands
     sets = staged.select(F.col(id_col), F.col("sh"))
-    sig = staged.select(F.col(id_col), *[F.col(f"h{i}") for i in range(num_hashes)])
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = _band_keys(staged, id_col, num_hashes, bands)
     # bucket-grouped pair expansion beats the banded self-join here: the
     # signature subtree runs once instead of twice, and minhash buckets
     # are banding-bounded (see operators/blocking.py for the contract)
@@ -476,4 +484,78 @@ def dedup_repeated_chunks(
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
         "n_total",
         F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+    )
+
+
+def minhash_append_pairs(
+    spark,
+    path: str,
+    new_df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    bands: int = 8,
+) -> DataFrame:
+    """Incremental dedup over a ``stage_minhash`` table: sign the NEW
+    batch, append its rows to the staged parquet, and return the exact
+    near-dup pairs that INVOLVE a new document (new×old and new×new) —
+    the operational 100 TB flow, where each arriving batch is checked
+    against the accumulated corpus without ever re-running corpus×corpus
+    banding.
+
+    Cost: signature computation over the new batch only, one append
+    write, then a band equi-join of the small new side against the staged
+    table (probe cost tracks new-batch bucket hits, not corpus size) and
+    exact-Jaccard verify on candidates. After the append the staged table
+    is already current for the next batch; a full
+    ``minhash_lsh_pairs_staged`` over it equals the inline pipeline over
+    the whole corpus (pinned in tests).
+
+    Returns (id_a, id_b, jaccard) with the pair ordered id_a < id_b.
+    """
+    staged = spark.read.parquet(path)
+    num_hashes = sum(1 for c in staged.columns if c.startswith("h") and c[1:].isdigit())
+    new_sigs = _shingle_sets(new_df, text_col, id_col, k).select(
+        F.col(id_col), F.col("sh"), *_sig_cols(num_hashes)
+    )
+    new_sigs.write.mode("append").parquet(path)
+    # Re-read AFTER the append: the staged table is now base ∪ new, and
+    # reading it back (rather than unioning in-memory lineage) means the
+    # verify/band scans are column-pruned parquet reads, same as the
+    # staged batch path.
+    all_sigs = spark.read.parquet(path)
+    new_ids = new_df.select(F.col(id_col))
+    banded_all = _band_keys(all_sigs, id_col, num_hashes, bands)
+    banded_new = banded_all.join(new_ids, id_col, "left_semi")
+    cand = (
+        banded_new.alias("a")
+        .join(
+            banded_all.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = all_sigs.select(F.col(id_col), F.col("sh"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                n_inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - n_inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )

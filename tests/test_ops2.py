@@ -152,3 +152,54 @@ def test_dedup_repeated_chunks_restores_order(spark):
     docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
     got = dedup_repeated_chunks(docs, chunk_words=15).collect()[0]
     assert got.clean_text == text and got.n_kept == 4
+
+
+def test_minhash_append_pairs_incremental(spark, tmp_path):
+    """Append seam: new-batch pairs against the accumulated staged table
+    equal the full-corpus pairs restricted to new ids, and the staged
+    table is current for a full re-band afterwards."""
+    from etl_s3_to_redshift_spark.operators.dedup import (
+        minhash_append_pairs,
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_staged,
+        stage_minhash,
+    )
+
+    def doc(i, seedwords):
+        return (i, " ".join(seedwords))
+
+    base_words = [f"tok{j}" for j in range(40)]
+    other = [f"alt{j}" for j in range(40)]
+    base = spark.createDataFrame(
+        [doc(1, base_words), doc(2, other)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh")
+    stage_minhash(base, path, num_hashes=32)
+
+    # new batch: near-dup of doc 1 (one word changed), dup pair inside the
+    # batch, and one unrelated doc
+    nd = base_words[:]
+    nd[5] = "CHANGED"
+    new = spark.createDataFrame(
+        [doc(10, nd), doc(11, nd), doc(12, [f"zz{j}" for j in range(40)])],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_append_pairs(spark, path, new, threshold=0.5, bands=16).collect()
+    }
+    assert (10, 11) in got          # new×new exact dup
+    assert (1, 10) in got and (1, 11) in got  # new×old near-dups
+    assert not any(12 in p for p in got)
+
+    # the staged table is current: full staged re-band == inline full corpus
+    full = base.unionByName(new)
+    inline = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(full, threshold=0.5, num_hashes=32, bands=16).collect()
+    }
+    staged_now = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs_staged(spark, path, threshold=0.5, bands=16).collect()
+    }
+    assert staged_now == inline
