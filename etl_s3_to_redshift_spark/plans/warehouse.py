@@ -60,3 +60,54 @@ def drop_staging_views(spark: SparkSession, names: list[str]) -> None:
     storage, dropping them just frees the name."""
     for t in names:
         spark.catalog.dropTempView(t)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_key: str | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction — the table-maintenance job every streaming /
+    incremental sink eventually needs (foreachBatch upserts and per-batch
+    appends accrete files far below the scan-efficient size; at 100 TB a
+    million 1 MB files costs more in listing + task scheduling than the
+    scan itself).
+
+    Reads the table, sizes the output at ceil(total_bytes /
+    target_file_bytes) files, optionally re-sorts within partitions so
+    row-group min/max stats stay tight (the sortkey analogue), and writes
+    to ``dst_path``. The swap (point readers at dst / rename) is the
+    caller's step: renames are not atomic on object stores, so the safe
+    pattern everywhere is write-new-prefix + flip the reader's pointer —
+    same shape as the reference's full-refresh staging swap
+    (/root/reference/etl.py:22-34).
+
+    Returns (n_files_before, n_files_after).
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    src = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = src.getFileSystem(conf)
+    statuses = [
+        s
+        for s in fs.listStatus(src)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    ]
+    total_bytes = sum(s.getLen() for s in statuses)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    out = df.repartition(n_out)
+    if sort_key:
+        out = out.sortWithinPartitions(sort_key)
+    out.write.mode("overwrite").parquet(dst_path)
+    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
+    n_after = sum(
+        1
+        for s in fs.listStatus(dst)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+    )
+    return len(statuses), n_after

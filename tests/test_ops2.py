@@ -203,3 +203,18 @@ def test_minhash_append_pairs_incremental(spark, tmp_path):
         for r in minhash_lsh_pairs_staged(spark, path, threshold=0.5, bands=16).collect()
     }
     assert staged_now == inline
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from etl_s3_to_redshift_spark.plans.warehouse import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    # accrete 40 tiny files (the incremental-sink failure mode)
+    spark.range(0, 4000).repartition(40).write.parquet(src)
+    before, after = compact_parquet(
+        spark, src, dst, target_file_bytes=10 * 1024 * 1024, sort_key="id"
+    )
+    assert before == 40 and after < 8
+    a = {r.id for r in spark.read.parquet(src).collect()}
+    b = {r.id for r in spark.read.parquet(dst).collect()}
+    assert a == b
