@@ -70,6 +70,14 @@ def main() -> None:
             r = src
             for kcol in keys:
                 r = r.withColumn(kcol, F.col(kcol) + F.lit(i * OFF))
+            # key-derived entity names must track the offset key, or the
+            # replicas would be distinct entities sharing one name (which
+            # turns name-keyed ops — e.g. the fuzzy match — quadratic in
+            # the replica count, an artifact no real corpus has)
+            if t == "customer":
+                r = r.withColumn("c_name", F.format_string("Customer#%09d", "c_custkey"))
+            elif t == "supplier":
+                r = r.withColumn("s_name", F.format_string("Supplier#%09d", "s_suppkey"))
             if t == "documents" and i > 0:
                 r = r.withColumn(
                     "text",

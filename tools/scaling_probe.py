@@ -32,6 +32,11 @@ QUERIES = [
     "q9_product_profit",
     "q13_order_count_distribution",
     "q21_waiting_supplier",
+    # round-2b: chunk-frequency shuffle + reassembly, complement-key
+    # blocked fuzzy join, spine-generating gap-fill
+    "dedup_repeated_chunks",
+    "fuzzy_customer_match",
+    "ts_gapfill_hourly",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
