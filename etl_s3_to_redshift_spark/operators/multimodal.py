@@ -151,3 +151,72 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int =
             yield pd.DataFrame({"media_id": ids, "frame_no": frame_nos, "frame": frames})
 
     return media.mapInPandas(kernel, schema=out_schema)
+
+
+def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
+    """Thumbnail/resize plumbing: payloads whose long side exceeds
+    ``max_side`` are scaled down aspect-preserving.
+
+    The split mirrors a real codec op: target dimensions and the target
+    byte budget are EXACT JVM integer arithmetic (``a * max_side DIV
+    long_side`` — no float rounding, so the metadata contract is
+    oracle-checkable to the byte), while only the pixel resample crosses
+    into the Arrow kernel. The container ships no codec, so the kernel is
+    the documented deterministic stand-in — truncate the payload to the
+    area-scaled byte budget; a real implementation swaps ``decode_image``
+    + re-encode into the same kernel without touching the plan.
+
+    Input/output schema: (media_id, payload, mime, width, height).
+    Rows already within bounds pass through untouched (byte-identical).
+    """
+    out_schema = MEDIA_SCHEMA
+
+    step = (
+        media.withColumn("__w", F.col("width").cast("long"))
+        .withColumn("__h", F.col("height").cast("long"))
+        .withColumn("__ls", F.greatest("__w", "__h"))
+        .withColumn(
+            "__nw",
+            F.when(
+                F.col("__ls") > max_side,
+                F.greatest(F.lit(1).cast("long"), F.expr(f"__w * {max_side} DIV __ls")),
+            ).otherwise(F.col("__w")),
+        )
+        .withColumn(
+            "__nh",
+            F.when(
+                F.col("__ls") > max_side,
+                F.greatest(F.lit(1).cast("long"), F.expr(f"__h * {max_side} DIV __ls")),
+            ).otherwise(F.col("__h")),
+        )
+        .withColumn(
+            "__tgt",
+            F.when(
+                F.col("__ls") > max_side,
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(
+                        "CAST(octet_length(payload) AS BIGINT) * (__nw * __nh)"
+                        " DIV (__w * __h)"
+                    ),
+                ),
+            ).otherwise(F.octet_length("payload").cast("long")),
+        )
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        bytes(p)[: int(t)] for p, t in zip(pdf["payload"], pdf["__tgt"])
+                    ],
+                    "mime": pdf["mime"],
+                    "width": pdf["__nw"].astype("int32"),
+                    "height": pdf["__nh"].astype("int32"),
+                }
+            )
+
+    cols = ["media_id", "payload", "mime", "__nw", "__nh", "__tgt"]
+    return step.select(*cols).mapInPandas(kernel, schema=out_schema)

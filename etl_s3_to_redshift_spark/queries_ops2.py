@@ -386,3 +386,58 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.dedup import dedup_repeated_chunks as op
 
     return op(_t(spark, sf_dir, "documents"), chunk_words=15, max_freq=1)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize plumbing (metadata contract oracle-checked)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_resize_thumbs",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             64 + (doc_id * 13) % 960 AS w,
+             64 + (doc_id * 7) % 540 AS h
+      FROM documents
+    ), r AS (
+      SELECT media_id, n_bytes, w, h, greatest(w, h) AS ls FROM m
+    )
+    SELECT media_id,
+           CAST(CASE WHEN ls > 128 THEN greatest(1, w * 128 // ls) ELSE w END AS INTEGER) AS width,
+           CAST(CASE WHEN ls > 128 THEN greatest(1, h * 128 // ls) ELSE h END AS INTEGER) AS height,
+           CASE WHEN ls > 128
+                THEN greatest(1, n_bytes * ((w * 128 // ls) * (h * 128 // ls)) // (w * h))
+                ELSE n_bytes END AS out_bytes
+    FROM r
+    """,
+    doc=(
+        "Image-resize plumbing (operators/multimodal.resize_media): "
+        "aspect-preserving thumbnail pass where target dims and the byte "
+        "budget are exact JVM integer arithmetic and only the resample "
+        "kernel runs in Arrow (deterministic truncation stub — the "
+        "container has no codec; a real decoder swaps into the same "
+        "kernel). Synthetic dims derive from the doc id; the oracle "
+        "replays the integer math, so the metadata+byte contract is "
+        "hash-exact, not rows-only."
+    ),
+)
+def mm_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.multimodal import docs_as_media, resize_media
+
+    media = docs_as_media(_t(spark, sf_dir, "documents")).select(
+        "media_id",
+        "payload",
+        "mime",
+        (64 + (F.col("media_id") * 13) % 960).cast("int").alias("width"),
+        (64 + (F.col("media_id") * 7) % 540).cast("int").alias("height"),
+    )
+    out = resize_media(media, max_side=128)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.octet_length("payload").cast("long").alias("out_bytes"),
+    )

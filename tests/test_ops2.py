@@ -218,3 +218,22 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     a = {r.id for r in spark.read.parquet(src).collect()}
     b = {r.id for r in spark.read.parquet(dst).collect()}
     assert a == b
+
+
+def test_resize_media_contract(spark):
+    """Aspect-preserving integer math; in-bounds rows pass through
+    byte-identical; oversized rows get the area-scaled byte budget."""
+    from etl_s3_to_redshift_spark.operators.multimodal import resize_media
+
+    rows = [
+        (1, b"x" * 1000, "image/png", 1024, 512),  # long side 1024 -> 128
+        (2, b"y" * 100, "image/png", 100, 50),     # within bounds
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime string, width int, height int"
+    )
+    got = {r.media_id: r for r in resize_media(media, max_side=128).collect()}
+    assert (got[1].width, got[1].height) == (128, 64)  # 1024*128//1024, 512*128//1024
+    assert len(got[1].payload) == max(1, 1000 * (128 * 64) // (1024 * 512))
+    assert (got[2].width, got[2].height) == (100, 50)
+    assert bytes(got[2].payload) == b"y" * 100  # untouched
