@@ -301,9 +301,15 @@ def _lsh_pairs_from(
     cand = pairs_within_buckets(banded, ["band", "bucket"], id_col)
     if not verify:
         return cand
-    # Verify ONLY the candidates (this is the whole point of LSH): join the
-    # per-doc shingle sets to each side and compute exact Jaccard with
-    # array_intersect — O(candidates), never O(co-shingle pairs).
+    return _verify_pairs(cand, sets, threshold, id_col)
+
+
+def _verify_pairs(
+    cand: DataFrame, sets: DataFrame, threshold: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs against
+    a (id, sh) shingle-set frame — ONLY the candidates are scored (the
+    whole point of LSH): O(candidates), never O(co-shingle pairs)."""
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -505,29 +511,40 @@ def minhash_append_pairs(
     banding.
 
     Cost: signature computation over the new batch only, one append
-    write, then a band equi-join of the small new side against the staged
-    table (probe cost tracks new-batch bucket hits, not corpus size) and
-    exact-Jaccard verify on candidates. After the append the staged table
-    is already current for the next batch; a full
-    ``minhash_lsh_pairs_staged`` over it equals the inline pipeline over
-    the whole corpus (pinned in tests).
+    write, then a band equi-join of the small new side (banded from the
+    in-memory signatures — the staged corpus is banded once as the build
+    side, never a second time for the probe) against the staged table,
+    and exact-Jaccard verify on candidates. Idempotent under retries: ids
+    already present in the staged table are dropped from the batch before
+    signing, so re-running a batch appends nothing and returns no
+    duplicate pairs. After the append the staged table is current for the
+    next batch; a full ``minhash_lsh_pairs_staged`` over it equals the
+    inline pipeline over the whole corpus (pinned in tests).
 
     Returns (id_a, id_b, jaccard) with the pair ordered id_a < id_b.
     """
     staged = spark.read.parquet(path)
     num_hashes = sum(1 for c in staged.columns if c.startswith("h") and c[1:].isdigit())
-    new_sigs = _shingle_sets(new_df, text_col, id_col, k).select(
+    # retry/idempotency guard: never re-append an id the table already has
+    # (a re-run after a downstream failure would otherwise permanently
+    # duplicate staged rows AND fan out every future pair join)
+    fresh = new_df.join(staged.select(F.col(id_col)), id_col, "left_anti")
+    new_sigs = _shingle_sets(fresh, text_col, id_col, k).select(
         F.col(id_col), F.col("sh"), *_sig_cols(num_hashes)
     )
     new_sigs.write.mode("append").parquet(path)
     # Re-read AFTER the append: the staged table is now base ∪ new, and
     # reading it back (rather than unioning in-memory lineage) means the
-    # verify/band scans are column-pruned parquet reads, same as the
+    # verify/build scans are column-pruned parquet reads, same as the
     # staged batch path.
     all_sigs = spark.read.parquet(path)
-    new_ids = new_df.select(F.col(id_col))
+    new_ids = fresh.select(F.col(id_col))
     banded_all = _band_keys(all_sigs, id_col, num_hashes, bands)
-    banded_new = banded_all.join(new_ids, id_col, "left_semi")
+    # probe side: band the staged rows of the NEW ids only (semi-join
+    # prunes before the band explode), so probe cost tracks the batch
+    banded_new = _band_keys(
+        all_sigs.join(new_ids, id_col, "left_semi"), id_col, num_hashes, bands
+    )
     cand = (
         banded_new.alias("a")
         .join(
@@ -543,19 +560,4 @@ def minhash_append_pairs(
         .distinct()
     )
     sets = all_sigs.select(F.col(id_col), F.col("sh"))
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (
-                n_inter.cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - n_inter).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
+    return _verify_pairs(cand, sets, threshold, id_col)

@@ -167,10 +167,15 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
     + re-encode into the same kernel without touching the plan.
 
     Input/output schema: (media_id, payload, mime, width, height).
-    Rows already within bounds pass through untouched (byte-identical).
+    Rows already within bounds — and rows with unknown (NULL) dimensions,
+    which ``docs_as_media`` produces — pass through untouched
+    (byte-identical, dims preserved).
     """
     out_schema = MEDIA_SCHEMA
 
+    # NULL-dim rows must take the passthrough branch: `__ls > max_side` is
+    # NULL (not false) for them, and when()'s otherwise covers both cases.
+    needs = F.col("__ls").isNotNull() & (F.col("__ls") > max_side)
     step = (
         media.withColumn("__w", F.col("width").cast("long"))
         .withColumn("__h", F.col("height").cast("long"))
@@ -178,21 +183,21 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
         .withColumn(
             "__nw",
             F.when(
-                F.col("__ls") > max_side,
+                needs,
                 F.greatest(F.lit(1).cast("long"), F.expr(f"__w * {max_side} DIV __ls")),
             ).otherwise(F.col("__w")),
         )
         .withColumn(
             "__nh",
             F.when(
-                F.col("__ls") > max_side,
+                needs,
                 F.greatest(F.lit(1).cast("long"), F.expr(f"__h * {max_side} DIV __ls")),
             ).otherwise(F.col("__h")),
         )
         .withColumn(
             "__tgt",
             F.when(
-                F.col("__ls") > max_side,
+                needs,
                 F.greatest(
                     F.lit(1).cast("long"),
                     F.expr(
@@ -213,8 +218,9 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
                         bytes(p)[: int(t)] for p, t in zip(pdf["payload"], pdf["__tgt"])
                     ],
                     "mime": pdf["mime"],
-                    "width": pdf["__nw"].astype("int32"),
-                    "height": pdf["__nh"].astype("int32"),
+                    # nullable Int32: NULL dims survive the Arrow round-trip
+                    "width": pdf["__nw"].astype("Int32"),
+                    "height": pdf["__nh"].astype("Int32"),
                 }
             )
 

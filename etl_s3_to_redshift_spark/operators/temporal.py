@@ -142,10 +142,16 @@ def resample_gapfill(
     final projection.
     """
     step = F.expr(f"INTERVAL {step_hours} HOURS")
+    # bucket on the step grid itself (epoch-aligned floor to step_hours),
+    # NOT date_trunc('hour'): an hour-truncated bucket off the step grid
+    # would match no spine row in the left join and its events would
+    # silently vanish for any step_hours != 1
+    step_sec = step_hours * 3600
+    bucket = F.timestamp_seconds(
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long") * step_sec
+    )
     hourly = (
-        events.groupBy(
-            F.col(key_col), F.date_trunc("hour", F.col(ts_col)).alias("bucket_start")
-        )
+        events.groupBy(F.col(key_col), bucket.alias("bucket_start"))
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.sum(F.col(value_col).cast("decimal(12,2)")).alias("__v"),

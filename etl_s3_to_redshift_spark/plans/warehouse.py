@@ -84,30 +84,44 @@ def compact_parquet(
     same shape as the reference's full-refresh staging swap
     (/root/reference/etl.py:22-34).
 
+    A flat (unpartitioned) table directory is required: compaction reads
+    the whole table and repartitions, which would flatten a
+    partitionBy(...) directory layout — compact partitioned tables one
+    partition directory at a time (each partition IS a flat parquet dir).
+    Raises ValueError if ``src_path`` contains subdirectories.
+
     Returns (n_files_before, n_files_after).
     """
     import math
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    src = jvm.org.apache.hadoop.fs.Path(src_path)
-    fs = src.getFileSystem(conf)
-    statuses = [
-        s
-        for s in fs.listStatus(src)
-        if s.isFile() and s.getPath().getName().endswith(".parquet")
-    ]
-    total_bytes = sum(s.getLen() for s in statuses)
+
+    def parquet_files(p: str) -> tuple[list, list]:
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        fs = path.getFileSystem(conf)
+        statuses = list(fs.listStatus(path))
+        files = [
+            s
+            for s in statuses
+            if s.isFile() and s.getPath().getName().endswith(".parquet")
+        ]
+        dirs = [s for s in statuses if s.isDirectory()]
+        return files, dirs
+
+    files, dirs = parquet_files(src_path)
+    if dirs:
+        raise ValueError(
+            f"{src_path} contains subdirectories (a partitioned layout?) — "
+            "compact each partition directory separately; whole-table "
+            "compaction would flatten the partitioning"
+        )
+    total_bytes = sum(s.getLen() for s in files)
     n_out = max(1, math.ceil(total_bytes / target_file_bytes))
     df = spark.read.parquet(src_path)
     out = df.repartition(n_out)
     if sort_key:
         out = out.sortWithinPartitions(sort_key)
     out.write.mode("overwrite").parquet(dst_path)
-    dst = jvm.org.apache.hadoop.fs.Path(dst_path)
-    n_after = sum(
-        1
-        for s in fs.listStatus(dst)
-        if s.isFile() and s.getPath().getName().endswith(".parquet")
-    )
-    return len(statuses), n_after
+    n_after = len(parquet_files(dst_path)[0])
+    return len(files), n_after

@@ -404,14 +404,22 @@ def dedup_repeated_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), r AS (
       SELECT media_id, n_bytes, w, h, greatest(w, h) AS ls FROM m
+    ), d AS (
+      -- clamp each dim BEFORE the byte-budget product, exactly as the
+      -- operator does (greatest(1, ...) per dimension) — without it the
+      -- two would diverge for aspect ratios above max_side
+      SELECT media_id, n_bytes, w, h, ls,
+             CASE WHEN ls > 128 THEN greatest(1, w * 128 // ls) ELSE w END AS nw,
+             CASE WHEN ls > 128 THEN greatest(1, h * 128 // ls) ELSE h END AS nh
+      FROM r
     )
     SELECT media_id,
-           CAST(CASE WHEN ls > 128 THEN greatest(1, w * 128 // ls) ELSE w END AS INTEGER) AS width,
-           CAST(CASE WHEN ls > 128 THEN greatest(1, h * 128 // ls) ELSE h END AS INTEGER) AS height,
+           CAST(nw AS INTEGER) AS width,
+           CAST(nh AS INTEGER) AS height,
            CASE WHEN ls > 128
-                THEN greatest(1, n_bytes * ((w * 128 // ls) * (h * 128 // ls)) // (w * h))
+                THEN greatest(1, n_bytes * (nw * nh) // (w * h))
                 ELSE n_bytes END AS out_bytes
-    FROM r
+    FROM d
     """,
     doc=(
         "Image-resize plumbing (operators/multimodal.resize_media): "

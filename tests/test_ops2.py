@@ -237,3 +237,76 @@ def test_resize_media_contract(spark):
     assert len(got[1].payload) == max(1, 1000 * (128 * 64) // (1024 * 512))
     assert (got[2].width, got[2].height) == (100, 50)
     assert bytes(got[2].payload) == b"y" * 100  # untouched
+
+
+def test_gapfill_multi_hour_step_keeps_all_events(spark):
+    """step_hours != 1 must bucket on the step grid — no event may vanish
+    off-grid (regression: hour-truncated buckets missed the spine join)."""
+    from etl_s3_to_redshift_spark.operators.temporal import resample_gapfill
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 10), 5.0),
+            (1, datetime(2024, 1, 1, 1, 10), 3.0),   # off the 2h grid start
+            (1, datetime(2024, 1, 1, 4, 10), 7.0),
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = resample_gapfill(ev, step_hours=2).collect()
+    assert sum(r.n_events for r in rows) == 3  # nothing dropped
+    by_bucket = {r.bucket_start.hour: r for r in rows}
+    assert by_bucket[0].bucket_value == 8.0    # hours 0+1 share the 2h bucket
+    assert by_bucket[2].n_events == 0 and by_bucket[2].carried_value == 8.0
+    assert by_bucket[4].bucket_value == 7.0
+
+
+def test_resize_media_null_dims_pass_through(spark):
+    """docs_as_media produces NULL dims — those rows must pass through
+    untouched, not crash the Arrow kernel (regression)."""
+    from etl_s3_to_redshift_spark.operators.multimodal import (
+        docs_as_media,
+        resize_media,
+    )
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    got = resize_media(docs_as_media(docs), max_side=128).collect()[0]
+    assert got.width is None and got.height is None
+    assert bytes(got.payload) == b"hello world"
+
+
+def test_minhash_append_pairs_idempotent_retry(spark, tmp_path):
+    """Re-running the same batch (retry after downstream failure) must not
+    duplicate staged rows or pair output (regression)."""
+    from etl_s3_to_redshift_spark.operators.dedup import (
+        minhash_append_pairs,
+        stage_minhash,
+    )
+
+    base = spark.createDataFrame(
+        [(1, " ".join(f"tok{j}" for j in range(40)))], "doc_id long, text string"
+    )
+    path = str(tmp_path / "mh")
+    stage_minhash(base, path, num_hashes=32)
+    new = spark.createDataFrame(
+        [(10, " ".join(f"tok{j}" for j in range(40)))], "doc_id long, text string"
+    )
+    first = minhash_append_pairs(spark, path, new, threshold=0.5, bands=16).collect()
+    assert {(r.id_a, r.id_b) for r in first} == {(1, 10)}
+    # retry: no new staged rows, no pairs re-emitted
+    n_staged = spark.read.parquet(path).count()
+    second = minhash_append_pairs(spark, path, new, threshold=0.5, bands=16).collect()
+    assert spark.read.parquet(path).count() == n_staged
+    assert second == []
+
+
+def test_compact_parquet_rejects_partitioned_layout(spark, tmp_path):
+    import pytest as _pytest
+
+    from etl_s3_to_redshift_spark.plans.warehouse import compact_parquet
+
+    src = str(tmp_path / "part")
+    spark.range(0, 100).withColumn("p", F.col("id") % 2).write.partitionBy(
+        "p"
+    ).parquet(src)
+    with _pytest.raises(ValueError, match="partition"):
+        compact_parquet(spark, src, str(tmp_path / "out"))
