@@ -77,7 +77,9 @@ def curate_corpus(
     min_stopword_ratio: float = 0.0,
     near_dup_threshold: float = 0.7,
     decontam_k: int = 5,
+    chunk_dedup_words: int | None = None,
     split_weights: dict[str, float] | None = None,
+    order_buckets: int | None = None,
     staging_dir: str | None = None,
 ) -> CurationResult:
     """Run the full curation pipeline; see module docstring for stages.
@@ -120,6 +122,25 @@ def curate_corpus(
     neardup = _maybe_stage(spark, neardup, staging_dir, "neardup_removed")
     stats["neardup_removed"] = neardup.count()
 
+    # 3b. optional span-level dedup (C4-style): rewrite each surviving
+    # doc with its corpus-repeated chunks removed — document-level dedup
+    # above catches whole near-copies; this catches shared boilerplate
+    if chunk_dedup_words is not None:
+        from etl_s3_to_redshift_spark.operators.dedup import dedup_repeated_chunks
+
+        cleaned = dedup_repeated_chunks(
+            neardup, chunk_words=chunk_dedup_words, text_col=text_col, id_col=id_col
+        )
+        neardup = (
+            neardup.drop(text_col)
+            .join(
+                cleaned.select(id_col, F.col("clean_text").alias(text_col)),
+                [id_col],
+            )
+        )
+        neardup = _maybe_stage(spark, neardup, staging_dir, "chunk_deduped")
+        stats["chunk_deduped"] = neardup.count()
+
     # 4. decontamination — anti-join on contaminated ids
     if benchmark is not None:
         contaminated = decontaminate(
@@ -136,6 +157,11 @@ def curate_corpus(
         split_weights or {"train": 0.98, "val": 0.01, "test": 0.01},
         id_col=id_col,
     )
+    # 6. optional deterministic training order (bucketed global shuffle)
+    if order_buckets is not None:
+        from etl_s3_to_redshift_spark.operators.sampling import training_order
+
+        out = training_order(out, id_col=id_col, n_buckets=order_buckets)
     stats["curated"] = stats["decontaminated"]
     return CurationResult(curated=out, stats=stats)
 

@@ -88,3 +88,31 @@ def test_write_curated_partitions_by_split(spark, result, tmp_path):
         back.filter(F.col("split") == "train").count()
         == result.curated.filter(F.col("split") == "train").count()
     )
+
+
+def test_full_pipeline_with_chunk_dedup_and_order(spark, docs, bench_docs):
+    """All optional stages on: span dedup rewrites text (total chars can
+    only shrink), training order yields a (bucket, pos) bijection."""
+    res = curate_corpus(
+        spark,
+        docs,
+        bench_docs,
+        chunk_dedup_words=15,
+        order_buckets=8,
+    )
+    out = res.curated
+    assert {"bucket", "pos", "split"} <= set(out.columns)
+    rows = out.select("doc_id", "bucket", "pos").collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r.pos)
+    for poss in by_bucket.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    assert res.stats["chunk_deduped"] == res.stats["neardup_removed"]  # docs kept
+    # span dedup only removes text, never adds
+    base_chars = dict(
+        docs.select("doc_id", F.length("text").alias("n")).collect()
+    )
+    for r in out.select("doc_id", F.length("text").alias("n")).collect():
+        assert r.n <= base_chars[r.doc_id]
