@@ -45,12 +45,20 @@ def blocked_substitution_join(
     recall is exactly 1.0, proven, not probabilistic. Candidates then
     verify with ``levenshtein() <= max_dist``.
 
-    Scale: block keys are near-unique (a complement carries all but ~1/n
-    of the string), so candidate counts track true-match counts, not the
-    corpus square. Two shuffles: the block equi-join and the pair
-    distinct. Same pigeonhole idea as dedup.simhash_pairs' bit blocks;
-    for insert/delete edits (shifted positions break segment alignment)
-    use shingle blocking (dedup.jaccard_pairs) instead.
+    Scale: candidate volume is Σ block², so it is governed by complement
+    ENTROPY, not just corpus size. Each complement carries all but ~1/n
+    of the string — pick ``n_segments`` so that every complement keeps
+    enough discriminative characters. For ID-like strings (constant
+    prefix + zero-padded number) coarse segments are a trap: one
+    complement ends up holding only the constant region and its block
+    swallows the corpus (measured: n=3 over 'Customer#000014999'-style
+    names → one ~corpus-size block → Σ block² explodes quadratically).
+    Finer segments fix it at negligible cost (explode ×n of id-sized
+    rows): n=9 keeps ≥7 of 9 digits in every complement. Two shuffles:
+    the block equi-join and the pair distinct. Same pigeonhole idea as
+    dedup.simhash_pairs' bit blocks; for insert/delete edits (shifted
+    positions break segment alignment) use shingle blocking
+    (dedup.jaccard_pairs) instead.
 
     Returns (probe_id, ref_id, dist) with dist = levenshtein distance.
     """

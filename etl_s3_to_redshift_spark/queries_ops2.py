@@ -122,7 +122,10 @@ def fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ref_id="matched_id",
         ref_col="c_name",
         max_dist=1,
-        n_segments=3,
+        # finer segments keep >=7 of the 9 digits in every complement —
+        # with n=3 the digits-4..9 complement holds only the constant
+        # prefix and its block swallows the corpus (see operator notes)
+        n_segments=9,
     )
 
 
