@@ -64,7 +64,7 @@ def main() -> None:
         print(f"{t}: copied (bounded dim)")
     for t, keys in KEYED.items():
         t0 = time.time()
-        src = spark.read.parquet(f"{SRC}/{t}.parquet")  # events.ts -> long
+        src = spark.read.parquet(f"{SRC}/{t}.parquet")
         reps = []
         for i in range(REPLICAS):
             r = src
