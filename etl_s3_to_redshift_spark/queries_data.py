@@ -599,19 +599,44 @@ def mm_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_frame_sample",
-    None,  # binary frame slices: plumbing check (rows-only); shapes pinned in tests
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, text FROM documents
+    ), f AS (
+      SELECT media_id,
+             unnest(range(least(CAST(ceil(length(text) / 128.0) AS INTEGER), 8))) AS frame_no,
+             text
+      FROM m
+    )
+    SELECT media_id,
+           CAST(frame_no AS INTEGER) AS frame_no,
+           length(substring(text, frame_no * 128 + 1, 128)) AS n_bytes,
+           md5(substring(text, frame_no * 128 + 1, 128)) AS frame_md5
+    FROM f
+    """,
     doc=(
         "Frame-sampling plumbing: payloads sliced into fixed-size frames "
         "inside the Arrow kernel, ≤8 frames each, one row per frame "
         "(operators/multimodal.sample_frames). Sampling happens inside the "
-        "kernel so raw payloads never amplify across a shuffle."
+        "kernel so raw payloads never amplify across a shuffle. The "
+        "output projects each binary frame to (n_bytes, md5) so the "
+        "kernel's exact slicing is hash-checked against the oracle's "
+        "text-domain slices (the corpus is pure ASCII — verified "
+        "octet_length==length — so byte and character offsets coincide "
+        "and DuckDB's varchar md5 equals Spark's binary md5)."
     ),
 )
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.multimodal import docs_as_media, sample_frames
 
     media = docs_as_media(_t(spark, sf_dir, "documents"))
-    return sample_frames(media, every_n_bytes=128, max_frames=8)
+    frames = sample_frames(media, every_n_bytes=128, max_frames=8)
+    return frames.select(
+        "media_id",
+        "frame_no",
+        F.octet_length("frame").cast("long").alias("n_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
 
 
 @register(
