@@ -492,3 +492,187 @@ def label_centroids(
         )
         .select(label_col, F.col("pos").cast("int").alias("pos"), "centroid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    train_rows: int = 10_000,
+    iters: int = 10,
+):
+    """Train PQ codebooks: split ``dim`` into ``m`` subspaces and run a
+    small seeded Lloyd k-means per subspace on a driver-side sample —
+    the faiss training shape (codebooks need thousands of points, not
+    the corpus; at 100 TB you sample ~1e5 vectors and train in memory).
+    Returns a numpy array of shape (m, n_codes, dim//m), deterministic
+    for a given seed/sample.
+    """
+    assert dim % m == 0, "m must evenly split the dimension"
+    sub = dim // m
+    sample = np.asarray(
+        [
+            r[0]
+            for r in corpus.select(to_double_array(F.col(vec_col)))
+            .limit(train_rows)
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, n_codes, sub))
+    for j in range(m):
+        x = sample[:, j * sub : (j + 1) * sub]
+        cent = x[rng.choice(len(x), size=n_codes, replace=False)].copy()
+        for _ in range(iters):
+            d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = x[mask].mean(0)
+        books[j] = cent
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to ``m`` one-byte codes (nearest centroid per
+    subspace) — a 64-float vector compresses to 8 bytes. Arrow-batched
+    numpy kernel; the codebook rides the closure (tiny). Returns
+    (id, codes array<int>)."""
+    books = np.asarray(codebooks)
+    m, n_codes, sub = books.shape
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for j in range(m):
+                x = vecs[:, j * sub : (j + 1) * sub]
+                # ||x - c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+                d = -2.0 * (x @ books[j].T) + (books[j] ** 2).sum(1)[None, :]
+                codes[:, j] = d.argmin(1)
+            yield pd.DataFrame({"__id": pdf["__id"], "codes": list(codes)})
+
+    return (
+        corpus.select(F.col(id_col).alias("__id"), to_double_array(F.col(vec_col)).alias("__v"))
+        .mapInPandas(kernel, schema="__id long, codes array<int>")
+        .select(F.col("__id").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, a lookup table
+    LUT[j][c] = q_sub_j · centroid_c amortizes scoring to ``m`` adds per
+    corpus vector — the scan reads 8-byte codes, never raw vectors.
+    Cosine uses the reconstructed norm (sqrt Σ ||centroid||²), the
+    standard ADC approximation. Queries collect to the driver (the
+    serving shape, same as brute_force_topk_np); per-partition local
+    top-k then one global window over ≤ k·q·partitions rows."""
+    books = np.asarray(codebooks)
+    m, n_codes, sub = books.shape
+    qrows = queries.select(F.col(query_id_col), to_double_array(F.col(vec_col))).collect()
+    q_ids = np.asarray([r[0] for r in qrows])
+    q_vecs = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_norms = np.linalg.norm(q_vecs, axis=1)
+    # LUTs: (n_queries, m, n_codes) dot-product tables + centroid sq-norms
+    luts = np.einsum("qjs,jcs->qjc", q_vecs.reshape(len(q_vecs), m, sub), books)
+    cent_sq = (books**2).sum(-1)  # (m, n_codes)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            codes = np.asarray([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ids = pdf["__id"].to_numpy()
+            if len(codes) == 0:
+                continue
+            col_idx = np.arange(m)
+            # reconstructed squared norm per corpus vector
+            rec_sq = cent_sq[col_idx[None, :], codes].sum(1)
+            rec_norm = np.sqrt(np.maximum(rec_sq, 1e-12))
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                dots = luts[qi][col_idx[None, :], codes].sum(1)
+                sims = dots / (np.maximum(q_norms[qi], 1e-12) * rec_norm)
+                top = np.argsort(-sims)[: k * 2]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_id.extend(ids[top])
+                out_s.extend(sims[top])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "pq_sim": out_s}
+            )
+
+    local = codes_df.select(F.col(id_col).alias("__id"), "codes").mapInPandas(
+        kernel, schema=f"{query_id_col} long, {id_col} long, pq_sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("pq_sim").desc(), F.col(id_col).asc())
+    return (
+        local.filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "pq_sim", "rank")
+    )
+
+
+def pq_topk_rerank(
+    codes_df: DataFrame,
+    codebooks,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ shortlist + exact re-rank — the deployed PQ shape: the
+    compressed-domain scan proposes ``k * shortlist_factor`` candidates
+    per query (reading 8-byte codes only), then exact cosine re-scores
+    just the shortlist against raw vectors (a semi-join-sized read, never
+    a corpus scan). Recall approaches exact as shortlist_factor grows;
+    the full-corpus raw-vector read is gone either way."""
+    short = pq_topk(
+        codes_df, codebooks, queries, k=k * shortlist_factor,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = (
+        short.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

@@ -452,3 +452,36 @@ def mm_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.octet_length("payload").cast("long").alias("out_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization ANN (compressed-domain search + exact re-rank)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sim_ann_pq",
+    None,  # approximate (PQ codes); recall floor + determinism pinned in tests
+    doc=(
+        "Product-quantization ANN (operators/similarity.train_pq_codebooks"
+        "/pq_encode/pq_topk_rerank): vectors compress 64 floats -> 8 "
+        "one-byte codes (seeded Lloyd codebooks trained on a driver-side "
+        "sample, the faiss shape); the corpus scan reads codes only, "
+        "scoring via per-query lookup tables (m adds per vector), then "
+        "exact cosine re-ranks the shortlist — the full-corpus raw-vector "
+        "scan is gone. Rows-only: PQ is approximate by design; recall "
+        "floor vs exact pinned in test_ops2."
+    ),
+)
+def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    books = train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    codes = pq_encode(emb, books)
+    return pq_topk_rerank(codes, books, emb, queries, k=10, shortlist_factor=4)

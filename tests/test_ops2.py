@@ -356,3 +356,37 @@ def test_zorder_write_tightens_stats_on_both_columns(spark, tmp_path):
     assert avg_span(zpath, "b") < 500
     # and the data survived intact
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_pq_recall_floor_and_determinism(spark):
+    """PQ+rerank recall@10 vs exact must clear a floor; codebooks and
+    codes are deterministic for a fixed seed."""
+    import numpy as np
+
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    b1 = train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    b2 = train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    assert b1.shape == (8, 16, 8) and np.array_equal(b1, b2)
+    codes = pq_encode(emb, b1)
+    c1 = {r.vec_id: list(r.codes) for r in codes.collect()}
+    c2 = {r.vec_id: list(r.codes) for r in pq_encode(emb.repartition(7), b1).collect()}
+    assert c1 == c2 and all(0 <= c < 16 for cs in c1.values() for c in cs)
+
+    got = pq_topk_rerank(codes, b1, emb, queries, k=10, shortlist_factor=4)
+    exact = brute_force_topk(emb, queries, k=10)
+    gs, es = {}, {}
+    for r in got.collect():
+        gs.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in exact.collect():
+        es.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(gs[q] & es[q]) / 10 for q in es]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
