@@ -26,8 +26,16 @@ from pyspark.sql import functions as F
 def morton_interleave(cols: list[Column], bits: int = 16) -> Column:
     """Interleave ``bits`` low bits of each (already scaled, non-negative)
     long column into one Morton key: output bit ``i*n + j`` is input bit
-    ``i`` of column ``j``. Pure shifts/masks — codegen-friendly."""
+    ``i`` of column ``j``. Pure shifts/masks — codegen-friendly.
+
+    ``len(cols) * bits`` must fit a signed 64-bit key (≤ 63) —
+    ``1 << 63`` would overflow the Java long literal."""
     n = len(cols)
+    if n * bits > 63:
+        raise ValueError(
+            f"{n} columns x {bits} bits = {n * bits} key bits > 63; "
+            f"lower bits to {63 // n} or fewer columns"
+        )
     key = F.lit(0).cast("long")
     for i in range(bits):
         for j, c in enumerate(cols):
@@ -42,7 +50,9 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     """Morton key over numeric columns, each min/max-scaled to
     ``[0, 2^bits)``. The min/max pass is one tiny aggregate; NULLs map to
     bucket 0 (they cluster together, which is what stats pruning wants).
+    ``bits`` is auto-lowered so the interleaved key fits 63 bits.
     """
+    bits = min(bits, 63 // len(cols))
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
@@ -51,14 +61,21 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
     scaled = []
     for c in cols:
         mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        if mn is None or mx is None:
+            # all-NULL column: no spread to encode — constant bucket 0
+            scaled.append(F.lit(0).cast("long"))
+            continue
         span = (mx - mn) or 1.0
+        # coalesce NULL -> 0 BEFORE least(): Spark's least() SKIPS NULL
+        # operands, so least(top, NULL) would return top and silently
+        # cluster NULL rows with the max-value rows
         scaled.append(
-            F.coalesce(
-                F.least(
-                    F.lit(top).cast("long"),
+            F.least(
+                F.lit(top).cast("long"),
+                F.coalesce(
                     F.floor((F.col(c).cast("double") - mn) / span * top).cast("long"),
+                    F.lit(0).cast("long"),
                 ),
-                F.lit(0).cast("long"),
             )
         )
     return morton_interleave(scaled, bits)

@@ -527,6 +527,11 @@ def train_pq_codebooks(
         ],
         dtype=np.float64,
     )
+    if len(sample) < n_codes:
+        raise ValueError(
+            f"PQ training needs at least n_codes={n_codes} sample vectors; "
+            f"got {len(sample)} — lower n_codes or raise train_rows"
+        )
     rng = np.random.default_rng(seed)
     books = np.empty((m, n_codes, sub))
     for j in range(m):
@@ -560,6 +565,8 @@ def pq_encode(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
             vecs = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf["__v"]])
             codes = np.empty((len(vecs), m), dtype=np.int32)
             for j in range(m):
@@ -652,14 +659,27 @@ def pq_topk_rerank(
     """PQ shortlist + exact re-rank — the deployed PQ shape: the
     compressed-domain scan proposes ``k * shortlist_factor`` candidates
     per query (reading 8-byte codes only), then exact cosine re-scores
-    just the shortlist against raw vectors (a semi-join-sized read, never
-    a corpus scan). Recall approaches exact as shortlist_factor grows;
-    the full-corpus raw-vector read is gone either way."""
-    short = pq_topk(
+    just the shortlist. The shortlist ids are collected (bounded by
+    queries × k × factor — driver-scalar in the serving shape, where the
+    query vectors are already driver-side) and pushed into the corpus
+    scan as an ``isin`` filter, so the raw-vector read is row-pruned at
+    the parquet reader, not discarded post-scan by a join. Recall
+    approaches exact as shortlist_factor grows."""
+    # one PQ pass: the bounded shortlist collects once and re-enters as a
+    # literal frame (re-using the lazy `short` for both the id filter and
+    # the join would execute the compressed-domain scan twice)
+    short_rows = pq_topk(
         codes_df, codebooks, queries, k=k * shortlist_factor,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
-    ).select(query_id_col, id_col)
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    ).select(query_id_col, id_col).collect()
+    spark = corpus.sparkSession
+    short = spark.createDataFrame(
+        [(r[0], r[1]) for r in short_rows], f"{query_id_col} long, {id_col} long"
+    )
+    short_ids = list({r[1] for r in short_rows})
+    c = corpus.filter(F.col(id_col).isin(short_ids)).select(
+        F.col(id_col), F.col(vec_col).alias("__cvec")
+    )
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
     scored = (
         short.join(c, id_col)

@@ -390,3 +390,58 @@ def test_pq_recall_floor_and_determinism(spark):
         es.setdefault(r.query_id, set()).add(r.vec_id)
     recalls = [len(gs[q] & es[q]) / 10 for q in es]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_zorder_nulls_and_bit_budget(spark, tmp_path):
+    """NULL z-values must land in bucket 0 (not the top bucket — Spark's
+    least() skips NULLs); >63 interleaved bits must be rejected clearly;
+    all-NULL columns must not crash the stats pass."""
+    import pytest as _pytest
+
+    from etl_s3_to_redshift_spark.operators.layout import (
+        morton_interleave,
+        write_zordered,
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 100, 5), (2, None, 900), (3, 999, None)], "id long, a int, b int"
+    )
+    keyed = df.withColumn("z", zorder_key(df, ["a", "b"], bits=8)).collect()
+    by_id = {r.id: r.z for r in keyed}
+    # column a owns the even interleaved bit positions, b the odd ones; a
+    # NULL must contribute ZERO bits to its positions (the inverted-least
+    # bug mapped NULLs to the top bucket instead)
+    a_mask = sum(1 << (2 * i) for i in range(8))
+    b_mask = sum(1 << (2 * i + 1) for i in range(8))
+    assert by_id[2] & a_mask == 0  # NULL a
+    assert by_id[3] & b_mask == 0  # NULL b
+    assert by_id[3] & a_mask > 0   # a=999 still encodes high
+
+    with _pytest.raises(ValueError, match="63"):
+        morton_interleave([F.lit(0).cast("long")] * 4, bits=16)
+    # write_zordered auto-lowers bits instead
+    out = str(tmp_path / "z4")
+    four = df.withColumn("c", F.col("id")).withColumn("d", F.col("id"))
+    write_zordered(four, out, ["a", "b", "c", "d"], n_files=1)
+    assert spark.read.parquet(out).count() == 3
+
+    allnull = spark.createDataFrame([(1, None), (2, None)], "id long, a int")
+    k = allnull.withColumn("z", zorder_key(allnull, ["a"], bits=8)).collect()
+    assert all(r.z == 0 for r in k)
+
+
+def test_pq_empty_partition_and_tiny_corpus(spark):
+    import pytest as _pytest
+
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    # 64 partitions over 50 rows -> many empty Arrow batches
+    assert pq_encode(emb.repartition(64), books).count() == emb.count()
+    with _pytest.raises(ValueError, match="n_codes"):
+        train_pq_codebooks(emb.limit(5), dim=64, m=8, n_codes=16)
