@@ -696,3 +696,107 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def ivfpq_topk(
+    index: IvfIndex,
+    codes_df: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist_factor: int = 4,
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ: the two index structures composed — the coarse quantizer
+    restricts WHICH vectors are scored (each query scans only its
+    ``n_probe`` nearest cells), PQ codes decide HOW they are scored
+    (8-byte LUT scan instead of raw vectors), and exact cosine re-ranks
+    the shortlist. The global cell filter is a plain ``isin`` over the
+    union of probed cells — on a cell-partitioned codes table that is
+    directory-level partition pruning; per-query cell masks inside the
+    kernel keep each query's scan to its own cells.
+    """
+    id_col, vec_col = index.id_col, index.vec_col
+    books = np.asarray(codebooks)
+    m, n_codes, sub = books.shape
+
+    qrows = queries.select(
+        F.col(query_id_col),
+        to_double_array(F.col(vec_col)),
+        index.nearest_cells(F.col(vec_col), n_probe),
+    ).collect()
+    q_ids = np.asarray([r[0] for r in qrows])
+    q_vecs = np.asarray([np.asarray(r[1], dtype=np.float64) for r in qrows])
+    q_cells = [set(r[2]) for r in qrows]
+    q_norms = np.linalg.norm(q_vecs, axis=1)
+    luts = np.einsum("qjs,jcs->qjc", q_vecs.reshape(len(q_vecs), m, sub), books)
+    cent_sq = (books**2).sum(-1)
+    all_cells = sorted(set().union(*q_cells))
+    kk = k * shortlist_factor
+
+    codes_with_cell = codes_df.join(
+        index.cells.select(F.col(id_col), "cell"), id_col
+    ).filter(F.col("cell").isin(all_cells))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ids = pdf["__id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            col_idx = np.arange(m)
+            rec_norm = np.sqrt(np.maximum(cent_sq[col_idx[None, :], codes].sum(1), 1e-12))
+            out_q, out_id, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                mask = np.isin(cells, list(q_cells[qi]))
+                if not mask.any():
+                    continue
+                dots = luts[qi][col_idx[None, :], codes[mask]].sum(1)
+                sims = dots / (np.maximum(q_norms[qi], 1e-12) * rec_norm[mask])
+                sel_ids = ids[mask]
+                top = np.argsort(-sims)[:kk]
+                out_q.extend([q_ids[qi]] * len(top))
+                out_id.extend(sel_ids[top])
+                out_s.extend(sims[top])
+            if out_q:
+                yield pd.DataFrame({query_id_col: out_q, id_col: out_id, "pq_sim": out_s})
+
+    local = codes_with_cell.select(
+        F.col(id_col).alias("__id"), "codes", "cell"
+    ).mapInPandas(kernel, schema=f"{query_id_col} long, {id_col} long, pq_sim double")
+    w = Window.partitionBy(query_id_col).orderBy(F.col("pq_sim").desc(), F.col(id_col).asc())
+    short_rows = (
+        local.filter(F.col(query_id_col) != F.col(id_col))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select(query_id_col, id_col)
+        .collect()
+    )
+    spark = codes_df.sparkSession
+    short = spark.createDataFrame(
+        [(r[0], r[1]) for r in short_rows], f"{query_id_col} long, {id_col} long"
+    )
+    short_ids = list({r[1] for r in short_rows})
+    c = index.cells.filter(F.col(id_col).isin(short_ids)).select(
+        F.col(id_col), F.col(vec_col).alias("__cvec")
+    )
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = (
+        short.join(c, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )

@@ -445,3 +445,32 @@ def test_pq_empty_partition_and_tiny_corpus(spark):
     assert pq_encode(emb.repartition(64), books).count() == emb.count()
     with _pytest.raises(ValueError, match="n_codes"):
         train_pq_codebooks(emb.limit(5), dim=64, m=8, n_codes=16)
+
+
+def test_ivfpq_recall_and_cell_pruning(spark):
+    """IVF-PQ composition: recall@10 clears a floor, and the codes scan is
+    cell-filtered (isin over probed cells reaches the plan)."""
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivf_index,
+        ivfpq_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    queries = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    index = build_ivf_index(emb, n_lists=8)
+    books = train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    codes = pq_encode(emb, books)
+    got = ivfpq_topk(index, codes, books, queries, k=10, n_probe=4, shortlist_factor=4)
+    exact = brute_force_topk(emb, queries, k=10)
+    gs, es = {}, {}
+    for r in got.collect():
+        gs.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in exact.collect():
+        es.setdefault(r.query_id, set()).add(r.vec_id)
+    recalls = [len(gs.get(q, set()) & es[q]) / 10 for q in es]
+    # n_probe=4 of 8 cells scans ~half the codes; PQ+rerank on top
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
