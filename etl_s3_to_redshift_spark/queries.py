@@ -943,7 +943,7 @@ _DRIVER_FIRST = [
     # round-2b operator-coverage additions (queries_ops2.py)
     "ts_gapfill_hourly", "fuzzy_customer_match", "emb_label_centroids",
     "unpivot_lineitem_measures", "skew_salted_event_agg",
-    "data_training_order", "w3_window_shapes", "dedup_repeated_chunks", "mm_resize_thumbs", "sim_ann_pq",
+    "data_training_order", "w3_window_shapes", "dedup_repeated_chunks", "mm_resize_thumbs", "sim_ann_pq", "hist_order_values",
 ]
 
 

@@ -485,3 +485,41 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
     codes = pq_encode(emb, books)
     return pq_topk_rerank(codes, books, emb, queries, k=10, shortlist_factor=4)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram (single-pass, no min/max pre-pass)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hist_order_values",
+    """
+    SELECT CAST(floor(o_totalprice / 5000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 5000) * 5000 AS DOUBLE) AS bucket_lo,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Fixed-width histogram of order values (5000-wide buckets): a "
+        "single-pass groupBy on a pure bucket expression — no min/max "
+        "pre-pass, no driver round trip, map-side partials shuffle one "
+        "row per (partition, bucket). The distribution-analysis shape "
+        "that complements percentile_order_value's exact quantiles."
+    ),
+)
+def hist_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 5000).cast("long")
+    return (
+        o.groupBy(
+            bucket.alias("bucket"),
+            (bucket * 5000).cast("double").alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
