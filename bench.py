@@ -77,6 +77,28 @@ HEADLINE = [
 ]
 
 
+# Data-bound subset for sf>=1 passes: the scan/shuffle-heavy queries where
+# data volume (not plan/codegen constants) dominates wall time — the set the
+# 100x question is about. At sf0.1 constants dominate (SCALING.md:182), so
+# the per-round BENCH runs everything; pointing SPARK_GRAFT_SF_DIR at an
+# sf>=1 lake (tools/gen_sf1.py builds one) trims to this subset and
+# best-of-2 so the pass stays minutes, not an hour.
+DATA_BOUND = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q9_product_profit",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "w2_running_user_value",
+    "t1_hourly_event_rollup",
+    "sessionize_events",
+    "dedup_exact_docs",
+    "dedup_minhash_lsh",
+    "text_tfidf_topterms",
+    "fuzzy_customer_match",
+]
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -86,8 +108,10 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
 
-    names = [n for n in HEADLINE if n in REGISTRY]
-    missing = [n for n in HEADLINE if n not in REGISTRY]
+    data_bound_pass = sf >= 1
+    source = DATA_BOUND if data_bound_pass else HEADLINE
+    names = [n for n in source if n in REGISTRY]
+    missing = [n for n in source if n not in REGISTRY]
     if missing:
         print(f"WARNING: headline queries missing from registry: {missing}", file=sys.stderr)
     # warm the JVM + file-listing caches + Python/Arrow workers once
@@ -102,16 +126,17 @@ def main() -> None:
     # The minimum of three runs is the noise-robust estimator and still
     # includes full plan+codegen+execution each time.
     timings: dict[str, float] = {}
+    reps = 2 if data_bound_pass else 3
     for name in names:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.time()
             materialize(REGISTRY[name].spark(spark, sf_dir))
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
     out = {
-        "metric": "headline_queries_total_sec",
+        "metric": "data_bound_queries_total_sec" if data_bound_pass else "headline_queries_total_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -529,6 +529,15 @@ def minhash_append_pairs(
     # (a re-run after a downstream failure would otherwise permanently
     # duplicate staged rows AND fan out every future pair join)
     fresh = new_df.join(staged.select(F.col(id_col)), id_col, "left_anti")
+    # Pin the batch's id set BEFORE the append executes: `fresh` is a lazy
+    # anti-join against `spark.read.parquet(path)`, and re-evaluating it
+    # after rows land in `path` only works while Spark's InMemoryFileIndex
+    # snapshot in the plan stays stale. If the listing were refreshed
+    # (REFRESH TABLE / refreshByPath / catalog-managed path), the re-derived
+    # frame would be empty and the batch's pairs silently lost even though
+    # the rows appended. localCheckpoint materializes the ids eagerly,
+    # cutting the lineage to the pre-append listing.
+    new_ids = fresh.select(F.col(id_col)).localCheckpoint()
     new_sigs = _shingle_sets(fresh, text_col, id_col, k).select(
         F.col(id_col), F.col("sh"), *_sig_cols(num_hashes)
     )
@@ -538,7 +547,6 @@ def minhash_append_pairs(
     # verify/build scans are column-pruned parquet reads, same as the
     # staged batch path.
     all_sigs = spark.read.parquet(path)
-    new_ids = fresh.select(F.col(id_col))
     banded_all = _band_keys(all_sigs, id_col, num_hashes, bands)
     # probe side: band the staged rows of the NEW ids only (semi-join
     # prunes before the band explode), so probe cost tracks the batch

@@ -141,11 +141,17 @@ def training_order(
     Same portability contract as hash_split: order derives from md5 hex,
     identical in any engine, stable under re-runs/appends/repartitioning.
     Set ``n_buckets`` to O(corpus/executor-memory) at scale so each
-    bucket's sort fits one task comfortably.
+    bucket's sort fits one task comfortably. The bucket is taken from the
+    first 8 hex chars (32 bits), so any n_buckets up to ~4e9 yields
+    non-empty buckets — a 2-hex-char key would silently cap parallelism
+    at 256 buckets.
     """
+    if not (1 <= n_buckets <= 1 << 32):
+        raise ValueError(f"n_buckets must be in [1, 2^32]; got {n_buckets}")
     key = _hash_key(F.col(id_col), seed)
     bucket = (
-        F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % n_buckets
+        F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(n_buckets))
+        .cast("int")
     ).alias("bucket")
     w = Window.partitionBy("bucket").orderBy(F.col("__hk").asc(), F.col(id_col).asc())
     return (

@@ -514,14 +514,20 @@ def train_pq_codebooks(
     the faiss training shape (codebooks need thousands of points, not
     the corpus; at 100 TB you sample ~1e5 vectors and train in memory).
     Returns a numpy array of shape (m, n_codes, dim//m), deterministic
-    for a given seed/sample.
+    for a given seed — the training sample orders by a content hash of
+    the vector before the limit, so codebooks are reproducible across
+    repartitioned/regenerated lakes AND drawn uniformly across the whole
+    corpus (a bare ``.limit(n)`` reads the first file(s): on a real lake
+    the codebooks would train on one shard's distribution and recall
+    would quietly degrade on the rest).
     """
     assert dim % m == 0, "m must evenly split the dimension"
     sub = dim // m
     sample = np.asarray(
         [
             r[0]
-            for r in corpus.select(to_double_array(F.col(vec_col)))
+            for r in corpus.select(to_double_array(F.col(vec_col)).alias("__v"))
+            .orderBy(F.xxhash64(F.col("__v"), F.lit(seed)).asc())
             .limit(train_rows)
             .collect()
         ],
@@ -698,6 +704,70 @@ def pq_topk_rerank(
     )
 
 
+def _rerank_shortlist_df(
+    short: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """Exact-cosine re-rank of a shortlist that stays a DataFrame end to
+    end — no driver materialization. The shortlist (query_id, id) joins
+    the corpus on id to fetch raw vectors (equi-join; AQE broadcasts the
+    shortlist side when it is small, falls back to a shuffle join for
+    batch scoring with large query sets) and the query set on query_id
+    for the query vectors, then one window takes top-k per query.
+
+    This is the batch-scoring shape: with 1M queries × k×factor
+    candidates the shortlist is too big to collect+``isin`` (the serving
+    shape used by pq_topk_rerank), but as a join it is just rows."""
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cvec"))
+    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("__qvec"))
+    scored = (
+        short.join(c, id_col)
+        .join(q, query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def pq_topk_rerank_df(
+    codes_df: DataFrame,
+    codebooks,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist_factor: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ shortlist + exact re-rank, fully distributed: identical top-k
+    contract to ``pq_topk_rerank`` but the shortlist never leaves the
+    cluster — it flows as a DataFrame into an equi-join with the corpus
+    instead of collect + ``isin`` literal. Use this for batch scoring
+    (large query sets); `pq_topk_rerank` remains the low-latency serving
+    shape where the row-pruned parquet read wins. The lazy shortlist is
+    consumed by exactly one join, so the compressed-domain scan still
+    executes once."""
+    short = pq_topk(
+        codes_df, codebooks, queries, k=k * shortlist_factor,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select(query_id_col, id_col)
+    return _rerank_shortlist_df(short, corpus, queries, k, id_col, vec_col, query_id_col)
+
+
 def ivfpq_topk(
     index: IvfIndex,
     codes_df: DataFrame,
@@ -707,6 +777,7 @@ def ivfpq_topk(
     n_probe: int = 4,
     shortlist_factor: int = 4,
     query_id_col: str = "query_id",
+    distributed_rerank: bool = False,
 ) -> DataFrame:
     """IVF-PQ: the two index structures composed — the coarse quantizer
     restricts WHICH vectors are scored (each query scans only its
@@ -716,6 +787,11 @@ def ivfpq_topk(
     union of probed cells — on a cell-partitioned codes table that is
     directory-level partition pruning; per-query cell masks inside the
     kernel keep each query's scan to its own cells.
+
+    ``distributed_rerank=True`` keeps the shortlist as a DataFrame and
+    re-ranks via equi-joins (the batch-scoring shape — nothing rides the
+    driver); the default collect + ``isin`` path row-prunes the raw-vector
+    read at the parquet reader (the serving shape).
     """
     id_col, vec_col = index.id_col, index.vec_col
     books = np.asarray(codebooks)
@@ -758,7 +834,11 @@ def ivfpq_topk(
                 dots = luts[qi][col_idx[None, :], codes[mask]].sum(1)
                 sims = dots / (np.maximum(q_norms[qi], 1e-12) * rec_norm[mask])
                 sel_ids = ids[mask]
-                top = np.argsort(-sims)[:kk]
+                # over-fetch 2× per batch (matching pq_topk's k*2): the
+                # self-match row is filtered globally AFTER the kernel, and
+                # argsort tie-cuts at the boundary are partition-dependent —
+                # taking exactly kk could leave kk-1 shortlist candidates
+                top = np.argsort(-sims)[: kk * 2]
                 out_q.extend([q_ids[qi]] * len(top))
                 out_id.extend(sel_ids[top])
                 out_s.extend(sims[top])
@@ -769,13 +849,17 @@ def ivfpq_topk(
         F.col(id_col).alias("__id"), "codes", "cell"
     ).mapInPandas(kernel, schema=f"{query_id_col} long, {id_col} long, pq_sim double")
     w = Window.partitionBy(query_id_col).orderBy(F.col("pq_sim").desc(), F.col(id_col).asc())
-    short_rows = (
+    short_lazy = (
         local.filter(F.col(query_id_col) != F.col(id_col))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= kk)
         .select(query_id_col, id_col)
-        .collect()
     )
+    if distributed_rerank:
+        return _rerank_shortlist_df(
+            short_lazy, index.cells, queries, k, id_col, vec_col, query_id_col
+        )
+    short_rows = short_lazy.collect()
     spark = codes_df.sparkSession
     short = spark.createDataFrame(
         [(r[0], r[1]) for r in short_rows], f"{query_id_col} long, {id_col} long"

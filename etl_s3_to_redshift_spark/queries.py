@@ -914,36 +914,23 @@ def _load_extensions() -> None:
 
 
 # The external driver verifies at most the first 50 ``queries()`` entries
-# (CORRECTNESS_r01 held exactly the first 50 in registration order; the 14
-# tail entries got no row). Export order is therefore deliberate:
-#   1. queries with no driver row yet (the round-1 tail) come FIRST so the
-#      gate finally sees them;
-#   2. oracle-backed queries follow in registration order;
-#   3. rows-only queries (no SQL oracle — weakest driver signal, all
-#      recall/shape-pinned in pytest) go LAST.
-# Every query stays verifiable locally via tools/check_oracle.py, which has
-# no cap.
+# per round.  Cumulative r1+r2 coverage is all 94 registered queries; the
+# union scorecard's only non-green rows are queries whose oracle graduated
+# AFTER their last driver check (stale `no_oracle` rows) plus the
+# `array_map_suite` harness crash (fixed round 3: head4 is now a string).
+# Round-3 export order therefore leads with:
+#   1. queries whose driver row is stale or red but that pass locally
+#      (`dedup_simhash`, `mm_frame_sample` graduated to exact oracles in
+#      round 2; `array_map_suite` canonicalizer fix);
+#   2. round-3 additions with no driver row yet;
+#   3. the rest of the oracle-backed registry in registration order;
+#   4. rows-only queries (recall/shape-pinned in pytest) last.
+# Every query stays verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
-    "pivot_event_counts", "percentile_order_value", "approx_sketches",
-    "agg_collect_ordered", "agg_argminmax", "agg_exact_moments",
-    "lateral_posexplode", "regex_suite", "cube_order_stats",
-    "array_map_suite", "udf_minmax_normalize", "scalar_string_suite",
-    "scalar_math_conditional", "scalar_datetime_suite",
-    # round-2 additions (dataset curation, stream-stream join) — also no
-    # driver row yet
-    "data_hash_split", "data_stratified_sample", "data_pack_sequences",
-    "text_repetition", "text_decontaminate", "stream_interval_join",
-    # round-2 TPC-H-shape additions (queries_tpch2.py) — no driver row yet
-    "q7_nation_trade_volume", "q8_market_share", "q9_product_profit",
-    "q12_late_shipment_priority", "q13_order_count_distribution",
-    "q15_top_revenue_supplier", "q16_supplier_part_count",
-    "q17_small_quantity_revenue", "q19_bracketed_revenue",
-    "q21_waiting_supplier", "q22_dormant_value_customers",
-    "q11_important_part_value", "q20_prolific_part_suppliers",
-    # round-2b operator-coverage additions (queries_ops2.py)
-    "ts_gapfill_hourly", "fuzzy_customer_match", "emb_label_centroids",
-    "unpivot_lineitem_measures", "skew_salted_event_agg",
-    "data_training_order", "w3_window_shapes", "dedup_repeated_chunks", "mm_resize_thumbs", "sim_ann_pq", "hist_order_values",
+    # stale/red driver rows that pass locally — re-check first
+    "array_map_suite", "dedup_simhash", "mm_frame_sample",
+    # round-3 additions (no driver row yet)
+    "sim_ann_ivfpq",
 ]
 
 

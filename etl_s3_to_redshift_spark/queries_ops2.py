@@ -268,9 +268,9 @@ def skew_salted_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           ('0x' || substring(hk, 1, 2))::INTEGER % 32 AS bucket,
+           CAST(('0x' || substring(hk, 1, 8))::BIGINT % 32 AS INTEGER) AS bucket,
            row_number() OVER (
-             PARTITION BY ('0x' || substring(hk, 1, 2))::INTEGER % 32
+             PARTITION BY ('0x' || substring(hk, 1, 8))::BIGINT % 32
              ORDER BY hk, doc_id) AS pos
     FROM h
     """,
@@ -485,6 +485,39 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
     codes = pq_encode(emb, books)
     return pq_topk_rerank(codes, books, emb, queries, k=10, shortlist_factor=4)
+
+
+@register(
+    "sim_ann_ivfpq",
+    None,  # approximate (IVF cells × PQ codes); recall floor pinned in tests
+    doc=(
+        "IVF-PQ composed ANN (operators/similarity.build_ivf_index + "
+        "pq_encode + ivfpq_topk): the coarse quantizer restricts WHICH "
+        "vectors are scored (each query scans only its n_probe nearest "
+        "cells — partition pruning on a cell-partitioned codes table), "
+        "PQ codes decide HOW (8-byte LUT scan, m adds per vector), then "
+        "exact cosine re-ranks the shortlist. The faiss IVFPQ shape: at "
+        "100 TB a probe reads n_probe/n_lists of an already-compressed "
+        "corpus. Rows-only: both structures are approximate by design; "
+        "recall floor vs exact pinned in test_ops2."
+    ),
+)
+def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        build_ivf_index,
+        ivfpq_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = build_ivf_index(emb, n_lists=16)
+    books = train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    codes = pq_encode(emb, books)
+    return ivfpq_topk(index, codes, books, queries, k=10, n_probe=4, shortlist_factor=4)
 
 
 # ---------------------------------------------------------------------------

@@ -389,7 +389,11 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(embedding[1] AS DOUBLE) AS first_val,
            CAST(list_max(embedding) AS DOUBLE) AS max_val,
            CAST(list_min(embedding) AS DOUBLE) AS min_val,
-           list_transform(list_slice(embedding, 1, 4), x -> CAST(x AS DOUBLE)) AS head4,
+           array_to_string(
+               list_transform(
+                   list_slice(embedding, 1, 4),
+                   x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)
+               ), ',') AS head4,
            CAST(list_reverse_sort(embedding)[1] AS DOUBLE) AS sorted_last,
            list_contains(embedding, 0.0) AS has_zero,
            CAST(label AS BIGINT) AS label_key,
@@ -414,7 +418,18 @@ def array_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("first_val"),
         F.array_max("embedding").cast("double").alias("max_val"),
         F.array_min("embedding").cast("double").alias("min_val"),
-        F.transform(F.slice("embedding", 1, 4), lambda x: x.cast("double")).alias("head4"),
+        # head4 is emitted as a scalar string, not array<double>: the external
+        # driver's canonicalizer sorts result columns with pandas and dies on
+        # list-typed cells (unhashable).  floor(x*1e6) -> bigint -> string is
+        # bit-identical across Spark and DuckDB (IEEE double multiply + floor
+        # + integer formatting), unlike shortest-round-trip float JSON repr.
+        F.array_join(
+            F.transform(
+                F.slice("embedding", 1, 4),
+                lambda x: F.floor(x.cast("double") * F.lit(1000000.0)).cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("head4"),
         F.element_at(F.sort_array("embedding", asc=False), 1).cast("double").alias("sorted_last"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
         F.col("label").cast("long").alias("label_key"),

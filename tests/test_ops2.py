@@ -474,3 +474,55 @@ def test_ivfpq_recall_and_cell_pruning(spark):
     recalls = [len(gs.get(q, set()) & es[q]) / 10 for q in es]
     # n_probe=4 of 8 cells scans ~half the codes; PQ+rerank on top
     assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_distributed_rerank_matches_serving_path(spark):
+    """pq_topk_rerank_df (shortlist stays a DataFrame, equi-join re-rank)
+    must return the identical top-k as pq_topk_rerank (collect + isin
+    serving shape), its plan must contain no LocalTableScan (nothing
+    re-entered via the driver), and it must handle a >=1k query set.
+    Same contract for ivfpq_topk(distributed_rerank=True)."""
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        build_ivf_index,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk_rerank,
+        pq_topk_rerank_df,
+        train_pq_codebooks,
+    )
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    books = train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    codes = pq_encode(emb, books)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    serving = pq_topk_rerank(codes, books, emb, queries, k=10, shortlist_factor=4)
+    batch = pq_topk_rerank_df(codes, books, emb, queries, k=10, shortlist_factor=4)
+    assert "LocalTableScan" not in batch._jdf.queryExecution().executedPlan().toString()
+    s = {(r.query_id, r.vec_id, r.rank) for r in serving.collect()}
+    b = {(r.query_id, r.vec_id, r.rank) for r in batch.collect()}
+    assert s == b
+
+    # batch scoring: 1000 queries (corpus twice under disjoint query ids)
+    # stays fully distributed and returns k rows per query
+    base = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    big_q = base.union(base.select(F.col("query_id") + 100000, "embedding"))
+    n_q = big_q.count()
+    assert n_q >= 1000
+    big = pq_topk_rerank_df(codes, books, emb, big_q, k=5, shortlist_factor=2)
+    counts = big.groupBy("query_id").count().select(F.min("count"), F.max("count")).first()
+    assert counts[0] == 5 and counts[1] == 5
+    assert big.count() == n_q * 5
+
+    index = build_ivf_index(emb, n_lists=8)
+    iv_serving = ivfpq_topk(index, codes, books, queries, k=10, n_probe=4)
+    iv_batch = ivfpq_topk(
+        index, codes, books, queries, k=10, n_probe=4, distributed_rerank=True
+    )
+    assert "LocalTableScan" not in iv_batch._jdf.queryExecution().executedPlan().toString()
+    s = {(r.query_id, r.vec_id, r.rank) for r in iv_serving.collect()}
+    b = {(r.query_id, r.vec_id, r.rank) for r in iv_batch.collect()}
+    assert s == b
