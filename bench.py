@@ -74,6 +74,10 @@ HEADLINE = [
     "ts_gapfill_hourly",
     "fuzzy_customer_match",
     "emb_label_centroids",
+    "agg_corr_regression",
+    "w4_value_range_frames",
+    "grouping_sets_orders",
+    "rollup_incremental_merge",
 ]
 
 

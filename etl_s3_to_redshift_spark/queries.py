@@ -908,6 +908,7 @@ def _load_extensions() -> None:
     from etl_s3_to_redshift_spark import (  # noqa: F401
         queries_data,
         queries_ops2,
+        queries_ops3,
         queries_scalar,
         queries_tpch2,
     )
@@ -930,7 +931,8 @@ _DRIVER_FIRST = [
     # stale/red driver rows that pass locally — re-check first
     "array_map_suite", "dedup_simhash", "mm_frame_sample",
     # round-3 additions (no driver row yet)
-    "sim_ann_ivfpq",
+    "sim_ann_ivfpq", "agg_corr_regression", "w4_value_range_frames",
+    "grouping_sets_orders", "rollup_incremental_merge",
 ]
 
 

@@ -1,0 +1,219 @@
+"""Round-3 operator-coverage queries: regression/correlation aggregates,
+value-RANGE window frames, GROUPING SETS with grouping flags, and
+incremental (mergeable-partial) rollup maintenance — each with an exact
+DuckDB oracle.
+
+Exactness rules follow queries.py: decimal casts before summation,
+counts BIGINT on both engines, doubles only where both engines divide
+or multiply identical operands; statistics whose partial-aggregation
+summation order can drift sub-ulp (corr/covar/regr_*) are rounded at a
+scale 8+ orders of magnitude above the drift.
+
+Reference anchor: the reference's analytics surface is five full-refresh
+star-schema tables (/root/reference/sql_queries.py:18-33,132-190); these
+queries extend it with the statistical, frame-based and incremental
+shapes that replace full refresh at warehouse scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Regression / correlation aggregate family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_corr_regression",
+    """
+    SELECT l_returnflag AS flag,
+           count(*) AS n,
+           round(corr(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6)
+               AS corr_price_qty,
+           round(covar_samp(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2)
+               AS covar_price_qty,
+           round(regr_slope(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 4)
+               AS slope,
+           round(regr_intercept(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 2)
+               AS intercept,
+           round(regr_r2(CAST(l_extendedprice AS DOUBLE), CAST(l_quantity AS DOUBLE)), 6)
+               AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Bivariate statistics family: corr, covar_samp, and the regr_* "
+        "least-squares aggregates (slope/intercept/r2) of extendedprice "
+        "on quantity per returnflag. All run as single-pass algebraic "
+        "aggregates (partial moments merge map-side — one shuffle of "
+        "per-task moment states, same scale shape as any groupBy sum); "
+        "results are rounded 8+ orders above the sub-ulp drift that "
+        "partial-summation order can introduce, so both engines "
+        "canonicalize identically. The reference has no statistical "
+        "surface at all; this is table-stakes for corpus analytics."
+    ),
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast("double")
+    x = F.col("l_quantity").cast("double")
+    return li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(y, x), 6).alias("corr_price_qty"),
+        F.round(F.covar_samp(y, x), 2).alias("covar_price_qty"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-RANGE window frames
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w4_value_range_frames",
+    """
+    SELECT o_orderkey AS order_id,
+           o_custkey AS customer_id,
+           CAST(o_totalprice AS DOUBLE) AS total_price,
+           count(*) OVER w AS n_within_5k,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_within_5k,
+           count(*) OVER w2 AS n_cheaper_half
+    FROM orders
+    WINDOW
+      w AS (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DOUBLE)
+            RANGE BETWEEN 5000.0 PRECEDING AND 5000.0 FOLLOWING),
+      w2 AS (PARTITION BY o_custkey ORDER BY CAST(o_totalprice AS DOUBLE)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 5000.0 PRECEDING)
+    """,
+    doc=(
+        "Value-based RANGE window frames (vs the ROWS frames of "
+        "w2_running_user_value): per customer, how many orders and how "
+        "much value sit within ±5000 of each order's price, and how many "
+        "sit more than 5000 below it. RANGE frames are tie-stable — every "
+        "row with an equal order-by value shares one frame — so the result "
+        "is deterministic without a unique tiebreaker, unlike ROWS. One "
+        "shuffle on the partition key, one per-key sort, all three frames "
+        "share it. Decimal sums keep the frame totals exact."
+    ),
+)
+def w4_value_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    w = Window.partitionBy("o_custkey").orderBy(price).rangeBetween(-5000, 5000)
+    w2 = Window.partitionBy("o_custkey").orderBy(price).rangeBetween(
+        Window.unboundedPreceding, -5000
+    )
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        price.alias("total_price"),
+        F.count(F.lit(1)).over(w).alias("n_within_5k"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(w).cast("double")
+            .alias("sum_within_5k"),
+        F.count(F.lit(1)).over(w2).alias("n_cheaper_half"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS with grouping flags (SQL API)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(grouping(o_orderpriority) AS INTEGER) AS g_priority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    doc=(
+        "Explicit GROUPING SETS — two independent 1-D breakdowns plus the "
+        "grand total in ONE pass (cube_order_stats materializes the full "
+        "cross; here the (status,priority) cell is deliberately absent). "
+        "grouping() flags disambiguate real NULL keys from superaggregate "
+        "rows, the standard way downstream consumers route rollup rows. "
+        "Catalyst expands the sets before the shuffle, so partial "
+        "aggregation still applies per set — the exchange carries "
+        "|status| + |priority| + 1 state rows per task, not fact rows. "
+        "Runs through spark.sql to exercise the SQL front end."
+    ),
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '<all>') AS status,
+               coalesce(o_orderpriority, '<all>') AS priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (mergeable partial aggregates)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_incremental_merge",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           CAST(min(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+           CAST(max(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Incremental rollup maintenance (operators/incremental.py): the "
+        "daily per-type rollup is computed as TWO independent partial "
+        "states — events before / after a mid-month cutoff, standing in "
+        "for 'yesterday's rollup table' and 'today's batch' — merged with "
+        "the algebraic monoid (n and decimal-sum add, min/max fold) and "
+        "finalized. The oracle is the flat one-shot GROUP BY over all "
+        "events: merged partials must equal the full recompute exactly, "
+        "which is precisely the contract that lets a 100 TB pipeline "
+        "append per-batch partials and never rescan the fact history "
+        "(the reference instead drops and fully refreshes its analytics "
+        "tables on every load, sql_queries.py:18-33). Decimal sums make "
+        "the merge order-insensitive; avg divides identical double "
+        "operands on both engines."
+    ),
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+        F.col("ts"),
+    )
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    old = partial_rollup(ev.filter(F.col("ts") < cutoff).drop("ts"), ["day", "event_type"])
+    new = partial_rollup(ev.filter(F.col("ts") >= cutoff).drop("ts"), ["day", "event_type"])
+    return finalize_rollup(merge_rollups(old, new))

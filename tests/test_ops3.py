@@ -1,0 +1,119 @@
+"""Round-3 operator tests: incremental rollup maintenance (mergeable
+partials), value-RANGE frames, grouping sets, regression aggregates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _canon(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+def test_merge_rollups_associative_and_exact(spark):
+    """Any merge tree over any batch split must equal the one-shot
+    aggregate exactly — the contract that lets partials append forever
+    without a fact-history rescan."""
+    from etl_s3_to_redshift_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    keys = ["day", "event_type"]
+    full = finalize_rollup(partial_rollup(ev.drop("event_id"), keys))
+
+    # three disjoint batches by id residue — a stand-in for three ingest days
+    parts = [
+        partial_rollup(ev.filter(F.col("event_id") % 3 == i).drop("event_id"), keys)
+        for i in range(3)
+    ]
+    flat = finalize_rollup(merge_rollups(*parts))
+    nested = finalize_rollup(merge_rollups(merge_rollups(parts[0], parts[1]), parts[2]))
+    assert _canon(full) == _canon(flat) == _canon(nested)
+
+    # merging a single partial is the identity (re-folding a compacted
+    # table must not change it)
+    again = finalize_rollup(merge_rollups(merge_rollups(*parts)))
+    assert _canon(again) == _canon(full)
+
+
+def test_merge_rollups_rejects_empty():
+    import pytest as _pytest
+
+    from etl_s3_to_redshift_spark.operators.incremental import merge_rollups
+
+    with _pytest.raises(ValueError, match="at least one"):
+        merge_rollups()
+
+
+def test_w4_range_frames_single_shuffle(spark):
+    """All three RANGE frames share one partition key, so the physical
+    plan must contain exactly one shuffle (plus the scan) — frames are
+    free once the per-key sort exists."""
+    from etl_s3_to_redshift_spark.queries_ops3 import w4_value_range_frames
+
+    df = w4_value_range_frames(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+    # tie-stability: rows with equal (custkey, price) must report equal
+    # frame aggregates
+    rows = df.collect()
+    seen = {}
+    for r in rows:
+        key = (r.customer_id, r.total_price)
+        frame = (r.n_within_5k, r.sum_within_5k, r.n_cheaper_half)
+        assert seen.setdefault(key, frame) == frame
+
+
+def test_grouping_sets_consistency(spark):
+    """Each 1-D breakdown and the grand total must each sum to the table
+    row count, and grouping flags must identify the set shape."""
+    from etl_s3_to_redshift_spark.queries_ops3 import grouping_sets_orders
+
+    rows = grouping_sets_orders(spark, SF_SMOKE).collect()
+    n_orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+
+    by_status = [r for r in rows if r.g_status == 0 and r.g_priority == 1]
+    by_prio = [r for r in rows if r.g_status == 1 and r.g_priority == 0]
+    grand = [r for r in rows if r.g_status == 1 and r.g_priority == 1]
+    assert len(grand) == 1 and grand[0].n_orders == n_orders
+    assert sum(r.n_orders for r in by_status) == n_orders
+    assert sum(r.n_orders for r in by_prio) == n_orders
+    assert len(by_status) + len(by_prio) + 1 == len(rows)
+    # the cross cell (status, priority) must NOT exist
+    assert not [r for r in rows if r.g_status == 0 and r.g_priority == 0]
+
+
+def test_regression_aggs_match_numpy(spark):
+    """Spark's regr_slope/intercept/corr must agree with an independent
+    numpy least-squares fit on the same rows."""
+    import numpy as np
+
+    from etl_s3_to_redshift_spark.queries_ops3 import agg_corr_regression
+
+    got = {r.flag: r for r in agg_corr_regression(spark, SF_SMOKE).collect()}
+    li = (
+        spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_flag = {}
+    for r in li:
+        by_flag.setdefault(r.l_returnflag, []).append((r.l_quantity, r.l_extendedprice))
+    for flag, pts in by_flag.items():
+        x = np.array([p[0] for p in pts], dtype=np.float64)
+        y = np.array([p[1] for p in pts], dtype=np.float64)
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got[flag].slope - slope) < 1e-2, flag
+        assert abs(got[flag].intercept - intercept) < 1.0, flag
+        assert abs(got[flag].corr_price_qty - np.corrcoef(x, y)[0, 1]) < 1e-4, flag
