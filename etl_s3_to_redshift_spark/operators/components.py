@@ -76,6 +76,57 @@ def connected_components(
     )
 
 
+def incremental_components(
+    labeling: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Maintain a (vertex, component) labeling as NEW edges arrive,
+    without re-running connected components over the full edge history —
+    the group-maintenance twin of ``dedup.minhash_append_pairs``: each
+    arriving batch contributes its pair list, and the accumulated
+    labeling updates in cost proportional to the AFFECTED subgraph.
+
+    Correctness rests on a standard equivalence: a labeling is a
+    connectivity-preserving contraction of the original edge set (the
+    star edges member→representative reconnect exactly the old
+    components), so CC over (star(affected old components) ∪ new edges)
+    equals CC over (all old edges ∪ new edges) on those components.
+    Components untouched by any new edge keep their rows verbatim —
+    at 100 TB that is almost all of them, and they cost two semi-joins,
+    never an iteration. Labels stay canonical (component = min member
+    id) because the representative rides the star edges into the
+    recomputation.
+
+    Exactness vs a full recompute is pinned by the
+    ``dedup_groups_incremental`` registry oracle and property tests.
+    """
+    new_edges = new_pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    touched_verts = (
+        new_edges.select(F.col("u").alias("vertex"))
+        .union(new_edges.select(F.col("v").alias("vertex")))
+        .distinct()
+    )
+    touched_comps = (
+        labeling.join(touched_verts, "vertex", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    affected = labeling.join(touched_comps, "component", "left_semi")
+    star = affected.filter(F.col("vertex") != F.col("component")).select(
+        F.col("vertex").alias(src), F.col("component").alias(dst)
+    )
+    sub = connected_components(
+        new_pairs.select(src, dst).unionByName(star), src, dst, max_iter
+    )
+    untouched = labeling.join(touched_comps, "component", "left_anti")
+    return untouched.select("vertex", "component").unionByName(
+        sub.select("vertex", "component")
+    )
+
+
 def dedup_groups(
     pairs: DataFrame,
     src: str = "id_a",

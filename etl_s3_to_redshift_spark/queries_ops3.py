@@ -217,3 +217,74 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = partial_rollup(ev.filter(F.col("ts") < cutoff).drop("ts"), ["day", "event_type"])
     new = partial_rollup(ev.filter(F.col("ts") >= cutoff).drop("ts"), ["day", "event_type"])
     return finalize_rollup(merge_rollups(old, new))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup-group maintenance (connected components over batches)
+# ---------------------------------------------------------------------------
+
+
+def _groups_oracle() -> str:
+    from etl_s3_to_redshift_spark.queries_data import SQL_SHINGLES, SQL_WORDS
+
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, {SQL_SHINGLES.format(w=SQL_WORDS.format(t='text'))} AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), cc(vertex, component) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, c.component FROM edges e JOIN cc c ON c.vertex = e.v
+    )
+    SELECT min(component) AS component,
+           vertex AS member,
+           (vertex = min(component)) AS is_keeper
+    FROM cc GROUP BY vertex
+    """
+
+
+@register(
+    "dedup_groups_incremental",
+    _groups_oracle(),
+    doc=(
+        "Incremental dedup-group maintenance (operators/components."
+        "incremental_components): the corpus arrives as two batches "
+        "(even doc ids, then odd), the first batch's pair list is "
+        "labeled once, and the second batch's pairs UPDATE that labeling "
+        "— only components touched by a new edge are re-run (as star "
+        "edges member->representative plus the new pairs), untouched "
+        "components pass through as two semi-joins with zero iteration. "
+        "The oracle is the full-recompute recursive-CTE reachability "
+        "over ALL pairs: incremental maintenance must be exactly "
+        "invisible in the result, the contract that lets a 100 TB dedup "
+        "graph absorb a daily batch without re-clustering the corpus "
+        "(pairs with both ids even = batch 1; the rest = batch 2, same "
+        "LSH parameters as dedup_groups_connected)."
+    ),
+)
+def dedup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+    from etl_s3_to_redshift_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8, num_hashes=32, bands=16
+    )
+    both_even = (F.col("id_a") % 2 == 0) & (F.col("id_b") % 2 == 0)
+    labeling = connected_components(pairs.filter(both_even))
+    merged = incremental_components(labeling, pairs.filter(~both_even))
+    return merged.select(
+        F.col("component"),
+        F.col("vertex").alias("member"),
+        (F.col("vertex") == F.col("component")).alias("is_keeper"),
+    )

@@ -77,3 +77,65 @@ def test_components_raises_on_nonconvergence(spark):
     # and enough rounds converges fine
     got = {r.vertex: r.component for r in connected_components(df, max_iter=40).collect()}
     assert set(got.values()) == {0}
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """For random edge sets split into batches, updating batch 1's
+    labeling with batch 2's edges must equal CC over the union — across
+    merge topologies (new-new edges, new-old bridges, old-old intra- and
+    inter-component links)."""
+    import random
+
+    from etl_s3_to_redshift_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n = 60
+        all_edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(20, 50))
+            }
+        )
+        cut = rng.randint(0, len(all_edges))
+        first, second = all_edges[:cut], all_edges[cut:]
+        if not first or not second:
+            continue
+        e1 = spark.createDataFrame(first, "id_a long, id_b long")
+        e2 = spark.createDataFrame(second, "id_a long, id_b long")
+        full = connected_components(
+            spark.createDataFrame(all_edges, "id_a long, id_b long")
+        )
+        inc = incremental_components(connected_components(e1), e2)
+        f = {(r.vertex, r.component) for r in full.collect()}
+        i = {(r.vertex, r.component) for r in inc.collect()}
+        assert f == i, f"trial {trial}: {sorted(f ^ i)}"
+
+
+def test_incremental_components_untouched_skip_iteration(spark):
+    """A batch touching one component must pass every other component
+    through untouched (value check: labels identical, including when the
+    new edge merges two old components)."""
+    from etl_s3_to_redshift_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (30, 31)], "id_a long, id_b long"
+    )
+    labeling = connected_components(base)
+    # one edge bridging components {10,11} and {20,21}; {1,2,3} and
+    # {30,31} must be byte-identical in the output
+    inc = incremental_components(
+        labeling, spark.createDataFrame([(11, 20)], "id_a long, id_b long")
+    )
+    got = {(r.vertex, r.component) for r in inc.collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10), (20, 10), (21, 10),
+        (30, 30), (31, 30),
+    }

@@ -76,6 +76,20 @@ def test_approx_sketches_error_bounds(spark):
     assert abs(row.a_ord - row.e_ord) / row.e_ord < 0.05  # HLL++ default rsd 5%
     assert abs(row.a_med - row.e_med) / row.e_med < 0.01
 
+    # cross-engine sanity band: DuckDB's HLL estimate over the same
+    # parquet must land in the same 5%-of-exact window — guards against a
+    # systematically-biased sketch passing the intra-engine check (the
+    # registry row is rows-only forever, so this is its external anchor)
+    import duckdb
+
+    d_approx, d_exact = duckdb.sql(
+        "SELECT approx_count_distinct(l_orderkey), count(DISTINCT l_orderkey) "
+        f"FROM '{SF_ORACLE}/lineitem.parquet'"
+    ).fetchone()
+    assert d_exact == row.e_ord
+    assert abs(d_approx - d_exact) / d_exact < 0.05
+    assert abs(row.a_ord - d_approx) / d_exact < 0.10
+
 
 def test_ivf_topk_recall_floor(spark):
     from etl_s3_to_redshift_spark.operators.similarity import ivf_topk
