@@ -81,6 +81,7 @@ def brute_force_topk_np(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Throughput variant of brute_force_topk: Arrow-batched numpy kernel.
 
@@ -93,7 +94,11 @@ def brute_force_topk_np(
 
     Same results as brute_force_topk up to float summation order (BLAS
     pairwise vs sequential fold) — ranks are identical except for exact
-    ties, which both variants break by id.
+    ties, which both variants break by id. ``round_to`` rounds the score
+    BEFORE the global rank (and widens the local fetch so candidates tied
+    at the rounded precision survive the partition-local cut), making the
+    ordering — hence the full output — cross-engine exact, same contract
+    as brute_force_topk(round_to=...).
     """
     import pandas as pd
 
@@ -101,6 +106,10 @@ def brute_force_topk_np(
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # +1: the query vector itself may occupy a local slot and is filtered
+    # below. +8 under rounding: a candidate just outside the raw local
+    # top-k can tie a kept one after rounding and win the id tiebreak.
+    margin = 1 if round_to is None else 9
 
     def kernel(batches):
         for pdf in batches:
@@ -110,10 +119,7 @@ def brute_force_topk_np(
             norms[norms == 0] = 1.0
             sims = (c / norms) @ q_mat.T  # (batch, n_queries)
             out_q, out_id, out_s = [], [], []
-            # k+1 local candidates: the query vector itself may sit in the
-            # local top-k and is filtered below — without the +1 that would
-            # shortchange the global merge by one row.
-            kk = min(k + 1, len(ids))
+            kk = min(k + margin, len(ids))
             for j, qid in enumerate(q_ids):
                 col = sims[:, j]
                 top = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
@@ -127,6 +133,8 @@ def brute_force_topk_np(
     local = corpus.select(id_col, vec_col).mapInPandas(
         kernel, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
     )
+    if round_to is not None:
+        local = local.withColumn("cos_sim", F.round(F.col("cos_sim"), round_to))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (
         local.withColumn("rank", F.row_number().over(w))

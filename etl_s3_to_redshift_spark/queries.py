@@ -929,7 +929,10 @@ def _load_extensions() -> None:
 # Every query stays verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
     # stale/red driver rows that pass locally — re-check first
+    # (sim_topk_cosine_fast graduated round 3: rounded-rank BLAS output
+    # now matches the exact-fold oracle)
     "array_map_suite", "dedup_simhash", "mm_frame_sample",
+    "sim_topk_cosine_fast",
     # round-3 additions (no driver row yet)
     "sim_ann_ivfpq", "agg_corr_regression", "w4_value_range_frames",
     "grouping_sets_orders", "rollup_incremental_merge",

@@ -286,14 +286,35 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_topk_cosine_fast",
-    None,  # float summation order differs from the fold baseline → rows-only;
-    # id-level equality with the exact baseline is pinned in tests
+    """
+    WITH dv AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM dv WHERE vec_id < 5
+    ), scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(list_aggregate(list_transform(range(len(c.v)), i -> c.v[i+1] * q.qv[i+1]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(len(c.v)), i -> c.v[i+1] * c.v[i+1]), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(len(q.qv)), i -> q.qv[i+1] * q.qv[i+1]), 'sum'))), 6) AS cos_sim
+      FROM dv c, q WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+      SELECT query_id, vec_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+      FROM scored
+    ) t WHERE rank <= 10
+    """,
     doc=(
         "Throughput path for brute-force top-k: Arrow-batched numpy kernel "
         "(one BLAS matmul per batch, per-partition argpartition top-k, "
         "global window merge) — operators/similarity.brute_force_topk_np. "
-        "Same ids as sim_topk_cosine; ~5× faster at 64 dims, widening with "
-        "dimension."
+        "Graduated from rows-only to the same exact oracle as "
+        "sim_topk_cosine: ranking on round(cos, 6) (with a widened local "
+        "fetch so rounded ties survive the partition cut) absorbs the "
+        "BLAS-vs-fold summation-order drift (~1e-15 ≪ the 5e-7 rounding "
+        "bin), so the full (id, score, rank) output is engine-exact. "
+        "~5× faster than the fold at 64 dims, widening with dimension."
     ),
 )
 def sim_topk_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -303,7 +324,7 @@ def sim_topk_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return brute_force_topk_np(emb, queries, k=10)
+    return brute_force_topk_np(emb, queries, k=10, round_to=6)
 
 
 @register(
