@@ -117,3 +117,96 @@ def test_regression_aggs_match_numpy(spark):
         assert abs(got[flag].slope - slope) < 1e-2, flag
         assert abs(got[flag].intercept - intercept) < 1.0, flag
         assert abs(got[flag].corr_price_qty - np.corrcoef(x, y)[0, 1]) < 1e-4, flag
+
+
+def test_round3_plans_are_scale_shaped(spark):
+    """Plan pins for the round-3 queries: partial aggregation before the
+    exchange for the statistics family, Expand (not N scans) for grouping
+    sets, and filter pushdown to the parquet scan for the incremental
+    rollup's batch splits."""
+    from etl_s3_to_redshift_spark.queries_ops3 import (
+        agg_corr_regression,
+        grouping_sets_orders,
+        rollup_incremental_merge,
+    )
+
+    corr_plan = agg_corr_regression(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    # algebraic moments: map-side partial -> one exchange -> final
+    assert corr_plan.count("Exchange") == 1, corr_plan
+    assert "partial_corr" in corr_plan or "HashAggregate" in corr_plan
+
+    gs_plan = grouping_sets_orders(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    # GROUPING SETS expands rows once; it must not rescan orders per set
+    assert gs_plan.count("Scan parquet") == 1, gs_plan
+    assert "Expand" in gs_plan
+    assert gs_plan.count("Exchange") == 1, gs_plan
+
+    ri = rollup_incremental_merge(spark, SF_SMOKE)
+    optimized = ri._jdf.queryExecution().optimizedPlan().toString()
+    executed = ri._jdf.queryExecution().executedPlan().toString()
+    # each batch branch pushes its ts predicate into its scan
+    assert executed.count("PushedFilters: [IsNotNull(ts), LessThan(ts") == 1, executed
+    assert executed.count("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts") == 1, executed
+    # both the per-batch partials and the merge run as hash aggregates
+    assert executed.count("HashAggregate") >= 4, executed
+    assert "Generate" not in optimized  # no accidental explode
+
+
+def test_streaming_rollup_partials_exactly_once(spark, tmp_path):
+    """The foreachBatch partials sink must (a) fold to exactly the batch
+    one-shot aggregate after the stream drains, (b) be idempotent when a
+    micro-batch replays (same batch_id overwrites the same directory),
+    and (c) survive compaction invisibly."""
+    from etl_s3_to_redshift_spark.operators.incremental import (
+        finalize_rollup,
+        partial_rollup,
+    )
+    from etl_s3_to_redshift_spark.sources.tables import load_table
+    from etl_s3_to_redshift_spark.streaming.rollup import (
+        compact_partials,
+        read_rollup,
+        start_rollup_stream,
+        write_batch_partial,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_type", "value")
+    src = str(tmp_path / "src")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    partials = str(tmp_path / "partials")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)  # several micro-batches
+        .parquet(src)
+    )
+    q = start_rollup_stream(
+        stream, partials, ["event_type"], str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    expect = _canon(finalize_rollup(partial_rollup(ev, ["event_type"])))
+    got = _canon(read_rollup(spark, partials))
+    assert got == expect
+
+    # replay: the driver re-delivers a failed micro-batch (same raw rows)
+    # under the SAME batch id — the overwrite hits the same directory, so
+    # the fold sees exactly one contribution for that id and the rollup
+    # is unchanged. Simulated with a fresh batch id written twice.
+    import os
+
+    extra = ev.limit(200)
+    write_batch_partial(extra, 99, partials, ["event_type"])
+    once = _canon(read_rollup(spark, partials))
+    write_batch_partial(extra, 99, partials, ["event_type"])
+    n_dirs = len([d for d in os.listdir(partials) if d.startswith("batch_id=")])
+    roll2 = read_rollup(spark, partials)
+    assert _canon(roll2) == once != expect
+
+    compacted = str(tmp_path / "compacted")
+    compact_partials(spark, partials, compacted)
+    from etl_s3_to_redshift_spark.operators.incremental import merge_rollups
+
+    folded = _canon(finalize_rollup(merge_rollups(spark.read.parquet(compacted))))
+    assert folded == _canon(roll2)
+    assert n_dirs >= 2
