@@ -210,3 +210,21 @@ def test_streaming_rollup_partials_exactly_once(spark, tmp_path):
     folded = _canon(finalize_rollup(merge_rollups(spark.read.parquet(compacted))))
     assert folded == _canon(roll2)
     assert n_dirs >= 2
+
+
+def test_pq_codebooks_layout_independent(spark):
+    """Codebook training samples by content hash, so repartitioned or
+    re-sorted lakes yield byte-identical codebooks (the bare .limit()
+    sample depended on file order — one shard's distribution)."""
+    import numpy as np
+
+    from etl_s3_to_redshift_spark.operators.similarity import train_pq_codebooks
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    b1 = train_pq_codebooks(emb, dim=64, m=8, n_codes=16)
+    b2 = train_pq_codebooks(emb.repartition(13), dim=64, m=8, n_codes=16)
+    b3 = train_pq_codebooks(
+        emb.repartition(3).sortWithinPartitions("label"), dim=64, m=8, n_codes=16
+    )
+    assert np.array_equal(b1, b2) and np.array_equal(b1, b3)
