@@ -288,3 +288,91 @@ def dedup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vertex").alias("member"),
         (F.col("vertex") == F.col("component")).alias("is_keeper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitwise / boolean aggregate family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_bool_bit_suite",
+    """
+    SELECT l_linestatus AS status,
+           bit_and(CAST(l_orderkey AS BIGINT)) AS key_bit_and,
+           bit_or(CAST(l_orderkey AS BIGINT)) AS key_bit_or,
+           bit_xor(CAST(l_orderkey AS BIGINT)) AS key_bit_xor,
+           bool_and(l_quantity > 1) AS all_multi,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc=(
+        "Bitwise and boolean aggregate family: bit_and / bit_or / bit_xor "
+        "over the key domain, bool_and / bool_or predicates, and a "
+        "conditional count — all algebraic (bitwise ops and boolean "
+        "monoids merge map-side like any sum), one shuffle of tiny "
+        "per-task states. Completes the aggregate surface alongside the "
+        "moments/collect/argminmax suites."
+    ),
+)
+def agg_bool_bit_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    key = F.col("l_orderkey").cast("long")
+    return li.groupBy(F.col("l_linestatus").alias("status")).agg(
+        F.bit_and(key).alias("key_bit_and"),
+        F.bit_or(key).alias("key_bit_or"),
+        F.bit_xor(key).alias("key_bit_xor"),
+        F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Safe (try_) arithmetic / casting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_try_safe_suite",
+    """
+    SELECT o_orderkey AS order_id,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS priority_rank,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_as_int,
+           CAST(o_totalprice AS DOUBLE) / NULLIF(CAST(o_orderkey % 3 AS DOUBLE), 0.0)
+               AS price_per_key_residue,
+           CAST(o_totalprice AS DOUBLE) / NULLIF(CAST(length(o_orderpriority) - 8 AS DOUBLE), 0.0)
+               AS price_per_extra_char
+    FROM orders
+    """,
+    doc=(
+        "ANSI-safe scalar family: try_cast on strings that may not parse "
+        "(digit prefix parses; a letter status yields NULL, not a crash) "
+        "and try_divide where the denominator hits zero (the key residue "
+        "is 0 for every third order; the length-8 denominator is zero "
+        "exactly when the priority label is 8 chars). Spark's try_* "
+        "functions map exactly onto DuckDB TRY_CAST / NULLIF-guarded "
+        "division — NULL-on-failure semantics, no ANSI exceptions in "
+        "either engine. Pure per-row projection: no shuffle, whole-stage "
+        "codegen end to end."
+    ),
+)
+def scalar_try_safe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("priority_rank"),
+        F.col("o_orderstatus").try_cast("int").alias("status_as_int"),
+        F.try_divide(
+            F.col("o_totalprice").cast("double"),
+            (F.col("o_orderkey") % 3).cast("double"),
+        ).alias("price_per_key_residue"),
+        F.try_divide(
+            F.col("o_totalprice").cast("double"),
+            (F.length("o_orderpriority") - 8).cast("double"),
+        ).alias("price_per_extra_char"),
+    )
