@@ -376,3 +376,54 @@ def scalar_try_safe_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("o_orderpriority") - 8).cast("double"),
         ).alias("price_per_extra_char"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_safe_join_events",
+    """
+    WITH tagged AS (
+      SELECT user_id,
+             CASE WHEN value < 1.0 THEN NULL ELSE event_type END AS quality_key
+      FROM events
+    ), a AS (
+      SELECT quality_key, count(*) AS n_even
+      FROM tagged WHERE user_id % 2 = 0 GROUP BY quality_key
+    ), b AS (
+      SELECT quality_key, count(*) AS n_odd
+      FROM tagged WHERE user_id % 2 = 1 GROUP BY quality_key
+    )
+    SELECT a.quality_key AS quality_key, a.n_even, b.n_odd
+    FROM a JOIN b ON a.quality_key IS NOT DISTINCT FROM b.quality_key
+    """,
+    doc=(
+        "Null-safe equality join (<=> / IS NOT DISTINCT FROM): the NULL "
+        "group — here 'low-signal events', a derived key that nulls out "
+        "below a value threshold — must MATCH across the two sides, where "
+        "a plain equi-join would silently drop it. Still a hash-joinable "
+        "equi-condition in Spark (EqualNullSafe keys shuffle like any "
+        "other key; no fallback to a nested-loop join), which is what "
+        "makes it usable at scale."
+    ),
+)
+def null_safe_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(F.col("value") < 1.0, F.lit(None)).otherwise(F.col("event_type"))
+            .alias("quality_key"),
+    )
+    a = ev.filter(F.col("user_id") % 2 == 0).groupBy("quality_key").agg(
+        F.count(F.lit(1)).alias("n_even")
+    )
+    b = ev.filter(F.col("user_id") % 2 == 1).groupBy("quality_key").agg(
+        F.count(F.lit(1)).alias("n_odd")
+    )
+    return (
+        a.alias("a")
+        .join(b.alias("b"), F.col("a.quality_key").eqNullSafe(F.col("b.quality_key")))
+        .select(F.col("a.quality_key").alias("quality_key"), "n_even", "n_odd")
+    )

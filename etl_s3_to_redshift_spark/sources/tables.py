@@ -45,3 +45,16 @@ def load_tables(
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
     for name, df in load_tables(spark, sf_dir, names).items():
         df.createOrReplaceTempView(name)
+
+
+def load_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose batches were written under EVOLVING
+    schemas (columns added over time — the normal life of a long-lived
+    lake table). ``mergeSchema`` unions the footers' schemas; batches
+    written before a column existed surface NULL for it. Spark skips the
+    footer-merge pass by default because at 100 TB it reads every file's
+    footer — so this loader is the explicit opt-in for tables known to
+    evolve, rather than a global config flip. Columns can only be ADDED:
+    parquet has no merge story for a column whose type changed — that
+    migration is a rewrite, not a read option."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

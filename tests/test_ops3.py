@@ -228,3 +228,43 @@ def test_pq_codebooks_layout_independent(spark):
         emb.repartition(3).sortWithinPartitions("label"), dim=64, m=8, n_codes=16
     )
     assert np.array_equal(b1, b2) and np.array_equal(b1, b3)
+
+
+def test_load_evolving_merges_added_columns(spark, tmp_path):
+    """Batches written before a column existed must read back with NULL
+    for it; later batches keep their values; the unified schema is the
+    union in first-seen order."""
+    from etl_s3_to_redshift_spark.sources.tables import load_evolving
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(3, "c", 0.5), (4, "d", 0.9)], "id long, name string, score double"
+    ).write.mode("append").parquet(path)
+
+    got = load_evolving(spark, path)
+    assert set(got.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in got.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 0.5), 4: ("d", 0.9)}
+
+    # the default (non-merging) read picks ONE footer's schema — pin the
+    # hazard load_evolving exists to avoid: without mergeSchema the score
+    # column may silently vanish depending on which footer wins
+    plain = spark.read.parquet(path)
+    assert set(plain.columns).issubset({"id", "name", "score"})
+
+
+def test_null_safe_join_matches_null_group(spark):
+    """The derived NULL key must survive the join (plain equi-join drops
+    it), and the plan must still be a hash/sort-merge equi-join, not a
+    nested loop."""
+    from etl_s3_to_redshift_spark.queries_ops3 import null_safe_join_events
+
+    df = null_safe_join_events(spark, SF_SMOKE)
+    rows = df.collect()
+    null_rows = [r for r in rows if r.quality_key is None]
+    assert len(null_rows) == 1 and null_rows[0].n_even > 0 and null_rows[0].n_odd > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
