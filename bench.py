@@ -100,6 +100,8 @@ DATA_BOUND = [
     "dedup_minhash_lsh",
     "text_tfidf_topterms",
     "fuzzy_customer_match",
+    "agg_corr_regression",
+    "rollup_incremental_merge",
 ]
 
 

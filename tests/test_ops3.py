@@ -268,3 +268,48 @@ def test_null_safe_join_matches_null_group(spark):
     assert len(null_rows) == 1 and null_rows[0].n_even > 0 and null_rows[0].n_odd > 0
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_merge_rollups_property_random_values(spark):
+    """Hypothesis: for arbitrary (key, value) rows — negatives, zeros,
+    boundary magnitudes — and an arbitrary 2-way split, merged partials
+    equal the one-shot aggregate exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_s3_to_redshift_spark.operators.incremental import (
+        finalize_rollup,
+        merge_rollups,
+        partial_rollup,
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                # 2-decimal values in the decimal(18,2)-exact range
+                st.integers(min_value=-10**8, max_value=10**8).map(lambda c: c / 100.0),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        cut=st.integers(min_value=0, max_value=40),
+    )
+    def check(rows, cut):
+        df = spark.createDataFrame(rows, "k string, value double")
+        full = finalize_rollup(partial_rollup(df, ["k"]))
+        first, second = rows[: cut % (len(rows) + 1)], rows[cut % (len(rows) + 1):]
+        parts = [
+            partial_rollup(spark.createDataFrame(chunk, "k string, value double"), ["k"])
+            for chunk in (first, second)
+            if chunk
+        ]
+        merged = finalize_rollup(merge_rollups(*parts))
+        assert _canon(merged) == _canon(full)
+
+    check()
