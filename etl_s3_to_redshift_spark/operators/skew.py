@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,3 +78,39 @@ def salt_join_skewed_keys(
         ).otherwise(F.array(F.lit(0))),
     ).withColumn("__salt", F.explode("__salts")).drop("__salts")
     return f.join(d, [key, "__salt"], "inner").drop("__salt")
+
+
+def key_skew_profile(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Skew diagnostics for candidate join/aggregation keys — the
+    measurement that DECIDES between a plain hash join, AQE skew
+    handling, salting, or hot-key isolation before a 100 TB shuffle is
+    ever launched.
+
+    Per key column: row/key cardinalities, the hottest key's row count
+    and share of the table, the mean rows-per-key, and the Shannon
+    entropy of the key distribution in bits (log2; uniform keys →
+    log2(n_keys), one dominant key → near 0). Each profiled column costs
+    one two-level aggregate (groupBy key → tiny stats fold); columns are
+    unioned into one diagnostics frame. Entropy is rounded (sub-ulp sum
+    drift); everything else is exact integer/ratio arithmetic.
+    """
+    out = None
+    whole = Window.partitionBy()
+    for col in key_cols:
+        counts = df.groupBy(F.col(col).alias("__k")).agg(F.count(F.lit(1)).alias("__c"))
+        # the whole-frame window runs over the keys-cardinality counts
+        # frame (one row per key), never over fact rows
+        with_p = counts.withColumn(
+            "__p", F.col("__c").cast("double") / F.sum("__c").over(whole)
+        )
+        prof = with_p.agg(
+            F.lit(col).alias("key_col"),
+            F.sum("__c").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.max("__c").cast("long").alias("max_key_rows"),
+            F.round(F.max("__c").cast("double") / F.sum("__c"), 6).alias("top1_share"),
+            F.round(F.sum("__c").cast("double") / F.count(F.lit(1)), 2).alias("mean_rows_per_key"),
+            F.round(-F.sum(F.col("__p") * F.log2("__p")), 6).alias("entropy_bits"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out

@@ -427,3 +427,54 @@ def null_safe_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b.alias("b"), F.col("a.quality_key").eqNullSafe(F.col("b.quality_key")))
         .select(F.col("a.quality_key").alias("quality_key"), "n_even", "n_odd")
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_key_profile",
+    """
+    WITH c1 AS (
+      SELECT count(*) AS c FROM events GROUP BY user_id
+    ), c2 AS (
+      SELECT count(*) AS c FROM events GROUP BY event_type
+    )
+    SELECT 'user_id' AS key_col,
+           sum(c)::BIGINT AS n_rows,
+           count(*)::BIGINT AS n_keys,
+           max(c)::BIGINT AS max_key_rows,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top1_share,
+           round(CAST(sum(c) AS DOUBLE) / count(*), 2) AS mean_rows_per_key,
+           round(-sum((CAST(c AS DOUBLE) / (SELECT sum(c) FROM c1))
+                      * log2(CAST(c AS DOUBLE) / (SELECT sum(c) FROM c1))), 6)
+               AS entropy_bits
+    FROM c1
+    UNION ALL
+    SELECT 'event_type',
+           sum(c)::BIGINT,
+           count(*)::BIGINT,
+           max(c)::BIGINT,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6),
+           round(CAST(sum(c) AS DOUBLE) / count(*), 2),
+           round(-sum((CAST(c AS DOUBLE) / (SELECT sum(c) FROM c2))
+                      * log2(CAST(c AS DOUBLE) / (SELECT sum(c) FROM c2))), 6)
+    FROM c2
+    """,
+    doc=(
+        "Key-skew diagnostics (operators/skew.key_skew_profile): per "
+        "candidate shuffle key — cardinalities, hottest-key share, mean "
+        "rows/key, and the Shannon entropy of the key distribution — the "
+        "measurement that decides between plain hash join, AQE skew "
+        "handling, salting, or hot-key isolation BEFORE launching a "
+        "100 TB shuffle. One two-level aggregate per profiled column; "
+        "the whole-frame entropy window runs over the per-key counts "
+        "(keys-cardinality rows), never facts."
+    ),
+)
+def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.skew import key_skew_profile
+
+    return key_skew_profile(_t(spark, sf_dir, "events"), ["user_id", "event_type"])

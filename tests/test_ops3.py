@@ -313,3 +313,19 @@ def test_merge_rollups_property_random_values(spark):
         assert _canon(merged) == _canon(full)
 
     check()
+
+
+def test_key_skew_profile_bounds(spark):
+    """Degenerate key -> entropy 0 and share 1; uniform keys -> entropy
+    log2(n_keys) and share 1/n."""
+    from etl_s3_to_redshift_spark.operators.skew import key_skew_profile
+
+    one = spark.createDataFrame([("x",)] * 8, "k string")
+    r = key_skew_profile(one, ["k"]).first()
+    assert (r.n_rows, r.n_keys, r.max_key_rows) == (8, 1, 8)
+    assert r.top1_share == 1.0 and r.entropy_bits == 0.0
+
+    uni = spark.createDataFrame([(str(i % 4),) for i in range(16)], "k string")
+    r = key_skew_profile(uni, ["k"]).first()
+    assert (r.n_keys, r.max_key_rows) == (4, 4)
+    assert r.top1_share == 0.25 and r.entropy_bits == 2.0
