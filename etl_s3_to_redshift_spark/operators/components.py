@@ -18,7 +18,7 @@ an external jar; this stays in-core.)
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -140,4 +140,37 @@ def dedup_groups(
         F.col("component"),
         F.col("vertex").alias("member"),
         (F.col("vertex") == F.col("component")).alias("is_keeper"),
+    )
+
+
+def dedup_groups_by_score(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Near-dup groups with a QUALITY-AWARE keeper: instead of
+    ``dedup_groups``' keep-lowest-id convention, the keeper is the
+    member with the highest ``score_col`` (ties broken by lowest id) —
+    the keep-the-best policy real corpus curation uses (keep the
+    longest / highest-quality member of each near-dup cluster, drop the
+    rest). Scores join the labeling on id (one hash join against a
+    keys-cardinality frame), then one per-component window picks the
+    keeper. Returns (component, member, score, is_keeper)."""
+    cc = connected_components(pairs, src, dst)
+    scored = cc.join(
+        scores.select(F.col(id_col).alias("vertex"), F.col(score_col)), "vertex"
+    )
+    w = F.row_number().over(
+        Window.partitionBy("component").orderBy(
+            F.col(score_col).desc(), F.col("vertex").asc()
+        )
+    )
+    return scored.select(
+        "component",
+        F.col("vertex").alias("member"),
+        F.col(score_col),
+        (w == 1).alias("is_keeper"),
     )

@@ -937,7 +937,8 @@ _DRIVER_FIRST = [
     "sim_ann_ivfpq", "agg_corr_regression", "w4_value_range_frames",
     "grouping_sets_orders", "rollup_incremental_merge",
     "dedup_groups_incremental", "agg_bool_bit_suite", "scalar_try_safe_suite",
-    "null_safe_join_events", "skew_key_profile",
+    "null_safe_join_events", "skew_key_profile", "hist_equidepth_deciles",
+    "dedup_keep_best_quality",
 ]
 
 

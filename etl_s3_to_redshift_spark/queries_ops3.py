@@ -478,3 +478,115 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.skew import key_skew_profile
 
     return key_skew_profile(_t(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (exact deciles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hist_equidepth_deciles",
+    """
+    WITH ranked AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile,
+           count(*) AS n_orders,
+           CAST(min(o_totalprice) AS DOUBLE) AS lo,
+           CAST(max(o_totalprice) AS DOUBLE) AS hi,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM ranked GROUP BY decile
+    """,
+    doc=(
+        "Equi-depth histogram: exact deciles of the order-value "
+        "distribution via ntile over a unique total order (value + key "
+        "tiebreak -> deterministic bucket membership on both engines), "
+        "then per-bucket count/bounds/decimal sum — the equi-depth "
+        "complement to hist_order_values' fixed-width buckets. HONEST "
+        "SCALE NOTE: an unpartitioned ntile funnels every row through "
+        "one window task — this is the exact-semantics baseline, fine "
+        "up to ~1e8 rows on a fat executor. At 100 TB use "
+        "hist_order_values (shuffle-free fixed buckets) or sample "
+        "boundaries with percentile_approx and bucket by range "
+        "comparison (one scan, no sort) — approximate boundaries, exact "
+        "per-bucket counts."
+    ),
+)
+def hist_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo"),
+            F.max("o_totalprice").cast("double").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double")
+                .alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup keeper (keep-the-best curation policy)
+# ---------------------------------------------------------------------------
+
+
+def _groups_best_oracle() -> str:
+    from etl_s3_to_redshift_spark.queries_data import SQL_SHINGLES, SQL_WORDS
+
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, {SQL_SHINGLES.format(w=SQL_WORDS.format(t='text'))} AS sh
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), cc(vertex, component) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, c.component FROM edges e JOIN cc c ON c.vertex = e.v
+    ), labeled AS (
+      SELECT vertex AS member, min(component) AS component FROM cc GROUP BY vertex
+    )
+    SELECT l.component,
+           l.member,
+           CAST(d.n_chars AS BIGINT) AS score,
+           (row_number() OVER (PARTITION BY l.component
+                               ORDER BY d.n_chars DESC, l.member ASC) = 1)
+               AS is_keeper
+    FROM labeled l JOIN documents d ON d.doc_id = l.member
+    """
+
+
+@register(
+    "dedup_keep_best_quality",
+    _groups_best_oracle(),
+    doc=(
+        "Quality-aware dedup keeper (operators/components."
+        "dedup_groups_by_score): near-dup groups from the LSH pair list, "
+        "but each group KEEPS its highest-scoring member (here: longest "
+        "document, the keep-the-longest policy of C4-style pipelines; id "
+        "breaks ties) instead of dedup_groups' lowest-id convention. One "
+        "hash join of the labeling against the score frame + one "
+        "per-component window. Oracle: full recursive-CTE reachability "
+        "re-ranked by the same score."
+    ),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.components import dedup_groups_by_score
+    from etl_s3_to_redshift_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, threshold=0.8, num_hashes=32, bands=16)
+    scores = docs.select("doc_id", F.col("n_chars").cast("long").alias("score"))
+    return dedup_groups_by_score(pairs, scores, id_col="doc_id", score_col="score")
