@@ -16,28 +16,39 @@ def as_of_join(
     left_ts: str,
     right_ts: str,
     payload: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: for each left row, the latest right row of the same key
-    with right_ts <= left_ts (pd.merge_asof / DuckDB ASOF JOIN semantics,
-    backward direction, inclusive).
+    """As-of join: for each left row, the nearest right row of the same
+    key — ``direction="backward"`` (default) takes the latest right row
+    with right_ts <= left_ts (pd.merge_asof / DuckDB ASOF JOIN
+    semantics, inclusive); ``direction="forward"`` takes the EARLIEST
+    right row with right_ts >= left_ts (the "next event after" shape:
+    next purchase, next maintenance window, next price revision).
 
-    Implementation: tag and union both sides, sort each key's timeline once
-    (right rows before left rows at equal ts → inclusive match), then carry
-    the last non-null right payload forward with
-    ``last(..., ignorenulls=True)`` over an unbounded-preceding window.
-    Returns all left columns + ``asof_ts`` (the matched right timestamp,
-    NULL if none) + ``asof_<payload>`` columns.
+    Implementation: tag and union both sides, sort each key's timeline
+    once. Backward puts right rows before left at equal ts and carries
+    the last non-null right payload forward over an unbounded-preceding
+    window; forward mirrors it — right rows AFTER left at equal ts (so
+    an equal-timestamp match is still inclusive) and ``first(...,
+    ignorenulls=True)`` over an unbounded-following window. Returns all
+    left columns + ``asof_ts`` (the matched right timestamp, NULL if
+    none) + ``asof_<payload>`` columns.
 
     Scale: ONE shuffle on the key + a per-key sort — the same cost as any
     window aggregate; no range explosion; skew only from the key
     distribution. A merge_asof-per-group via applyInPandas pays the same
     shuffle plus Arrow+Python — use this instead.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward'; got {direction!r}")
+    # at equal ts the right row must sort on the INCLUSIVE side of the
+    # left row: before it (0 < 1) for backward, after it (2 > 1) forward
+    r_side = 0 if direction == "backward" else 2
     left_rest = [c for c in left.columns if c != on]
     r_tagged = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
-        F.lit(0).alias("__side"),
+        F.lit(r_side).alias("__side"),
         *[F.col(c).alias(f"__p_{c}") for c in payload],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_rest],
     )
@@ -48,20 +59,22 @@ def as_of_join(
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
         *[F.col(c) for c in left_rest],
     )
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    base = Window.partitionBy(on).orderBy("__ts", "__side")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
     carried = (
         r_tagged.unionByName(l_tagged)
         .select(
             "*",
-            F.last(F.when(F.col("__side") == 0, F.col("__ts")), ignorenulls=True)
+            pick(F.when(F.col("__side") == r_side, F.col("__ts")), ignorenulls=True)
             .over(w)
             .alias("asof_ts"),
             *[
-                F.last(F.when(F.col("__side") == 0, F.col(f"__p_{c}")), ignorenulls=True)
+                pick(F.when(F.col("__side") == r_side, F.col(f"__p_{c}")), ignorenulls=True)
                 .over(w)
                 .alias(f"asof_{c}")
                 for c in payload

@@ -938,7 +938,7 @@ _DRIVER_FIRST = [
     "grouping_sets_orders", "rollup_incremental_merge",
     "dedup_groups_incremental", "agg_bool_bit_suite", "scalar_try_safe_suite",
     "null_safe_join_events", "skew_key_profile", "hist_equidepth_deciles",
-    "dedup_keep_best_quality",
+    "dedup_keep_best_quality", "asof_next_purchase",
 ]
 
 

@@ -590,3 +590,41 @@ def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(docs, threshold=0.8, num_hashes=32, bands=16)
     scores = docs.select("doc_id", F.col("n_chars").cast("long").alias("score"))
     return dedup_groups_by_score(pairs, scores, id_col="doc_id", score_col="score")
+
+
+# ---------------------------------------------------------------------------
+# Forward as-of join (next event at-or-after)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_next_purchase",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           p.ts AS asof_ts,
+           p.value AS asof_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+    doc=(
+        "As-of join, FORWARD direction (operators/temporal.as_of_join "
+        "direction='forward'): each event matched to the same user's "
+        "EARLIEST purchase at-or-after it — the time-to-next-conversion "
+        "shape. Same single-shuffle tagged-union-window plan as the "
+        "backward variant, mirrored (first-ignorenulls over an "
+        "unbounded-following frame; right rows sort after left at equal "
+        "ts so equal timestamps still match). Oracle: DuckDB native "
+        "ASOF JOIN with the <= inequality."
+    ),
+)
+def asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.temporal import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return as_of_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        payload=["value"], direction="forward",
+    ).select("event_id", "user_id", "ts", "asof_ts", F.col("asof_value"))

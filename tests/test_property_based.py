@@ -70,6 +70,24 @@ def test_as_of_join_matches_pandas_merge_asof(spark, left, right):
         )
         assert got[row["row_id"]] == expect
 
+    # forward direction: mirror check against merge_asof(direction="forward")
+    got_fwd = {
+        r.row_id: (r.asof_ts, r.asof_v)
+        for r in as_of_join(
+            ldf, rdf, "key", "t", "rt", ["v"], direction="forward"
+        ).collect()
+    }
+    merged_fwd = pd.merge_asof(
+        lpd, rpd, left_on="t", right_on="rt", by="key", direction="forward"
+    )
+    for _, row in merged_fwd.iterrows():
+        expect = (
+            (None, None)
+            if pd.isna(row["rt"])
+            else (row["rt"].to_pydatetime(), row["v"])
+        )
+        assert got_fwd[row["row_id"]] == expect
+
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(stream=events_strategy, gap_minutes=st.integers(1, 30))
