@@ -90,3 +90,110 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     ).drop("__new_sess")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel progression: for each user, the earliest time they
+    completed step k AFTER their step-(k-1) completion (first matching
+    event at-or-after the previous step's time). Returns one row per
+    user who completed step 1, with nullable ``t1..tN`` timestamps.
+
+    Shape: N-1 equi-joins on the user key, each with a residual ``ts >=
+    prev`` predicate and a min-aggregate — every join is a plain hash
+    join on ``user_col`` (the range bound is a post-join filter, never a
+    cross product), and every aggregate combines map-side. All stages
+    share the same key, so a co-partitioned layout (or AQE) reuses one
+    exchange. Step frames are pre-filtered scans of the same events
+    table — at 100 TB each is a pushed-down predicate read, and users
+    who never did step 1 are dropped before any later join.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least 2 steps")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        # The range bound lives IN the left join (equi on user + residual
+        # ts >= prev), so a user whose step-i events all precede step
+        # i-1 keeps their row with a null t_i instead of vanishing.
+        cur = (
+            cur.join(
+                nxt,
+                (F.col(user_col) == F.col("__u")) & (F.col("__ts") >= F.col(f"t{i-1}")),
+                "left",
+            )
+            .groupBy(user_col, *[f"t{j}" for j in range(1, i)])
+            .agg(F.min("__ts").alias(f"t{i}"))
+        )
+    return cur
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Classic weekly cohort-retention matrix: cohort = Monday-truncated
+    week of the user's first event; for each (cohort_week, week_offset)
+    count the distinct users active that week. Week offsets are exact
+    integer day-diffs div 7 from the cohort Monday, so any ANSI engine
+    lands every event in the same cell.
+
+    Shape: one groupBy(user) min(ts) for first-touch (map-side
+    combined), broadcast-or-shuffle equi-join back (user cardinality ≪
+    events), then countDistinct over (cohort, offset) — Spark plans
+    distinct-aggregate as a two-phase expand, both phases partial. No
+    window functions, no per-user sort.
+    """
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("__first"))
+    cohort = F.date_trunc("week", F.col("__first")).cast("date")
+    return (
+        events.join(first, user_col)
+        .withColumn("cohort_week", cohort)
+        .withColumn(
+            "week_offset",
+            F.expr(f"datediff(CAST({ts_col} AS DATE), cohort_week) div 7").cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct(user_col).alias("active_users"))
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between event
+    types along each user's timeline (ordered by ``ts`` with the id as a
+    total-order tiebreak, so ties are deterministic cross-engine).
+
+    Shape: one window shuffle on ``user_col`` (lag), then a groupBy on
+    the (prev, next) pair — 25 cells here, map-side combined. The row
+    probability divides two exact BIGINTs once, in double. At 100 TB the
+    window partitions by user (bounded per-user history); no global sort.
+    """
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    pairs = (
+        events.withColumn("prev_type", F.lag(type_col).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col(type_col).alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(wp), 6)
+    )

@@ -160,3 +160,97 @@ def training_order(
         .withColumn("pos", F.row_number().over(w))
         .drop("__hk")
     )
+
+
+def source_quotas(
+    df: DataFrame,
+    budget: int,
+    group_col: str = "source",
+    temperature: float = 0.5,
+) -> DataFrame:
+    """Largest-remainder apportionment of ``budget`` rows across the
+    distinct values of ``group_col``, with temperature-scaled weights
+    ``w_g = n_g ** temperature`` — the standard multi-source mixture rule
+    for LLM corpora (alpha < 1 upweights small sources, e.g. the 0.3-0.7
+    exponents used for multilingual / multi-domain pretraining mixes).
+
+    Engine-portable exactness: only ``temperature = 0.5`` (IEEE
+    ``sqrt``, correctly rounded and therefore bit-identical in the JVM,
+    DuckDB, and Redshift) and ``temperature in (0.0, 1.0)`` (integer
+    weights) are guaranteed to reproduce across engines; other exponents
+    go through ``pow``, where libm implementations may differ by 1 ulp.
+    The weight is scaled to an integer (``floor(w * 1e9)``) and every
+    subsequent step — base quota ``budget*W div T``, remainder ranking,
+    leftover distribution — is exact 64-bit integer arithmetic, so the
+    apportionment is deterministic everywhere.
+
+    Scale shape: one map-side-combined groupBy on ``group_col`` over the
+    corpus; everything after runs on #groups rows. Returns
+    ``(group_col, n_rows, quota)`` with ``sum(quota) == budget``
+    (when #groups <= budget; a group never receives quota > n_rows is
+    NOT enforced — callers sampling k-per-group cap at n_rows
+    naturally because only n_rows exist).
+    """
+    if temperature == 0.0:
+        w = F.lit(int(1e9)).cast("long")
+    elif temperature == 1.0:
+        w = (F.col("n_rows") * F.lit(int(1e9))).cast("long")
+    elif temperature == 0.5:
+        w = F.floor(F.sqrt(F.col("n_rows").cast("double")) * F.lit(1e9)).cast("long")
+    else:
+        w = F.floor(
+            F.pow(F.col("n_rows").cast("double"), F.lit(float(temperature))) * F.lit(1e9)
+        ).cast("long")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows")).withColumn("w", w)
+    # total weight + leftover are scalars over #groups rows — the
+    # cross-join below broadcasts a 1-row frame, not data.
+    tot = counts.agg(F.sum("w").alias("t"))
+    quoted = (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn("quota0", F.expr(f"CAST({budget} AS BIGINT) * w div t"))
+        .withColumn("rem", F.expr(f"CAST({budget} AS BIGINT) * w % t"))
+    )
+    left = quoted.agg((F.lit(budget) - F.sum("quota0")).alias("leftover"))
+    rk = Window.orderBy(F.col("rem").desc(), F.col(group_col).asc())
+    return (
+        quoted.crossJoin(F.broadcast(left))
+        .withColumn("rk", F.row_number().over(rk))
+        .withColumn(
+            "quota",
+            (F.col("quota0") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)).cast("long"),
+        )
+        .select(group_col, "n_rows", "quota")
+    )
+
+
+def source_mixture_sample(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    temperature: float = 0.5,
+    seed: str = "mix",
+) -> DataFrame:
+    """Deterministic temperature-mixture sample: apportion ``budget``
+    rows across sources with ``source_quotas`` and take each source's
+    first ``quota`` rows in content-hash order (md5 of the id — same
+    portability contract as ``hash_split``; re-runs, appends, and engine
+    ports pick the same rows).
+
+    Scale shape: the quota table is #sources rows → broadcast joined;
+    per-source selection is one window shuffle partitioned by
+    ``group_col``. For corpora where a single source exceeds one
+    executor's sort budget, swap the rank for a two-phase cutoff: take
+    every row with hash key below quota/n_rows of the key space, then
+    exact-rank only the marginal band (same trick as hash_split's range
+    split; not needed at test scale).
+    """
+    quotas = source_quotas(df, budget, group_col, temperature)
+    w = Window.partitionBy(group_col).orderBy(F.col("__hk").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__hk", _hash_key(F.col(id_col), seed))
+        .join(F.broadcast(quotas), group_col)
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("quota"))
+        .select(id_col, group_col, "quota")
+    )

@@ -192,3 +192,33 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= top_k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def vocab_top_terms(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    min_len: int = 1,
+) -> DataFrame:
+    """Corpus-level vocabulary: the ``k`` most frequent lowercase-alpha
+    tokens with their counts (BPE-vocab seeding / wordcount). Tokens are
+    ``lower(text)`` split on runs of non-[a-z] — a character-class split
+    every regex engine executes identically.
+
+    Scale shape: explode + groupBy(token) with map-side combine — the
+    shuffle carries (token, partial_count) pairs, i.e. vocabulary-sized
+    data, not corpus-sized. The final top-k is ``orderBy(...).limit(k)``
+    → TakeOrderedAndProject: each task keeps a k-row heap and the driver
+    merges k·tasks rows; no single-partition global sort ever
+    materializes the full vocabulary. Tie order (n desc, token asc) is a
+    total order, so the k-boundary is deterministic cross-engine.
+    """
+    toks = df.select(
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("token")
+    ).filter(F.length("token") >= min_len)
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -909,6 +909,7 @@ def _load_extensions() -> None:
         queries_data,
         queries_ops2,
         queries_ops3,
+        queries_ops4,
         queries_scalar,
         queries_tpch2,
     )
@@ -939,6 +940,9 @@ _DRIVER_FIRST = [
     "dedup_groups_incremental", "agg_bool_bit_suite", "scalar_try_safe_suite",
     "null_safe_join_events", "skew_key_profile", "hist_equidepth_deciles",
     "dedup_keep_best_quality", "asof_next_purchase",
+    # round-3b additions (no driver row yet)
+    "data_source_mixture", "funnel_user_conversion", "cohort_retention_weekly",
+    "event_transition_matrix", "text_vocab_topk",
 ]
 
 

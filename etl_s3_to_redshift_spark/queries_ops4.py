@@ -1,0 +1,265 @@
+"""Round-3b operator-coverage queries: temperature-mixture sampling,
+behavioral analytics (funnel / cohort retention / Markov transitions),
+and corpus vocabulary top-k — each with an exact DuckDB oracle.
+
+These extend the curation and analytics surfaces (SURVEY §2c): the
+mixture sampler is the multi-source weighting step every LLM pretraining
+corpus runs after dedup/quality gating; funnel/cohort/transition are the
+event-analytics shapes the reference's songplay star schema exists to
+serve (/root/reference/sql_queries.py:66-77 builds the fact table but the
+reference ships no queries over it — these are the queries).
+
+Exactness rules follow queries.py: all selection/apportionment arithmetic
+is 64-bit integer or md5-hex (engine-portable); the only doubles are
+``sqrt`` (IEEE correctly-rounded, bit-identical everywhere) and final
+ratio projections rounded at 6 dp, 8+ orders above any drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.operators.analytics import (
+    cohort_retention,
+    funnel_steps,
+    transition_matrix,
+)
+from etl_s3_to_redshift_spark.operators.sampling import source_mixture_sample
+from etl_s3_to_redshift_spark.operators.textops import vocab_top_terms
+from etl_s3_to_redshift_spark.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted source mixture (LLM corpus assembly)
+# ---------------------------------------------------------------------------
+
+_MIX_BUDGET = 200
+
+
+@register(
+    "data_source_mixture",
+    f"""
+    WITH counts AS (
+        SELECT source,
+               count(*) AS n_rows,
+               CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e9) AS BIGINT) AS w
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM counts),
+    quoted AS (
+        SELECT c.source, c.n_rows, c.w,
+               (CAST({_MIX_BUDGET} AS BIGINT) * c.w) // t.t AS quota0,
+               (CAST({_MIX_BUDGET} AS BIGINT) * c.w) % t.t AS rem
+        FROM counts c CROSS JOIN tot t
+    ),
+    lo AS (SELECT CAST({_MIX_BUDGET} - sum(quota0) AS BIGINT) AS leftover FROM quoted),
+    q AS (
+        SELECT source,
+               CAST(quota0 + CASE
+                   WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+                        <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+                 AS BIGINT) AS quota
+        FROM quoted
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, q.quota,
+               row_number() OVER (
+                   PARTITION BY d.source
+                   ORDER BY substring(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) ASC,
+                            d.doc_id ASC
+               ) AS pos
+        FROM documents d JOIN q USING (source)
+    )
+    SELECT doc_id, source, quota FROM ranked WHERE pos <= quota
+    """,
+    doc=(
+        "Temperature-weighted multi-source mixture sample "
+        "(operators/sampling.source_mixture_sample): apportion a row "
+        "budget across sources with weights n^0.5 (largest-remainder "
+        "method, exact 64-bit integer arithmetic end-to-end — sqrt is "
+        "IEEE correctly-rounded so the integer-scaled weights are "
+        "bit-identical cross-engine), then take each source's quota in "
+        "md5-content-hash order. This is the standard alpha-sampling "
+        "step for assembling a pretraining mix from deduped sources; "
+        "deterministic under re-runs, appends, and engine ports. Scale: "
+        "one map-side-combined groupBy for counts, broadcast quota "
+        "join, one per-source window shuffle."
+    ),
+)
+def data_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return source_mixture_sample(
+        docs, _MIX_BUDGET, id_col="doc_id", group_col="source",
+        temperature=0.5, seed="mix",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel over the events stream
+# ---------------------------------------------------------------------------
+
+_FUNNEL = ["signup", "view", "purchase"]
+
+
+@register(
+    "funnel_user_conversion",
+    """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT s1.user_id, s1.t1, min(e.ts) AS t2
+        FROM s1 LEFT JOIN events e
+          ON e.user_id = s1.user_id AND e.event_type = 'view' AND e.ts >= s1.t1
+        GROUP BY s1.user_id, s1.t1
+    ),
+    s3 AS (
+        SELECT s2.user_id, s2.t1, s2.t2, min(e.ts) AS t3
+        FROM s2 LEFT JOIN events e
+          ON e.user_id = s2.user_id AND e.event_type = 'purchase' AND e.ts >= s2.t2
+        GROUP BY s2.user_id, s2.t1, s2.t2
+    )
+    SELECT count(t1) AS users_signup,
+           count(t2) AS users_viewed,
+           count(t3) AS users_purchased,
+           round(CAST(count(t2) AS DOUBLE) / CAST(count(t1) AS DOUBLE), 6) AS conv_view,
+           round(CAST(count(t3) AS DOUBLE) / CAST(count(t1) AS DOUBLE), 6) AS conv_purchase
+    FROM s3
+    """,
+    doc=(
+        "Ordered funnel signup -> view-after-signup -> purchase-after-"
+        "view (operators/analytics.funnel_steps): each stage is the "
+        "earliest qualifying event at-or-after the previous stage's "
+        "time. Every stage is an equi hash join on user_id with a "
+        "residual range bound inside a LEFT join (users who stall keep "
+        "a null stage time — no cross product, no drop). All stages "
+        "share the user key, so AQE/co-partitioning reuses one "
+        "exchange; step inputs are pushed-down event_type scans. The "
+        "reference builds the songplay fact for exactly this kind of "
+        "behavioral question but ships no queries; this is the "
+        "canonical one."
+    ),
+)
+def funnel_user_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    fun = funnel_steps(ev, _FUNNEL)
+    c1, c2, c3 = F.count("t1"), F.count("t2"), F.count("t3")
+    return fun.agg(
+        c1.alias("users_signup"),
+        c2.alias("users_viewed"),
+        c3.alias("users_purchased"),
+        F.round(c2.cast("double") / c1.cast("double"), 6).alias("conv_view"),
+        F.round(c3.cast("double") / c1.cast("double"), 6).alias("conv_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH first AS (
+        SELECT user_id, min(ts) AS f FROM events GROUP BY user_id
+    )
+    SELECT strftime(CAST(date_trunc('week', first.f) AS DATE), '%Y-%m-%d')
+               AS cohort_week,
+           CAST(datediff('day', CAST(date_trunc('week', first.f) AS DATE),
+                         CAST(e.ts AS DATE)) // 7 AS INT) AS week_offset,
+           count(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Weekly cohort-retention matrix (operators/analytics."
+        "cohort_retention): cohort = Monday-truncated week of the "
+        "user's first event; cells count distinct users active at each "
+        "integer week offset (exact day-diff div 7 — both engines "
+        "truncate identically on the non-negative offsets). Shape: one "
+        "map-side-combined groupBy(user) for first-touch, equi-join "
+        "back, then a two-phase distinct aggregate. No windows, no "
+        "per-user sort — survives 100x users unchanged."
+    ),
+)
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort_week goes out as an ISO string: a DATE column round-trips
+    # through pandas as datetime.date on Spark but datetime64 on DuckDB,
+    # and canonicalizers stringify those differently.
+    return cohort_retention(_t(spark, sf_dir, "events")).withColumn(
+        "cohort_week", F.date_format("cohort_week", "yyyy-MM-dd")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) /
+                 CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE), 6) AS p
+    FROM pairs
+    """,
+    doc=(
+        "First-order Markov transition counts + row-normalized "
+        "probabilities between event types along each user's timeline "
+        "(operators/analytics.transition_matrix). Order is (ts, "
+        "event_id) — a total order, so lag pairs are deterministic "
+        "cross-engine. One window shuffle on user_id (bounded per-user "
+        "history), one tiny groupBy on the 25-cell pair space; the "
+        "probability divides two exact BIGINTs once, rounded 6 dp."
+    ),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transition_matrix(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_vocab_topk",
+    """
+    WITH toks AS (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        FROM documents
+    )
+    SELECT token, count(*) AS n
+    FROM toks WHERE length(token) >= 1
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 100
+    """,
+    doc=(
+        "Corpus vocabulary: 100 most frequent lowercase-alpha tokens "
+        "with counts (operators/textops.vocab_top_terms) — the "
+        "wordcount that seeds BPE/vocab training. Explode + "
+        "map-side-combined groupBy means the shuffle carries "
+        "vocabulary-sized partials, not corpus-sized tokens; the top-k "
+        "is TakeOrderedAndProject (per-task k-row heaps, driver merges "
+        "k*tasks rows — no global sort of the vocabulary). Tie order "
+        "(n desc, token asc) makes the k-boundary deterministic."
+    ),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_top_terms(_t(spark, sf_dir, "documents"), k=100)
