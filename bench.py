@@ -78,6 +78,11 @@ HEADLINE = [
     "w4_value_range_frames",
     "grouping_sets_orders",
     "rollup_incremental_merge",
+    "data_source_mixture",
+    "funnel_user_conversion",
+    "cohort_retention_weekly",
+    "event_transition_matrix",
+    "text_vocab_topk",
 ]
 
 
@@ -102,6 +107,8 @@ DATA_BOUND = [
     "fuzzy_customer_match",
     "agg_corr_regression",
     "rollup_incremental_merge",
+    "cohort_retention_weekly",
+    "text_vocab_topk",
 ]
 
 

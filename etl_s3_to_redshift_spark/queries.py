@@ -943,6 +943,7 @@ _DRIVER_FIRST = [
     # round-3b additions (no driver row yet)
     "data_source_mixture", "funnel_user_conversion", "cohort_retention_weekly",
     "event_transition_matrix", "text_vocab_topk",
+    "scd2_customer_history", "merge_upsert_snapshot",
 ]
 
 

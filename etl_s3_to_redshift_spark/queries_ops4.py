@@ -263,3 +263,130 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_top_terms(_t(spark, sf_dir, "documents"), k=100)
+
+
+# ---------------------------------------------------------------------------
+# MERGE / SCD2 surface, driver-visible (operators/merge.py was test-only)
+# ---------------------------------------------------------------------------
+
+_SCD2_EFF = "2024-06-01 00:00:00"
+
+
+def _scd2_frames(spark: SparkSession, sf_dir: str):
+    """Deterministic dim snapshot + CDC batch derived from `customer`:
+    keys %3==0 arrive as updates (those also %7==0 change segment →
+    'MOVED'), keys %50==0 reappear shifted +500000 as brand-new rows."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    dim = (
+        cust.withColumn("valid_from", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    upd = cust.filter(F.col("c_custkey") % 3 == 0).withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 7 == 0, F.lit("MOVED")).otherwise(F.col("c_mktsegment")),
+    )
+    new = cust.filter(F.col("c_custkey") % 50 == 0).select(
+        (F.col("c_custkey") + 500000).alias("c_custkey"),
+        "c_nationkey",
+        F.lit("NEWSEG").alias("c_mktsegment"),
+    )
+    return dim, upd.unionByName(new)
+
+
+_SCD2_ORACLE = f"""
+    WITH dim AS (
+        SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+    ),
+    upd AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
+                   AS c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 500000, c_nationkey, 'NEWSEG'
+        FROM customer WHERE c_custkey % 50 = 0
+    ),
+    changed AS (
+        SELECT u.c_custkey FROM upd u JOIN dim d ON u.c_custkey = d.c_custkey
+        WHERE u.c_nationkey <> d.c_nationkey OR u.c_mktsegment <> d.c_mktsegment
+    )
+    SELECT d.c_custkey, d.c_nationkey, d.c_mktsegment,
+           '2024-01-01 00:00:00' AS valid_from,
+           CASE WHEN c.c_custkey IS NOT NULL THEN '{_SCD2_EFF}' END AS valid_to,
+           (c.c_custkey IS NULL) AS is_current
+    FROM dim d LEFT JOIN changed c ON d.c_custkey = c.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.c_nationkey, u.c_mktsegment,
+           '{_SCD2_EFF}' AS valid_from, NULL AS valid_to, TRUE AS is_current
+    FROM upd u
+    WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+       OR u.c_custkey NOT IN (SELECT c_custkey FROM dim)
+"""
+
+
+@register(
+    "scd2_customer_history",
+    _SCD2_ORACLE,
+    doc=(
+        "Type-2 slowly-changing-dimension merge (operators/merge."
+        "scd2_apply) applied to a deterministic CDC batch over the "
+        "customer dim: changed keys get their current row closed "
+        "(valid_to = effective ts) plus a fresh current version; "
+        "brand-new keys insert; unchanged/untouched rows pass through. "
+        "The oracle restates the semantics as set algebra (closed = "
+        "dim semi-join changed, fresh = changed + new). One shuffle on "
+        "the key; attribute compare is null-safe; at 100 TB the CDC "
+        "batch side broadcasts and history never reshuffles. This is "
+        "the warehouse-maintenance surface the reference's full-refresh "
+        "INSERT-SELECTs (/root/reference/etl.py:22-29) cannot express."
+    ),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim, upd = _scd2_frames(spark, sf_dir)
+    from etl_s3_to_redshift_spark.operators.merge import scd2_apply
+
+    snap = scd2_apply(
+        dim, upd, "c_custkey", ["c_nationkey", "c_mktsegment"],
+        F.lit(_SCD2_EFF).cast("timestamp"),
+    )
+    return snap.select(
+        "c_custkey", "c_nationkey", "c_mktsegment",
+        F.date_format("valid_from", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd HH:mm:ss").alias("valid_to"),
+        "is_current",
+    )
+
+
+@register(
+    "merge_upsert_snapshot",
+    """
+    WITH src AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
+                   AS c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey + 500000, c_nationkey, 'NEWSEG'
+        FROM customer WHERE c_custkey % 50 = 0
+    )
+    SELECT c_custkey, c_nationkey, c_mktsegment FROM src
+    UNION ALL
+    SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment
+    FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM src)
+    """,
+    doc=(
+        "MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT "
+        "(operators/merge.merge_upsert) as anti-join + union over the "
+        "same deterministic CDC batch as scd2_customer_history. The "
+        "delta broadcasts (typical CDC batch ≪ target), so the target "
+        "snapshot never shuffles — the incremental replacement for the "
+        "reference's drop-and-reload."
+    ),
+)
+def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.merge import merge_upsert
+
+    dim, upd = _scd2_frames(spark, sf_dir)
+    target = dim.select("c_custkey", "c_nationkey", "c_mktsegment")
+    return merge_upsert(target, upd, "c_custkey")
