@@ -202,18 +202,18 @@ def source_quotas(
             F.pow(F.col("n_rows").cast("double"), F.lit(float(temperature))) * F.lit(1e9)
         ).cast("long")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows")).withColumn("w", w)
-    # total weight + leftover are scalars over #groups rows — the
-    # cross-join below broadcasts a 1-row frame, not data.
-    tot = counts.agg(F.sum("w").alias("t"))
-    quoted = (
-        counts.crossJoin(F.broadcast(tot))
-        .withColumn("quota0", F.expr(f"CAST({budget} AS BIGINT) * w div t"))
-        .withColumn("rem", F.expr(f"CAST({budget} AS BIGINT) * w % t"))
-    )
-    left = quoted.agg((F.lit(budget) - F.sum("quota0")).alias("leftover"))
+    # Total weight, leftover, and remainder rank are all computed with
+    # GLOBAL windows over the #groups-row counts frame (single tiny
+    # partition by construction) instead of scalar cross-joins — a
+    # cross-join formulation re-derives the counts subtree per scalar
+    # and triples the corpus scans in the physical plan.
+    wall = Window.partitionBy()
     rk = Window.orderBy(F.col("rem").desc(), F.col(group_col).asc())
     return (
-        quoted.crossJoin(F.broadcast(left))
+        counts.withColumn("t", F.sum("w").over(wall))
+        .withColumn("quota0", F.expr(f"CAST({budget} AS BIGINT) * w div t"))
+        .withColumn("rem", F.expr(f"CAST({budget} AS BIGINT) * w % t"))
+        .withColumn("leftover", F.lit(budget) - F.sum("quota0").over(wall))
         .withColumn("rk", F.row_number().over(rk))
         .withColumn(
             "quota",
