@@ -104,3 +104,36 @@ def top_k(df: DataFrame, order: Sequence[Column], k: int) -> DataFrame:
 def count_rows(df: DataFrame, alias: str = "n_rows") -> DataFrame:
     """R8 — count(*) as a one-row DataFrame (reference test_etl.ipynb)."""
     return df.agg(F.count(F.lit(1)).alias(alias))
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """ANALYZE-style single-pass column profile: per column the non-null
+    count, exact distinct count, and min/max (computed on the native
+    type, then cast to string for a uniform long-format output of
+    ``(column_name, n_nonnull, n_distinct, min_value, max_value)``).
+
+    One scan: all aggregates run in a single ``agg`` (Spark plans the
+    multiple exact DISTINCTs with one expand — cost |cols| x rows, the
+    price of exactness; swap ``approx_count_distinct`` in for the
+    100 TB profile-everything sweep), then ``stack`` unpivots the 1-row
+    result driver-free. This is the statistics surface behind the
+    reference's implicit reliance on Redshift's ANALYZE
+    (/root/reference/sql_queries.py has no stats DDL — the warehouse
+    does it); here it doubles as CBO input and data-quality monitoring.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__n_{c}"),
+            F.countDistinct(F.col(c)).alias(f"__d_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+        ]
+    row = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{c}', __n_{c}, __d_{c}, __min_{c}, __max_{c}" for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {pairs}) AS "
+        "(column_name, n_nonnull, n_distinct, min_value, max_value)"
+    )

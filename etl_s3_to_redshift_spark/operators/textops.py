@@ -5,7 +5,7 @@ run inside the scan stage, shuffle-free, at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_s3_to_redshift_spark.functions.text import (
@@ -221,4 +221,46 @@ def vocab_top_terms(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document average unigram negative log-probability under the
+    corpus's own maximum-likelihood unigram model — the cheap
+    perplexity-style quality signal (boilerplate and template text score
+    low surprisal; gibberish and OOV-heavy text score high). Tokens are
+    the same lowercase-alpha split as ``vocab_top_terms``.
+
+    Scale shape: one token groupBy builds the model (vocabulary-sized
+    shuffle, map-side combined; the total-count scalar is a global
+    window over the tiny vocab frame); scoring joins tokens to the model
+    on the token key — broadcastable whenever the vocabulary fits an
+    executor (natural-language vocabularies do), else a plain hash join
+    — then one per-doc aggregate. No UDFs. The per-doc mean is rounded
+    6 dp: ``ln`` differs across libms at ~1e-16/token, 10 orders below
+    the rounding grain.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("token"),
+    ).filter(F.length("token") >= 1)
+    wall = Window.partitionBy()
+    model = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+        .withColumn("n_total", F.sum("n_w").over(wall))
+        .withColumn("neglogp", -F.log(F.col("n_w").cast("double") / F.col("n_total").cast("double")))
+        .select("token", "neglogp")
+    )
+    return (
+        toks.join(F.broadcast(model), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("neglogp"), 6).alias("avg_neglogp"),
+        )
     )

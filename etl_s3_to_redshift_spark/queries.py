@@ -944,6 +944,7 @@ _DRIVER_FIRST = [
     "data_source_mixture", "funnel_user_conversion", "cohort_retention_weekly",
     "event_transition_matrix", "text_vocab_topk",
     "scd2_customer_history", "merge_upsert_snapshot",
+    "text_unigram_logprob", "profile_orders_columns",
 ]
 
 

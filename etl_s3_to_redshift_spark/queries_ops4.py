@@ -390,3 +390,83 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim, upd = _scd2_frames(spark, sf_dir)
     target = dim.select("c_custkey", "c_nationkey", "c_mktsegment")
     return merge_upsert(target, upd, "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring (perplexity-style quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        FROM documents
+    ),
+    tok AS (SELECT doc_id, token FROM toks WHERE length(token) >= 1),
+    model AS (
+        SELECT token,
+               -ln(CAST(count(*) AS DOUBLE) /
+                   CAST(sum(count(*)) OVER () AS DOUBLE)) AS neglogp
+        FROM tok GROUP BY token
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(m.neglogp), 6) AS avg_neglogp
+    FROM tok t JOIN model m USING (token)
+    GROUP BY t.doc_id
+    """,
+    doc=(
+        "Per-document mean unigram surprisal under the corpus's own ML "
+        "unigram model (operators/textops.unigram_logprob_scores) — the "
+        "cheap perplexity proxy used for corpus quality filtering. One "
+        "vocabulary-sized groupBy builds the model (total-count scalar "
+        "is a global window over the vocab frame, not a corpus rescan); "
+        "scoring is a broadcast token join + per-doc aggregate, no "
+        "UDFs. Mean rounded 6 dp (ln drifts ~1e-16/token across libms, "
+        "10 orders below the grain)."
+    ),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.textops import unigram_logprob_scores
+
+    return unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style column profile
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+@register(
+    "profile_orders_columns",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS column_name,
+           count({c}) AS n_nonnull,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_value,
+           CAST(max({c}) AS VARCHAR) AS max_value
+    FROM orders
+    """
+        for c in _PROFILE_COLS
+    ),
+    doc=(
+        "Single-pass ANALYZE-style profile of four orders columns "
+        "(operators/relational.profile_columns): non-null count, exact "
+        "distinct count, native-typed min/max per column, unpivoted to "
+        "long format with stack(). One scan computes every aggregate "
+        "(the oracle restates it as per-column UNION ALL — same "
+        "values, N scans, which is exactly why the stack form exists). "
+        "At 100 TB the exact DISTINCT expand swaps for "
+        "approx_count_distinct; min/max/counts stay exact."
+    ),
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.relational import profile_columns
+
+    return profile_columns(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
