@@ -83,6 +83,8 @@ HEADLINE = [
     "cohort_retention_weekly",
     "event_transition_matrix",
     "text_vocab_topk",
+    "text_unigram_logprob",
+    "scd2_customer_history",
 ]
 
 
