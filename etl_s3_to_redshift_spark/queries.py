@@ -360,15 +360,25 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    joined = li.join(
+    revenue = money("l_extendedprice") * (1 - money("l_discount"))
+    # Pre-aggregate revenue per orderkey BEFORE the join: orders x
+    # customer is 1:1 per order, so the per-order sum is join-invariant,
+    # and the join's lineitem side shrinks to one row per order (the
+    # pre-agg shuffle replaces the join shuffle on the same key — the
+    # exchange is reused, not added). Decimal partials keep exactness.
+    rev = li.groupBy(li["l_orderkey"].alias("order_id")).agg(
+        F.sum(revenue).alias("__rev_dec")
+    )
+    joined = rev.join(
         o.join(c, o["o_custkey"] == c["c_custkey"], "inner"),
-        li["l_orderkey"] == o["o_orderkey"],
+        rev["order_id"] == o["o_orderkey"],
         "inner",
     )
-    revenue = money("l_extendedprice") * (1 - money("l_discount"))
-    agg = joined.groupBy(
-        li["l_orderkey"].alias("order_id"), o["o_orderdate"].alias("order_date")
-    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+    agg = joined.select(
+        "order_id",
+        o["o_orderdate"].alias("order_date"),
+        F.col("__rev_dec").cast("double").alias("revenue"),
+    )
     return agg.orderBy(F.col("revenue").desc(), F.col("order_id").asc()).limit(10)
 
 
