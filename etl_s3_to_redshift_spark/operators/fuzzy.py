@@ -103,8 +103,11 @@ def blocked_substitution_join(
         )
         .dropDuplicates([probe_id, ref_id])
     )
+    # Thresholded levenshtein early-exits the O(len^2) DP once the running
+    # distance exceeds max_dist (returns -1), so non-matches — the vast
+    # majority of candidates — cost O(len * max_dist) instead.
     return (
-        cand.withColumn("dist", F.levenshtein("__ps", "__rs"))
-        .filter(F.col("dist") <= max_dist)
+        cand.withColumn("dist", F.levenshtein("__ps", "__rs", max_dist))
+        .filter(F.col("dist") >= 0)
         .select(probe_id, ref_id, F.col("dist").cast("int").alias("dist"))
     )
