@@ -806,17 +806,28 @@ def q10_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = _t(spark, sf_dir, "nation")
-    joined = (
-        li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(c, o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
-    )
     revenue = money("l_extendedprice") * (1 - money("l_discount"))
-    agg = joined.groupBy(
-        c["c_custkey"].alias("customer_id"),
-        c["c_name"].alias("customer_name"),
-        n["n_name"].alias("nation"),
-    ).agg(F.sum(revenue).cast("double").alias("revenue"))
+    # Two-stage partial aggregation: per-order sums BEFORE the orders
+    # join (join-invariant — orders are unique per orderkey), then
+    # per-customer sums BEFORE the dim joins, so customer/nation join
+    # one row per customer instead of per returned lineitem. Decimal
+    # addition is associative, so staging the sum is exact.
+    rev = li.groupBy("l_orderkey").agg(F.sum(revenue).alias("__rev"))
+    per_cust = (
+        rev.join(o, rev["l_orderkey"] == o["o_orderkey"])
+        .groupBy(o["o_custkey"].alias("__ck"))
+        .agg(F.sum("__rev").alias("__rev_c"))
+    )
+    agg = (
+        per_cust.join(c, F.col("__ck") == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            c["c_custkey"].alias("customer_id"),
+            c["c_name"].alias("customer_name"),
+            n["n_name"].alias("nation"),
+            F.col("__rev_c").cast("double").alias("revenue"),
+        )
+    )
     return agg.orderBy(F.col("revenue").desc(), F.col("customer_id").asc()).limit(20)
 
 
