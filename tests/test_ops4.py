@@ -103,3 +103,31 @@ def test_transition_matrix_rows_normalize(spark):
     n_ev = ev.count()
     n_users = ev.select("user_id").distinct().count()
     assert n_pairs == n_ev - n_users
+
+
+def test_source_quotas_property_random_mixes(spark):
+    """Largest-remainder apportionment invariants on random source-size
+    mixes: quotas sum exactly to the budget, every quota is within one
+    of the exact proportional share, and the result is independent of
+    input partitioning."""
+    import random
+
+    from etl_s3_to_redshift_spark.operators.sampling import source_quotas
+
+    for seed in (7, 23, 91):
+        rng = random.Random(seed)
+        sizes = {f"s{i:02d}": rng.randint(1, 500) for i in range(rng.randint(2, 12))}
+        budget = rng.randint(1, 300)
+        rows = [(f"{src}-{j}", src) for src, n in sizes.items() for j in range(n)]
+        df = spark.createDataFrame(rows, ["doc_id", "source"])
+        got = {r.source: r.quota for r in source_quotas(df, budget, temperature=1.0).collect()}
+        assert sum(got.values()) == budget
+        total = sum(sizes.values())
+        for src, n in sizes.items():
+            exact = budget * n / total
+            assert exact - 1 < got[src] < exact + 1 or abs(got[src] - exact) <= 1
+        got2 = {
+            r.source: r.quota
+            for r in source_quotas(df.repartition(7), budget, temperature=1.0).collect()
+        }
+        assert got == got2
