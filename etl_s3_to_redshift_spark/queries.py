@@ -966,6 +966,7 @@ _DRIVER_FIRST = [
     "event_transition_matrix", "text_vocab_topk",
     "scd2_customer_history", "merge_upsert_snapshot",
     "text_unigram_logprob", "profile_orders_columns",
+    "text_quality_calibrate", "w5_trailing_hour_window",
 ]
 
 

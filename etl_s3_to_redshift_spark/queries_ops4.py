@@ -470,3 +470,88 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.relational import profile_columns
 
     return profile_columns(_t(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+# ---------------------------------------------------------------------------
+# Per-language quantile calibration (cross-lingual quality normalization)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_quality_calibrate",
+    """
+    SELECT doc_id, lang, n_chars,
+           round(percent_rank() OVER (
+               PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC
+           ), 6) AS pct_in_lang
+    FROM documents
+    """,
+    doc=(
+        "Per-language percent_rank calibration of a quality signal "
+        "(here n_chars): the cross-lingual normalization step before a "
+        "single global quality threshold — raw scores are not "
+        "comparable across languages, quantiles are. The (score, "
+        "doc_id) order is total, so percent_rank is deterministic "
+        "cross-engine. One window shuffle partitioned by lang; at "
+        "100 TB a language is the natural partition unit and heavy "
+        "languages switch to the sampled-boundary quantile path "
+        "documented in hist_equidepth_deciles."
+    ),
+)
+def text_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    return docs.select(
+        "doc_id", "lang", "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pct_in_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-based trailing RANGE window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w5_trailing_hour_window",
+    """
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_trailing_hour,
+           CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT)
+               AS v_trailing_hour
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc=(
+        "Event-TIME RANGE frame: per event, the count and integer-"
+        "floored value sum of the same user's events in the trailing "
+        "hour [ts-1h, ts] — the sliding-window rate/feature shape "
+        "(rate limiting, burst detection, rolling engagement). Spark "
+        "expresses the interval frame as rangeBetween(-3600, 0) over "
+        "unix seconds — semantically identical to SQL's INTERVAL "
+        "PRECEDING since the data's timestamps are whole-second. "
+        "Duplicate-ts rows share a frame in both engines (RANGE, not "
+        "ROWS). One shuffle on user_id; frame state is bounded by the "
+        "hour horizon. Measures are exact BIGINTs — no float-order "
+        "drift."
+    ),
+)
+def w5_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
+        F.sum(F.floor("value").cast("bigint")).over(w).alias("v_trailing_hour"),
+    )
