@@ -967,6 +967,7 @@ _DRIVER_FIRST = [
     "scd2_customer_history", "merge_upsert_snapshot",
     "text_unigram_logprob", "profile_orders_columns",
     "text_quality_calibrate", "w5_trailing_hour_window",
+    "seq_pattern_users", "snapshot_diff_customers",
 ]
 
 

@@ -555,3 +555,134 @@ def w5_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_trailing_hour"),
         F.sum(F.floor("value").cast("bigint")).over(w).alias("v_trailing_hour"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence pattern matching (MATCH_RECOGNIZE analogue)
+# ---------------------------------------------------------------------------
+
+# initials: signup=s, view=v, click=c, purchase=p, error=e
+_SEQ_PATTERN = "s[vc]*p"
+
+
+@register(
+    "seq_pattern_users",
+    f"""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, length(seq) AS n_events,
+           regexp_matches(seq, '{_SEQ_PATTERN}') AS matched
+    FROM seqs
+    """,
+    doc=(
+        "MATCH_RECOGNIZE-style sequence pattern over per-user event "
+        "timelines: each user's events collapse (ordered by the (ts, "
+        "event_id) total order) to an initials string, and the pattern "
+        "'signup (view|click)* purchase' is a plain regex over it. "
+        "collect_list + array_sort + regexp — all built-ins, one "
+        "shuffle on user_id, per-user state bounded by history length "
+        "(cap long histories with a time window at 100 TB). This is "
+        "the general form of the funnel query: any regular pattern, "
+        "not just a fixed ordered chain."
+    ),
+)
+def seq_pattern_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # array_sort on (ts, event_id, initial) structs orders by the same
+    # total order as the SQL string_agg ORDER BY
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("i"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list("s")), lambda x: x["i"])
+            ).alias("seq")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        F.col("seq").rlike(_SEQ_PATTERN).alias("matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (CDC classification between two table states)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_diff_customers",
+    """
+    WITH now AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
+                   AS c_mktsegment
+        FROM customer WHERE c_custkey % 11 <> 0
+        UNION ALL
+        SELECT c_custkey + 500000, c_nationkey, 'NEWSEG'
+        FROM customer WHERE c_custkey % 50 = 0
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.c_nationkey <> n.c_nationkey
+                  OR o.c_mktsegment <> n.c_mktsegment THEN 'changed'
+                ELSE 'unchanged' END AS change_kind
+    FROM customer o FULL OUTER JOIN now n ON o.c_custkey = n.c_custkey
+    """,
+    doc=(
+        "Snapshot diff / CDC derivation: one full-outer equi-join on "
+        "the key classifies every row of two table states as added / "
+        "removed / changed / unchanged — the operator that turns "
+        "full-refresh dumps (the reference's only load mode, "
+        "etl.py:22-29) into an incremental change feed for the MERGE "
+        "and SCD2 operators. Null-safe attribute comparison, one "
+        "shuffle per side, no windows. The 'now' state here is the "
+        "same deterministic mutation the SCD2 query uses, plus "
+        "deletions (keys % 11 == 0 vanish)."
+    ),
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    now = (
+        cust.filter(F.col("c_custkey") % 11 != 0)
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("MOVED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 500000).alias("c_custkey"),
+                "c_nationkey",
+                F.lit("NEWSEG").alias("c_mktsegment"),
+            )
+        )
+    )
+    o, n = cust.alias("o"), now.alias("n")
+    changed = (
+        ~F.col("o.c_nationkey").eqNullSafe(F.col("n.c_nationkey"))
+    ) | (~F.col("o.c_mktsegment").eqNullSafe(F.col("n.c_mktsegment")))
+    return (
+        o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+        .select(
+            F.coalesce(F.col("o.c_custkey"), F.col("n.c_custkey")).alias("c_custkey"),
+            F.when(F.col("o.c_custkey").isNull(), "added")
+            .when(F.col("n.c_custkey").isNull(), "removed")
+            .when(changed, "changed")
+            .otherwise("unchanged")
+            .alias("change_kind"),
+        )
+    )
