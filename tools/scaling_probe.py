@@ -37,6 +37,11 @@ QUERIES = [
     "dedup_repeated_chunks",
     "fuzzy_customer_match",
     "ts_gapfill_hourly",
+    # round-3b: distinct-agg cohort matrix, vocabulary-sized shuffle +
+    # TakeOrdered top-k, and the two-scan mixture apportionment
+    "cohort_retention_weekly",
+    "text_vocab_topk",
+    "data_source_mixture",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
