@@ -173,18 +173,22 @@ def tfidf_top_terms(
         F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = dfreq.select(
-        "term",
-        (F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1.0).alias("idf"),
-    )
-    # idf is one row per distinct term — vocabulary-scale, which on raw
-    # web text grows without bound (typos/urls), so NO pinned broadcast:
-    # AQE replicates it while it fits and shuffle-joins beyond.
-    scored = tf.join(idf, "term").select(
+    # Document frequency comes from a WINDOW over the tf frame, not a
+    # second aggregate + join: a separate dfreq branch re-derives the
+    # whole tokenize+aggregate subtree (column pruning gives the two
+    # branches different canonical scans, so ReuseExchange never fires —
+    # verified: the join form plans 2 corpus scans). The window shuffles
+    # only (doc, term, tf) rows on the term key — tf-frame-sized, one
+    # corpus pass total.
+    wterm = Window.partitionBy("term")
+    scored = tf.withColumn("df", F.count(F.lit(1)).over(wterm)).select(
         id_col,
         "term",
-        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+        F.round(
+            F.col("tf")
+            * (F.log(F.lit(float(n_docs + 1)) / (F.col("df") + 1)) + 1.0),
+            6,
+        ).alias("tfidf"),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
