@@ -968,6 +968,7 @@ _DRIVER_FIRST = [
     "text_unigram_logprob", "profile_orders_columns",
     "text_quality_calibrate", "w5_trailing_hour_window",
     "seq_pattern_users", "snapshot_diff_customers",
+    "interval_join_shipments",
 ]
 
 

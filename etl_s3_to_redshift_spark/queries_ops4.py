@@ -686,3 +686,54 @@ def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("change_kind"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pure non-equi interval join, driver-visible (was test-only)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "interval_join_shipments",
+    """
+    WITH iv AS (
+        SELECT o_orderkey AS iv_id, o_orderdate AS lo,
+               o_orderdate + INTERVAL 3 DAY AS hi
+        FROM orders WHERE o_orderkey % 997 = 0
+    ),
+    pt AS (
+        SELECT l_orderkey, l_linenumber, l_shipdate
+        FROM lineitem WHERE l_orderkey % 13 = 0
+    )
+    SELECT p.l_orderkey, p.l_linenumber, i.iv_id
+    FROM pt p JOIN iv i
+      ON p.l_shipdate >= i.lo AND p.l_shipdate <= i.hi
+    """,
+    doc=(
+        "Pure NON-EQUI interval join (no shared key at all): shipments "
+        "falling inside 3-day windows anchored at a deterministic "
+        "sample of order dates (operators/temporal.interval_bucket_join"
+        "). Spark's only native plan for this is a broadcast-nested-"
+        "loop O(n*m); the bucket-grid rewrite explodes each interval to "
+        "its day-grid cells and equi-joins on the cell before the exact "
+        "range filter — cost O(points + intervals*(len/width) + "
+        "matches), a plain hash join at any scale. The oracle is the "
+        "naive range predicate (DuckDB plans it as an IEJoin)."
+    ),
+)
+def interval_join_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.temporal import interval_bucket_join
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 997 == 0)
+    iv = o.select(
+        F.col("o_orderkey").alias("iv_id"),
+        F.col("o_orderdate").alias("lo"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("hi"),
+    )
+    pt = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 == 0)
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+    joined = interval_bucket_join(pt, iv, "l_shipdate", "lo", "hi", 86400)
+    return joined.select("l_orderkey", "l_linenumber", "iv_id")
