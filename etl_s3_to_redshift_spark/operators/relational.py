@@ -121,17 +121,25 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     (/root/reference/sql_queries.py has no stats DDL — the warehouse
     does it); here it doubles as CBO input and data-quality monitoring.
     """
+    # Internal aliases are positional (__n_0, ...) and the emitted
+    # column-name literal is quote-escaped, so column names containing
+    # spaces/dots/quotes can't break the generated stack() expression
+    # (the source column itself is referenced via F.col, which handles
+    # any identifier).
     aggs = []
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).alias(f"__n_{c}"),
-            F.countDistinct(F.col(c)).alias(f"__d_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
+            F.count(F.col(c)).alias(f"__n_{i}"),
+            F.countDistinct(F.col(c)).alias(f"__d_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__min_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__max_{i}"),
         ]
     row = df.agg(*aggs)
     pairs = ", ".join(
-        f"'{c}', __n_{c}, __d_{c}, __min_{c}, __max_{c}" for c in cols
+        "'{lit}', __n_{i}, __d_{i}, __min_{i}, __max_{i}".format(
+            lit=c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
+        for i, c in enumerate(cols)
     )
     return row.selectExpr(
         f"stack({len(cols)}, {pairs}) AS "

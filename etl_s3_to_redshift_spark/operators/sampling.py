@@ -181,26 +181,33 @@ def source_quotas(
     go through ``pow``, where libm implementations may differ by 1 ulp.
     The weight is scaled to an integer (``floor(w * 1e9)``) and every
     subsequent step — base quota ``budget*W div T``, remainder ranking,
-    leftover distribution — is exact 64-bit integer arithmetic, so the
-    apportionment is deterministic everywhere.
+    leftover distribution — runs in exact DECIMAL(38,0) integer
+    arithmetic (Spark decimal ``div``/``%`` are exact; the DuckDB twin
+    uses HUGEINT), so the apportionment is deterministic everywhere and
+    immune to the int64 overflow a BIGINT ``budget*W`` would hit at
+    LLM-corpus scale (budget 1e6 x a 1e8-row source already exceeds
+    2^63 with BIGINT; DECIMAL(38,0) holds products to 1e38).
 
     Scale shape: one map-side-combined groupBy on ``group_col`` over the
     corpus; everything after runs on #groups rows. Returns
-    ``(group_col, n_rows, quota)`` with ``sum(quota) == budget``
-    (when #groups <= budget; a group never receives quota > n_rows is
-    NOT enforced — callers sampling k-per-group cap at n_rows
-    naturally because only n_rows exist).
+    ``(group_col, n_rows, quota)`` with quota CAPPED at ``n_rows`` —
+    a group cannot deliver more rows than it has, so when temperature
+    upweights a small source past its size, ``sum(quota)`` is LESS than
+    ``budget`` (visibly: the returned n_rows/quota columns show the
+    saturation; callers needing the full budget re-apportion the
+    shortfall over the unsaturated groups). With no saturated group,
+    ``sum(quota) == min(budget, ...)`` exactly.
     """
     if temperature == 0.0:
-        w = F.lit(int(1e9)).cast("long")
+        w = F.lit(int(1e9)).cast("decimal(38,0)")
     elif temperature == 1.0:
-        w = (F.col("n_rows") * F.lit(int(1e9))).cast("long")
+        w = (F.col("n_rows").cast("decimal(38,0)") * F.lit(int(1e9)).cast("decimal(38,0)"))
     elif temperature == 0.5:
-        w = F.floor(F.sqrt(F.col("n_rows").cast("double")) * F.lit(1e9)).cast("long")
+        w = F.floor(F.sqrt(F.col("n_rows").cast("double")) * F.lit(1e9)).cast("decimal(38,0)")
     else:
         w = F.floor(
             F.pow(F.col("n_rows").cast("double"), F.lit(float(temperature))) * F.lit(1e9)
-        ).cast("long")
+        ).cast("decimal(38,0)")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows")).withColumn("w", w)
     # Total weight, leftover, and remainder rank are all computed with
     # GLOBAL windows over the #groups-row counts frame (single tiny
@@ -211,13 +218,20 @@ def source_quotas(
     rk = Window.orderBy(F.col("rem").desc(), F.col(group_col).asc())
     return (
         counts.withColumn("t", F.sum("w").over(wall))
-        .withColumn("quota0", F.expr(f"CAST({budget} AS BIGINT) * w div t"))
-        .withColumn("rem", F.expr(f"CAST({budget} AS BIGINT) * w % t"))
+        .withColumn("__prod", F.expr(f"CAST({budget} AS DECIMAL(38,0)) * w"))
+        .withColumn("quota0", F.expr("__prod div t"))
+        .withColumn("rem", F.expr("__prod % t"))
         .withColumn("leftover", F.lit(budget) - F.sum("quota0").over(wall))
         .withColumn("rk", F.row_number().over(rk))
         .withColumn(
             "quota",
-            (F.col("quota0") + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)).cast("long"),
+            F.least(
+                (
+                    F.col("quota0")
+                    + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+                ).cast("long"),
+                F.col("n_rows"),
+            ),
         )
         .select(group_col, "n_rows", "quota")
     )
@@ -235,7 +249,11 @@ def source_mixture_sample(
     rows across sources with ``source_quotas`` and take each source's
     first ``quota`` rows in content-hash order (md5 of the id — same
     portability contract as ``hash_split``; re-runs, appends, and engine
-    ports pick the same rows).
+    ports pick the same rows). Quotas are capped at each source's size,
+    so the delivered row count falls short of ``budget`` when
+    temperature upweights a source past what it holds — compare
+    ``sum(quota)`` from ``source_quotas`` against ``budget`` to detect
+    saturation and re-apportion the shortfall if needed.
 
     Scale shape: the quota table is #sources rows → broadcast joined;
     per-source selection is one window shuffle partitioned by

@@ -166,8 +166,6 @@ def tfidf_top_terms(
     Two shuffles (doc-term agg, term df agg joined back broadcast) + one
     window — each linear in the token count. Deterministic tiebreak: term
     asc at equal score."""
-    from pyspark.sql import Window
-
     n_docs = df.count()  # scalar action on metadata scale; cheap vs the scan
     toks = df.select(
         F.col(id_col), F.explode(words(F.lower(F.col(text_col)))).alias("term")
@@ -239,32 +237,35 @@ def unigram_logprob_scores(
     low surprisal; gibberish and OOV-heavy text score high). Tokens are
     the same lowercase-alpha split as ``vocab_top_terms``.
 
-    Scale shape: one token groupBy builds the model (vocabulary-sized
-    shuffle, map-side combined; the total-count scalar is a global
-    window over the tiny vocab frame); scoring joins tokens to the model
-    on the token key — broadcastable whenever the vocabulary fits an
-    executor (natural-language vocabularies do), else a plain hash join
-    — then one per-doc aggregate. No UDFs. The per-doc mean is rounded
-    6 dp: ``ln`` differs across libms at ~1e-16/token, 10 orders below
-    the rounding grain.
+    Scale shape: ONE corpus tokenization — the per-(doc, token) tf
+    aggregate — then windows derive the model from it: n_w = sum(tf)
+    over the token key (tf-frame-sized shuffle, not corpus-sized) and
+    the total-count scalar over the vocab. A separate model groupBy +
+    join back would re-derive the tokenize subtree (the two-scan trap
+    measured and removed in ``tfidf_top_terms``), and a pinned broadcast
+    of the model would OOM on web-scale vocabularies (typos/urls grow
+    without bound) — this form has neither. No UDFs. The per-doc mean
+    is sum(tf * neglogp) / sum(tf), rounded 6 dp: ``ln`` differs across
+    libms at ~1e-16/token, 10 orders below the rounding grain.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("token"),
     ).filter(F.length("token") >= 1)
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    wtok = Window.partitionBy("token")
     wall = Window.partitionBy()
-    model = (
-        toks.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("n_w"))
-        .withColumn("n_total", F.sum("n_w").over(wall))
-        .withColumn("neglogp", -F.log(F.col("n_w").cast("double") / F.col("n_total").cast("double")))
-        .select("token", "neglogp")
-    )
-    return (
-        toks.join(F.broadcast(model), "token")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("neglogp"), 6).alias("avg_neglogp"),
+    scored = (
+        tf.withColumn("n_w", F.sum("tf").over(wtok))
+        .withColumn("n_total", F.sum("tf").over(wall))
+        .withColumn(
+            "neglogp",
+            -F.log(F.col("n_w").cast("double") / F.col("n_total").cast("double")),
         )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        F.round(F.sum(F.col("tf") * F.col("neglogp")) / F.sum("tf"), 6).alias(
+            "avg_neglogp"
+        ),
     )

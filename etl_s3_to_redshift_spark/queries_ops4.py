@@ -42,22 +42,24 @@ _MIX_BUDGET = 200
     WITH counts AS (
         SELECT source,
                count(*) AS n_rows,
-               CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e9) AS BIGINT) AS w
+               CAST(CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1e9) AS BIGINT)
+                    AS HUGEINT) AS w
         FROM documents GROUP BY source
     ),
-    tot AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM counts),
+    tot AS (SELECT CAST(sum(w) AS HUGEINT) AS t FROM counts),
     quoted AS (
         SELECT c.source, c.n_rows, c.w,
-               (CAST({_MIX_BUDGET} AS BIGINT) * c.w) // t.t AS quota0,
-               (CAST({_MIX_BUDGET} AS BIGINT) * c.w) % t.t AS rem
+               (CAST({_MIX_BUDGET} AS HUGEINT) * c.w) // t.t AS quota0,
+               (CAST({_MIX_BUDGET} AS HUGEINT) * c.w) % t.t AS rem
         FROM counts c CROSS JOIN tot t
     ),
-    lo AS (SELECT CAST({_MIX_BUDGET} - sum(quota0) AS BIGINT) AS leftover FROM quoted),
+    lo AS (SELECT CAST({_MIX_BUDGET} - sum(quota0) AS HUGEINT) AS leftover FROM quoted),
     q AS (
         SELECT source,
-               CAST(quota0 + CASE
+               CAST(least(quota0 + CASE
                    WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
-                        <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END
+                        <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END,
+                   CAST(n_rows AS HUGEINT))
                  AS BIGINT) AS quota
         FROM quoted
     ),
@@ -405,18 +407,22 @@ def merge_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
                unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
         FROM documents
     ),
-    tok AS (SELECT doc_id, token FROM toks WHERE length(token) >= 1),
-    model AS (
-        SELECT token,
-               -ln(CAST(count(*) AS DOUBLE) /
-                   CAST(sum(count(*)) OVER () AS DOUBLE)) AS neglogp
-        FROM tok GROUP BY token
+    tf AS (
+        SELECT doc_id, token, count(*) AS tf FROM toks
+        WHERE length(token) >= 1 GROUP BY doc_id, token
+    ),
+    scored AS (
+        SELECT doc_id, tf,
+               -ln(CAST(CAST(sum(tf) OVER (PARTITION BY token) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(tf) OVER () AS BIGINT) AS DOUBLE)) AS neglogp
+        FROM tf
     )
-    SELECT t.doc_id,
-           count(*) AS n_tokens,
-           round(avg(m.neglogp), 6) AS avg_neglogp
-    FROM tok t JOIN model m USING (token)
-    GROUP BY t.doc_id
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           round(CAST(sum(tf * neglogp) AS DOUBLE)
+                 / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE), 6) AS avg_neglogp
+    FROM scored
+    GROUP BY doc_id
     """,
     doc=(
         "Per-document mean unigram surprisal under the corpus's own ML "
@@ -523,22 +529,25 @@ def text_quality_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS v_trailing_hour
     FROM events
     WINDOW w AS (
-        PARTITION BY user_id ORDER BY ts
-        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        PARTITION BY user_id
+        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
     )
     """,
     doc=(
         "Event-TIME RANGE frame: per event, the count and integer-"
         "floored value sum of the same user's events in the trailing "
-        "hour [ts-1h, ts] — the sliding-window rate/feature shape "
-        "(rate limiting, burst detection, rolling engagement). Spark "
-        "expresses the interval frame as rangeBetween(-3600, 0) over "
-        "unix seconds — semantically identical to SQL's INTERVAL "
-        "PRECEDING since the data's timestamps are whole-second. "
-        "Duplicate-ts rows share a frame in both engines (RANGE, not "
-        "ROWS). One shuffle on user_id; frame state is bounded by the "
-        "hour horizon. Measures are exact BIGINTs — no float-order "
-        "drift."
+        "hour — the sliding-window rate/feature shape (rate limiting, "
+        "burst detection, rolling engagement). BOTH engines frame over "
+        "floor(epoch seconds) as a numeric RANGE (Spark rangeBetween "
+        "(-3600, 0) over unix_timestamp == SQL RANGE 3600 PRECEDING "
+        "over floor(epoch)): the data carries sub-second timestamps, "
+        "so an INTERVAL-typed frame over raw ts would disagree with "
+        "the truncated-second frame at same-second and exact-boundary "
+        "rows (caught at sf0.1 density). Same-truncated-second rows "
+        "share a frame in both engines (RANGE, not ROWS). One shuffle "
+        "on user_id; frame state bounded by the horizon; exact BIGINT "
+        "measures."
     ),
 )
 def w5_trailing_hour_window(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -117,12 +117,15 @@ def test_source_quotas_property_random_mixes(spark):
     for seed in (7, 23, 91):
         rng = random.Random(seed)
         sizes = {f"s{i:02d}": rng.randint(1, 500) for i in range(rng.randint(2, 12))}
-        budget = rng.randint(1, 300)
+        total = sum(sizes.values())
+        # budget <= total: with proportional weights no source can
+        # saturate (its exact share is < its size), so the n_rows cap is
+        # inactive and the full budget must be delivered
+        budget = rng.randint(1, min(300, total))
         rows = [(f"{src}-{j}", src) for src, n in sizes.items() for j in range(n)]
         df = spark.createDataFrame(rows, ["doc_id", "source"])
         got = {r.source: r.quota for r in source_quotas(df, budget, temperature=1.0).collect()}
         assert sum(got.values()) == budget
-        total = sum(sizes.values())
         for src, n in sizes.items():
             exact = budget * n / total
             assert exact - 1 < got[src] < exact + 1 or abs(got[src] - exact) <= 1
@@ -131,3 +134,23 @@ def test_source_quotas_property_random_mixes(spark):
             for r in source_quotas(df.repartition(7), budget, temperature=1.0).collect()
         }
         assert got == got2
+
+
+def test_source_quotas_cap_at_source_size(spark):
+    """Temperature upweighting can hand a tiny source more than it
+    holds: the quota caps at n_rows (never a promise the sample can't
+    deliver) and the shortfall is visible as sum(quota) < budget."""
+    from etl_s3_to_redshift_spark.operators.sampling import source_quotas
+
+    rows = [(f"A-{j}", "A") for j in range(400)] + [("B-0", "B")]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    got = {r.source: (r.n_rows, r.quota) for r in source_quotas(df, 100, temperature=0.5).collect()}
+    # uncapped B quota would be ~ 100*1/(20+1) = 4 — it holds 1 row
+    assert got["B"][1] == 1
+    assert got["A"][1] <= 400
+    assert sum(q for _, q in got.values()) < 100
+    # the mixture sample delivers exactly the capped quotas
+    from etl_s3_to_redshift_spark.operators.sampling import source_mixture_sample
+
+    n = source_mixture_sample(df, 100, temperature=0.5).count()
+    assert n == sum(q for _, q in got.values())
