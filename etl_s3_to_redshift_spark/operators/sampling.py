@@ -272,3 +272,43 @@ def source_mixture_sample(
         .filter(F.col("pos") <= F.col("quota"))
         .select(id_col, group_col, "quota")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement via the
+    Efraimidis–Spirakis priority: each row gets u ~ Uniform(0,1) derived
+    from md5 of its id (content-addressed, no RNG state) and priority
+    ``u ** (1/w)``; the n largest priorities are the sample. Inclusion
+    probability is proportional to weight, and — like every operator in
+    this module — re-running on a different cluster layout or an
+    incrementally-grown corpus gives every historical row the same
+    priority, so the sample only changes where the data did.
+
+    Returns (id, weight, log_priority) for the n selected rows, ranked
+    by the monotone-equivalent ``ln(u)/w`` (better floating-point spread
+    than ``u**(1/w)``, which crushes against 1.0 for large weights),
+    rounded to 9 dp with the id as total-order tiebreak.
+
+    Scale shape: the priority is a narrow projection inside the scan;
+    selection is ``orderBy(...).limit(n)`` → TakeOrderedAndProject (a
+    per-task n-row heap + driver merge of n x tasks rows) — no global
+    sort, no shuffle of the corpus. Rows with weight <= 0 are excluded,
+    matching the estimator's domain.
+    """
+    u = (
+        F.conv(_hash_key(F.col(id_col), seed), 16, 10).cast("double") + 1.0
+    ) / float(16**_HEX_WIDTH + 1)
+    w = F.col(weight_col).cast("double")
+    pri = F.round(F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .select(F.col(id_col), w.alias("weight"), pri.alias("log_priority"))
+        .orderBy(F.col("log_priority").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

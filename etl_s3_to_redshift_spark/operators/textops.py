@@ -269,3 +269,92 @@ def unigram_logprob_scores(
             "avg_neglogp"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 3c)
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement). Patterns use only constructs that Java
+# regex (Spark) and RE2 (DuckDB/Go) execute identically: character
+# classes, bounded repetition, \b word boundaries, one optional group —
+# no lookaround, no backreferences. Order matters: emails first (their
+# domain part could otherwise be half-eaten by the IPv4 rule), SSN
+# before the generic phone shape.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("phone", r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}(-[0-9]{4})?", "<PHONE>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IPV4>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "scrubbed",
+    rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, SSNs, phone numbers, IPv4
+    addresses) from ``text_col``, appending one ``n_<rule>`` match-count
+    column per rule and the fully-scrubbed text as ``out_col``.
+
+    Counts are taken on the text as it stood BEFORE that rule's own
+    replacement but AFTER all earlier rules ran, so overlapping shapes
+    (an IPv4 inside an already-redacted email domain) are never
+    double-counted and the counts always sum to the number of
+    replacements performed.
+
+    Scale shape: the whole operator is a single narrow projection — a
+    chain of ``regexp_extract_all``/``regexp_replace`` expressions that
+    Catalyst collapses into one codegen stage inside the scan. Zero
+    shuffles, zero UDFs; it composes with any downstream filter (e.g.
+    drop documents with n_email > 0) while keeping pushdown intact.
+    """
+    res = df.withColumn("__pii_s", F.col(text_col))
+    for name, pat, token in rules:
+        res = res.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(F.col("__pii_s"), F.lit(pat), F.lit(0))),
+        ).withColumn("__pii_s", F.regexp_replace(F.col("__pii_s"), pat, token))
+    return res.withColumnRenamed("__pii_s", out_col)
+
+
+def ngram_top_terms(
+    df: DataFrame,
+    k: int = 50,
+    n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level top-k word n-grams (default bigrams) with counts —
+    the n-gram companion to ``vocab_top_terms`` (collocation mining /
+    boilerplate phrase detection). Tokens are the same lowercase-alpha
+    split; an n-gram is n consecutive tokens joined by single spaces.
+
+    Scale shape: n-grams are built INSIDE the token array with
+    ``transform(sequence(...))`` — no posexplode + self-join, no per-doc
+    window sort; the only wide operations are the vocabulary-sized
+    groupBy (map-side combined) and the final TakeOrderedAndProject
+    top-k heap. Tie order (count desc, ngram asc) is total, so the
+    k-boundary is deterministic cross-engine.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: F.length(t) >= 1
+    )
+    # guard short docs: sequence(1, 0) in Spark is the DESCENDING [1, 0],
+    # not empty, so a bare sequence would emit bogus grams for docs with
+    # fewer than n tokens
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

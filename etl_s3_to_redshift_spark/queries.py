@@ -931,6 +931,7 @@ def _load_extensions() -> None:
         queries_ops2,
         queries_ops3,
         queries_ops4,
+        queries_ops5,
         queries_scalar,
         queries_tpch2,
     )
@@ -969,6 +970,9 @@ _DRIVER_FIRST = [
     "text_quality_calibrate", "w5_trailing_hour_window",
     "seq_pattern_users", "snapshot_diff_customers",
     "interval_join_shipments",
+    # round-3c additions (no driver row yet)
+    "text_pii_scrub", "ts_interpolate_linear", "data_weighted_sample",
+    "text_bigram_topk",
 ]
 
 
