@@ -85,6 +85,10 @@ HEADLINE = [
     "text_vocab_topk",
     "text_unigram_logprob",
     "scd2_customer_history",
+    "text_pii_scrub",
+    "text_bigram_topk",
+    "ts_interpolate_linear",
+    "data_weighted_sample",
 ]
 
 
@@ -111,6 +115,8 @@ DATA_BOUND = [
     "rollup_incremental_merge",
     "cohort_retention_weekly",
     "text_vocab_topk",
+    "text_bigram_topk",
+    "text_pii_scrub",
 ]
 
 

@@ -462,12 +462,18 @@ def dedup_repeated_chunks(
     from etl_s3_to_redshift_spark.functions.text import words
 
     cw = chunk_words
-    w = words(F.col(text_col))
+    # materialize the token array in its own projection: a bare `words(...)`
+    # expression referenced from inside the per-chunk lambda is inlined at
+    # each use by the analyzer, re-running the split once per chunk —
+    # O(tokens x chunks) re-tokenization on long documents (the inlining
+    # trap measured at 2.4-5x in textops.ngram_top_terms)
+    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    w = F.col("__w")
     chunk_arr = F.transform(
         F.sequence(F.lit(0), F.greatest(F.ceil(F.size(w) / cw).cast("int"), F.lit(1)) - 1),
         lambda i: F.array_join(F.slice(w, i * cw + 1, cw), " "),
     )
-    base = df.select(F.col(id_col), chunk_arr.alias("__chunks"))
+    base = staged.select(F.col(id_col), chunk_arr.alias("__chunks"))
     chunks = base.select(
         id_col, F.posexplode("__chunks").alias("idx", "seg")
     ).withColumn(

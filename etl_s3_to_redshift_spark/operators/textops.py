@@ -108,17 +108,26 @@ def repetition_scores(
     for corpus filtering (high ratio ⇒ templated or looping text).
 
     Pure per-row array expressions inside the scan stage — zero shuffles
-    at any corpus size."""
-    toks = words(F.col(text_col))
-    sh = shingles_all(toks, k)
+    at any corpus size. The token and shingle arrays are materialized in
+    their own projection first — each is consumed 3× below, and inline
+    expression references re-run the tokenize/shingle per use (same
+    inlining trap measured in ``ngram_top_terms``/``quality_features``)."""
+    staged = df.select(
+        F.col(id_col),
+        words(F.col(text_col)).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("__toks"),
+        shingles_all(F.col("__toks"), k).alias("__sh"),
+    )
     dup_frac = lambda arr: F.when(  # noqa: E731
         F.size(arr) > 0,
         F.round(1.0 - F.size(F.array_distinct(arr)) / F.size(arr).cast("double"), 6),
     ).otherwise(F.lit(0.0))
-    return df.select(
+    return staged.select(
         F.col(id_col),
-        dup_frac(sh).alias(f"dup_{k}gram_frac"),
-        dup_frac(toks).alias("dup_token_frac"),
+        dup_frac(F.col("__sh")).alias(f"dup_{k}gram_frac"),
+        dup_frac(F.col("__toks")).alias("dup_token_frac"),
     )
 
 
@@ -139,13 +148,18 @@ def decontaminate(
     the corpus side explodes shingles inside its scan stage and the only
     exchange is the per-doc count aggregation. The corpus is never
     self-joined and never shuffled by shingle."""
+    # materialize the token arrays before shingling: shingles() references
+    # its input inside a per-shingle lambda, and a bare words(...) argument
+    # is re-inlined (re-split) once per shingle position — the O(tokens^2)
+    # inlining trap measured in ngram_top_terms
     bench_sh = (
-        benchmark.select(F.explode(shingles(words(F.col(text_col)), k)).alias("shingle"))
+        benchmark.select(words(F.col(text_col)).alias("__w"))
+        .select(F.explode(shingles(F.col("__w"), k)).alias("shingle"))
         .distinct()
     )
     corp_sh = corpus.select(
-        F.col(id_col), F.explode(shingles(words(F.col(text_col)), k)).alias("shingle")
-    )
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    ).select(F.col(id_col), F.explode(shingles(F.col("__w"), k)).alias("shingle"))
     return (
         corp_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy(id_col)
@@ -337,10 +351,21 @@ def ngram_top_terms(
     groupBy (map-side combined) and the final TakeOrderedAndProject
     top-k heap. Tie order (count desc, ngram asc) is total, so the
     k-boundary is deterministic cross-engine.
+
+    The token array is materialized as its own projection before the
+    gram builder references it: a single ``toks`` expression referenced
+    from inside a higher-order-function lambda is INLINED at each use by
+    the analyzer, so the bare-expression form re-ran split+filter per
+    sequence element — O(tokens^2) re-tokenization per document
+    (measured 2.4x wall on the bigram query at sf0.1).
     """
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: F.length(t) >= 1
+    toks_df = df.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+            lambda t: F.length(t) >= 1,
+        ).alias("__toks")
     )
+    toks = F.col("__toks")
     # guard short docs: sequence(1, 0) in Spark is the DESCENDING [1, 0],
     # not empty, so a bare sequence would emit bogus grams for docs with
     # fewer than n tokens
@@ -352,7 +377,7 @@ def ngram_top_terms(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        df.select(F.explode(grams).alias("ngram"))
+        toks_df.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("ngram").asc())
