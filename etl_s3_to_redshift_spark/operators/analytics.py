@@ -197,3 +197,39 @@ def transition_matrix(
     return pairs.withColumn(
         "p", F.round(F.col("n") / F.sum("n").over(wp), 6)
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p_lo: float = 0.05,
+    p_hi: float = 0.95,
+) -> DataFrame:
+    """Percentile winsorization (robust feature scaling): clamp
+    ``value_col`` to its exact [p_lo, p_hi] percentile band, per group
+    when ``group_cols`` is given — the standard outlier-taming transform
+    before quality-score calibration or regression features.
+
+    Appends ``p_lo_v`` / ``p_hi_v`` (the exact linear-interpolation
+    percentiles, the same definition as SQL ``quantile_cont``) and
+    ``winsorized`` (6-dp) to the input columns.
+
+    Scale shape: percentiles come from ONE groupBy aggregate over the
+    groups (exact percentile needs the group's sorted values — at 100 TB
+    use bounded-error ``percentile_approx`` instead; this operator keeps
+    the exact form because its contract is oracle-equality), then a
+    broadcast-sized join back (group-count rows). The clamp itself is a
+    narrow projection. No window over the full table, no global sort.
+    """
+    gcols = group_cols or []
+    pcts = df.groupBy(*gcols).agg(
+        F.percentile(value_col, F.lit(p_lo)).alias("p_lo_v"),
+        F.percentile(value_col, F.lit(p_hi)).alias("p_hi_v"),
+    )
+    joined = df.join(F.broadcast(pcts), gcols) if gcols else df.crossJoin(F.broadcast(pcts))
+    v = F.col(value_col)
+    return joined.withColumn(
+        "winsorized",
+        F.round(F.least(F.greatest(v, F.col("p_lo_v")), F.col("p_hi_v")), 6),
+    ).withColumn("p_lo_v", F.round("p_lo_v", 6)).withColumn("p_hi_v", F.round("p_hi_v", 6))

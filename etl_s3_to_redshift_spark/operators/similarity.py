@@ -892,3 +892,59 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )
+
+
+def jl_sign_matrix(in_dims: int, out_dims: int, seed: str = "jl") -> list[list[float]]:
+    """±1 Johnson–Lindenstrauss sign matrix, content-addressed: sign(i,j)
+    = +1 iff the first md5 byte of ``'{seed}:{i}:{j}'`` is even. The same
+    formula is expressible in any engine with md5 (the oracle bakes the
+    Python-computed literals directly, which is equivalent), so projected
+    vectors are reproducible everywhere with no RNG state or stored
+    matrix artifact."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1.0
+            for i in range(in_dims)
+        ]
+        for j in range(out_dims)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    in_dims: int,
+    out_dims: int = 16,
+    vec_col: str = "embedding",
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection: compress ``in_dims``-dim
+    embeddings to ``out_dims`` wide columns ``p0..p{m-1}`` via a ±1 sign
+    matrix, scaled 1/sqrt(out_dims) — the standard dimensionality cut
+    before ANN indexing or near-dup blocking (pairwise distances are
+    preserved within (1±ε) at out_dims = O(log n / ε²)).
+
+    Scale shape: a pure narrow projection — out_dims index-order dot
+    products per row against literal sign arrays, all JVM-side inside
+    the scan stage; zero shuffles, zero UDFs, no broadcast (the matrix
+    is baked into the plan, out_dims × in_dims literals). Wide output
+    keeps it schema-stable for the downstream index builder.
+
+    6-dp rounding: both engines fold in index order in double, so the
+    only drift is the final division — 10 orders below the grain.
+    """
+    signs = jl_sign_matrix(in_dims, out_dims, seed)
+    scale = float(out_dims) ** 0.5
+    keep = [c for c in df.columns if c != vec_col]
+    return df.select(
+        *keep,
+        *[
+            F.round(
+                dot(F.col(vec_col), F.array(*[F.lit(s) for s in signs[j]])) / scale, 6
+            ).alias(f"p{j}")
+            for j in range(out_dims)
+        ],
+    )

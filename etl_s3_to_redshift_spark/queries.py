@@ -932,6 +932,7 @@ def _load_extensions() -> None:
         queries_ops3,
         queries_ops4,
         queries_ops5,
+        queries_ops6,
         queries_scalar,
         queries_tpch2,
     )
@@ -973,6 +974,8 @@ _DRIVER_FIRST = [
     # round-3c additions (no driver row yet)
     "text_pii_scrub", "ts_interpolate_linear", "data_weighted_sample",
     "text_bigram_topk",
+    # round-3d additions (no driver row yet)
+    "privacy_k_anonymity", "scale_winsorize", "emb_random_projection",
 ]
 
 

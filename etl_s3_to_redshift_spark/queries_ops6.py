@@ -1,0 +1,152 @@
+"""Round-3d operator-coverage queries: k-anonymity audit, percentile
+winsorization, and Johnson–Lindenstrauss random projection — each with an
+exact DuckDB oracle.
+
+These close out the privacy/feature-prep surface next to round-3c's PII
+scrub: k-anonymity is the release-gate audit against linkage attacks;
+winsorization is the robust-scaling step before quality calibration;
+JL projection is the dimensionality cut before ANN indexing (SURVEY §2c
+similarity-search scale path).
+
+Exactness rules follow queries.py: exact linear-interpolation percentiles
+(Spark ``percentile`` == DuckDB ``quantile_cont``, probe-verified at
+sf0.01); JL dot products fold in index order in double on BOTH engines
+(the oracle's sum chain starts from a DOUBLE cast, and ±1 signs make
+multiply-vs-subtract bit-identical); results rounded 6 dp, 10 orders
+above any residual drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.operators.analytics import winsorize
+from etl_s3_to_redshift_spark.operators.privacy import k_anonymity_violations
+from etl_s3_to_redshift_spark.operators.similarity import (
+    jl_sign_matrix,
+    random_projection,
+)
+from etl_s3_to_redshift_spark.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit (privacy release gate)
+# ---------------------------------------------------------------------------
+
+_KANON_K = 5
+
+
+@register(
+    "privacy_k_anonymity",
+    f"""
+    SELECT c_nationkey,
+           c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+           count(*) AS n_rows
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < {_KANON_K}
+    """,
+    doc=(
+        "k-anonymity audit (operators/privacy.k_anonymity_violations): "
+        "quasi-identifier combos (nation, segment, banded account "
+        "balance) with group size < k — the rows a linkage attack could "
+        "single out in a data release. One groupBy shuffle on the quasi "
+        "tuple with map-side combine; the violation filter runs on the "
+        "combo-sized aggregate, never the row-sized table."
+    ),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return k_anonymity_violations(
+        _t(spark, sf_dir, "customer"),
+        quasi_cols=[
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("acctbal_band"),
+        ],
+        k=_KANON_K,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile winsorization (robust feature scaling)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scale_winsorize",
+    """
+    WITH pct AS (
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.05), 6) AS p_lo_v,
+               round(quantile_cont(c_acctbal, 0.95), 6) AS p_hi_v,
+               quantile_cont(c_acctbal, 0.05) AS lo_raw,
+               quantile_cont(c_acctbal, 0.95) AS hi_raw
+        FROM customer GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, p.p_lo_v, p.p_hi_v,
+           round(least(greatest(c.c_acctbal, p.lo_raw), p.hi_raw), 6) AS winsorized
+    FROM customer c JOIN pct p USING (c_mktsegment)
+    """,
+    doc=(
+        "Per-segment percentile winsorization of account balance "
+        "(operators/analytics.winsorize): clamp to the exact "
+        "linear-interpolation [p05, p95] band — the robust-scaling "
+        "transform before calibration/regression features. Percentiles "
+        "from ONE group aggregate, broadcast back (group-count rows); "
+        "the clamp is a narrow projection. At 100 TB swap the exact "
+        "percentile for percentile_approx — this query keeps the exact "
+        "form because its contract is oracle equality."
+    ),
+)
+def scale_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = winsorize(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal"),
+        value_col="c_acctbal",
+        group_cols=["c_mktsegment"],
+        p_lo=0.05,
+        p_hi=0.95,
+    )
+    return out.select(
+        "c_custkey", "c_mktsegment", "c_acctbal", "p_lo_v", "p_hi_v", "winsorized"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (ANN preprocessing)
+# ---------------------------------------------------------------------------
+
+_JL_IN, _JL_OUT = 64, 16
+_JL_SIGNS = jl_sign_matrix(_JL_IN, _JL_OUT)
+
+
+def _jl_sql_dot(j: int) -> str:
+    terms = "".join(
+        (" + " if s > 0 else " - ") + f"embedding[{i + 1}]"
+        for i, s in enumerate(_JL_SIGNS[j][1:], start=1)
+    )
+    head = f"CAST(embedding[1] AS DOUBLE)" if _JL_SIGNS[j][0] > 0 else f"(0.0 - CAST(embedding[1] AS DOUBLE))"
+    return f"round(({head}{terms}) / 4.0, 6) AS p{j}"
+
+
+@register(
+    "emb_random_projection",
+    "SELECT vec_id, label, "
+    + ", ".join(_jl_sql_dot(j) for j in range(_JL_OUT))
+    + " FROM embeddings",
+    doc=(
+        "Johnson–Lindenstrauss ±1 random projection 64 → 16 dims "
+        "(operators/similarity.random_projection): content-addressed "
+        "sign matrix from md5(i,j) — no RNG state, no stored matrix "
+        "artifact — scaled 1/sqrt(16). The ANN-preprocessing "
+        "dimensionality cut: pairwise distances preserved within (1±ε). "
+        "Pure narrow projection inside the scan (index-order double "
+        "folds against literal sign arrays); zero shuffles, zero UDFs. "
+        "Oracle folds the identical chain (±1 makes multiply and "
+        "subtract bit-identical), so 6-dp values match exactly."
+    ),
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), in_dims=_JL_IN, out_dims=_JL_OUT
+    )

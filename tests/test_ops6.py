@@ -1,0 +1,97 @@
+"""Edge-case tests for the round-3d operators (queries_ops6): k-anonymity,
+winsorization, JL random projection."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.operators.analytics import winsorize
+from etl_s3_to_redshift_spark.operators.privacy import (
+    k_anonymity_summary,
+    k_anonymity_violations,
+)
+from etl_s3_to_redshift_spark.operators.similarity import (
+    jl_sign_matrix,
+    random_projection,
+)
+
+
+def test_k_anonymity_violations_and_summary(spark):
+    rows = [(i, "a" if i < 8 else "b", i % 2) for i in range(10)]
+    df = spark.createDataFrame(rows, ["id", "seg", "flag"])
+    # groups: (a,0)x4 (a,1)x4 (b,0)x1 (b,1)x1 -> two singleton violations at k=3
+    v = k_anonymity_violations(df, ["seg", "flag"], k=3).collect()
+    assert sorted((r["seg"], r["flag"], r["n_rows"]) for r in v) == [
+        ("b", 0, 1),
+        ("b", 1, 1),
+    ]
+    s = k_anonymity_summary(df, ["seg", "flag"], k=3).collect()[0]
+    assert (s["n_combos"], s["n_violating_combos"], s["n_rows_at_risk"], s["actual_k"]) == (
+        4,
+        2,
+        2,
+        1,
+    )
+
+
+def test_winsorize_ungrouped_and_bounds(spark):
+    vals = [float(x) for x in range(1, 101)]  # 1..100
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    out = winsorize(df, "x", group_cols=None, p_lo=0.10, p_hi=0.90).collect()
+    lo = out[0]["p_lo_v"]
+    hi = out[0]["p_hi_v"]
+    # exact linear interpolation on 1..100: p10 = 1 + 0.10*99, p90 = 1 + 0.90*99
+    assert lo == pytest.approx(10.9)
+    assert hi == pytest.approx(90.1)
+    for r in out:
+        assert lo <= r["winsorized"] <= hi
+        if lo <= r["x"] <= hi:
+            assert r["winsorized"] == pytest.approx(r["x"])
+
+
+def test_jl_sign_matrix_deterministic_and_balanced():
+    m1 = jl_sign_matrix(64, 16)
+    m2 = jl_sign_matrix(64, 16)
+    assert m1 == m2
+    flat = [s for row in m1 for s in row]
+    assert set(flat) == {1.0, -1.0}
+    # md5 parity should be near-balanced; huge tolerance, just not degenerate
+    assert 0.35 < (flat.count(1.0) / len(flat)) < 0.65
+    assert jl_sign_matrix(64, 16, seed="other") != m1
+
+
+def test_random_projection_preserves_distances(spark):
+    # JL guarantee is statistical; with 32 output dims and 20 unit-ish
+    # vectors the pairwise distance ratios should stay within a loose band
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(32)]
+        for r in random_projection(df, in_dims=64, out_dims=32).collect()
+    }
+    orig = dict(vecs)
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    for i in range(20):
+        for j in range(i + 1, 20):
+            do, dp = d(orig[i], orig[j]), d(out[i], out[j])
+            if do > 0:
+                ratios.append(dp / do)
+    assert 0.4 < min(ratios) and max(ratios) < 1.8
+
+
+def test_random_projection_keeps_other_columns(spark):
+    df = spark.createDataFrame([(1, "x", [1.0] * 8)], ["vec_id", "tag", "embedding"])
+    out = random_projection(df, in_dims=8, out_dims=4)
+    assert set(out.columns) == {"vec_id", "tag", "p0", "p1", "p2", "p3"}
