@@ -312,16 +312,26 @@ def _verify_pairs(
     whole point of LSH): O(candidates), never O(co-shingle pairs)."""
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    n_inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    # stage the intersection size in its own projection: referencing the
+    # array_intersect expression twice (numerator + union denominator)
+    # would inline and execute it twice per candidate — it is the O(|sh|)
+    # hot kernel of the verify stage
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
             "id_b",
+            F.size("sh_a").alias("__na"),
+            F.size("sh_b").alias("__nb"),
+            F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).alias("__ni"),
+        )
+        .select(
+            "id_a",
+            "id_b",
             (
-                n_inter.cast("double")
-                / (F.size("sh_a") + F.size("sh_b") - n_inter).cast("double")
+                F.col("__ni").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("__ni")).cast("double")
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
