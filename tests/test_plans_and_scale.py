@@ -270,3 +270,36 @@ def test_salted_join_matches_plain(spark):
         for r in salt_join_skewed_keys(orders, dim, "o_custkey", hot_keys=hot, n_salts=8).collect()
     }
     assert plain == salted
+
+
+def test_narrow_text_ops_have_no_exchange(spark):
+    """pii_scrub and random_projection are contractually narrow — one
+    codegen projection inside the scan, zero shuffles at any scale."""
+    for name in ("text_pii_scrub", "emb_random_projection"):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "Exchange" not in plan, name
+
+
+def test_topk_ops_use_take_ordered(spark):
+    """Corpus top-k selections must plan TakeOrderedAndProject (per-task
+    heaps), never a global sort of the full aggregate."""
+    for name in ("text_bigram_topk", "text_vocab_topk", "data_weighted_sample"):
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "rangepartitioning" not in plan.lower(), name
+
+
+def test_bigram_plan_scans_corpus_once(spark):
+    """The n-gram builder works inside the token array: one parquet scan,
+    no posexplode self-join or per-doc window."""
+    plan = plan_of(REGISTRY["text_bigram_topk"].spark(spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_winsorize_broadcasts_percentiles(spark):
+    """The group-percentile frame is group-count-sized and must come back
+    as a broadcast join — the row-sized side never shuffles for it."""
+    plan = plan_of(REGISTRY["scale_winsorize"].spark(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
