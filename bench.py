@@ -89,6 +89,7 @@ HEADLINE = [
     "text_bigram_topk",
     "ts_interpolate_linear",
     "data_weighted_sample",
+    "ts_anomaly_zscore",
 ]
 
 

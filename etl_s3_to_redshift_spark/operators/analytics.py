@@ -233,3 +233,58 @@ def winsorize(
         "winsorized",
         F.round(F.least(F.greatest(v, F.col("p_lo_v")), F.col("p_hi_v")), 6),
     ).withColumn("p_lo_v", F.round("p_lo_v", 6)).withColumn("p_hi_v", F.round("p_hi_v", 6))
+
+
+def rolling_zscore_anomalies(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_buckets: int = 24,
+    z_threshold: float = 3.0,
+    step_hours: int = 1,
+) -> DataFrame:
+    """Time-series anomaly flags: bucket events per key onto the hourly
+    grid, then score each bucket's count against the mean/stddev of the
+    PRECEDING ``window_buckets`` buckets (trailing window excluding the
+    current row — the score must not see the value it judges). Returns
+    every scored bucket with its z-score and an ``is_anomaly`` flag;
+    buckets with fewer than 2 trailing points or zero variance score
+    NULL and never flag.
+
+    z = (n - mean_trailing) / stddev_trailing, 6 dp — stddev is the
+    sample form (N-1), matching SQL ``stddev``/``stddev_samp``.
+
+    Scale shape: one bucket-aggregate shuffle (map-side combined), then
+    ONE per-key window sort computing count/mean/stddev over the same
+    trailing frame. State is bounded by keys x window_buckets; nothing
+    driver-side. The same cost profile as any windowed aggregate —
+    applies unchanged to a 1000-executor run because the window
+    partitions by key.
+    """
+    step_sec = step_hours * 3600
+    bucket_epoch = (
+        F.floor(F.unix_timestamp(F.col(ts_col)) / step_sec).cast("long") * step_sec
+    )
+    hourly = events.groupBy(
+        F.col(key_col), bucket_epoch.alias("bucket_epoch")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket_epoch")
+        .rowsBetween(-window_buckets, -1)
+    )
+    mean_t = F.avg(F.col("n_events").cast("double")).over(w)
+    sd_t = F.stddev_samp(F.col("n_events").cast("double")).over(w)
+    n_t = F.count(F.lit(1)).over(w)
+    z = F.when(
+        (n_t >= 2) & (sd_t > 0),
+        F.round((F.col("n_events") - mean_t) / sd_t, 6),
+    )
+    return hourly.select(
+        key_col,
+        "bucket_epoch",
+        "n_events",
+        n_t.alias("n_trailing"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) >= z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -150,3 +150,62 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(
         _t(spark, sf_dir, "embeddings"), in_dims=_JL_IN, out_dims=_JL_OUT
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly detection (time-series monitoring)
+# ---------------------------------------------------------------------------
+
+_ZS_WIN, _ZS_THRESH = 24, 3.0
+
+
+@register(
+    "ts_anomaly_zscore",
+    f"""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(CAST(epoch(ts) AS DOUBLE) / 3600) AS BIGINT) * 3600
+                   AS bucket_epoch,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, bucket_epoch, n_events,
+               count(*) OVER wt AS n_trailing,
+               avg(CAST(n_events AS DOUBLE)) OVER wt AS m,
+               stddev_samp(CAST(n_events AS DOUBLE)) OVER wt AS sd
+        FROM hourly
+        WINDOW wt AS (PARTITION BY event_type ORDER BY bucket_epoch
+                      ROWS BETWEEN {_ZS_WIN} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_epoch, n_events, n_trailing,
+           CASE WHEN n_trailing >= 2 AND sd > 0
+                THEN round((n_events - m) / sd, 6) END AS zscore,
+           coalesce(abs(CASE WHEN n_trailing >= 2 AND sd > 0
+                             THEN round((n_events - m) / sd, 6) END)
+                    >= {_ZS_THRESH}, false) AS is_anomaly
+    FROM scored
+    """,
+    doc=(
+        "Rolling z-score anomaly detection on the hourly per-type event "
+        "grid (operators/analytics.rolling_zscore_anomalies): each "
+        "bucket's count scored against the mean/sample-stddev of the 24 "
+        "PRECEDING observed buckets (the score never sees the value it "
+        "judges); |z| >= 3 flags. One bucket-aggregate shuffle + one "
+        "per-key window sort; state bounded by keys x window. 6-dp "
+        "rounding is 6+ orders above cross-engine stddev drift."
+    ),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import rolling_zscore_anomalies
+
+    out = rolling_zscore_anomalies(
+        _t(spark, sf_dir, "events"),
+        key_col="event_type",
+        ts_col="ts",
+        window_buckets=_ZS_WIN,
+        z_threshold=_ZS_THRESH,
+    )
+    return out.select(
+        "event_type", "bucket_epoch", "n_events", "n_trailing", "zscore", "is_anomaly"
+    )

@@ -95,3 +95,34 @@ def test_random_projection_keeps_other_columns(spark):
     df = spark.createDataFrame([(1, "x", [1.0] * 8)], ["vec_id", "tag", "embedding"])
     out = random_projection(df, in_dims=8, out_dims=4)
     assert set(out.columns) == {"vec_id", "tag", "p0", "p1", "p2", "p3"}
+
+
+def test_rolling_zscore_flags_spike(spark):
+    from etl_s3_to_redshift_spark.operators.analytics import rolling_zscore_anomalies
+
+    # 30 quiet hours (alternating 10/12 events) then one 300-event spike
+    rows = []
+    eid = 0
+    for h in range(30):
+        n = 10 if h % 2 == 0 else 12
+        for _ in range(n):
+            rows.append((eid, f"2024-01-01 00:00:00", h)); eid += 1
+    for _ in range(300):
+        rows.append((eid, "2024-01-01 00:00:00", 30)); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "base", "h"]).select(
+        "event_id",
+        (F.col("base").cast("timestamp") + F.make_interval(hours=F.col("h"))).alias("ts"),
+        F.lit("click").alias("event_type"),
+    )
+    out = {
+        r["bucket_epoch"]: r
+        for r in rolling_zscore_anomalies(df, window_buckets=24).collect()
+    }
+    assert len(out) == 31
+    spike = max(out)
+    assert out[spike]["is_anomaly"] and out[spike]["zscore"] > 3
+    quiet_flags = [r["is_anomaly"] for k, r in out.items() if k != spike]
+    assert not any(quiet_flags)
+    # first bucket has no trailing window -> NULL score, never flagged
+    first = min(out)
+    assert out[first]["zscore"] is None and not out[first]["is_anomaly"]
