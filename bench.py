@@ -90,6 +90,7 @@ HEADLINE = [
     "ts_interpolate_linear",
     "data_weighted_sample",
     "ts_anomaly_zscore",
+    "attr_multi_touch",
 ]
 
 

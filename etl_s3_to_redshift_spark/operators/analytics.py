@@ -288,3 +288,87 @@ def rolling_zscore_anomalies(
         z.alias("zscore"),
         F.coalesce(F.abs(z) >= z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def attribution_u_shaped(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_hours: int = 168,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Multi-touch marketing attribution with U-shaped (position-based)
+    credit: for every conversion event, find the user's touch events in
+    the preceding ``lookback_hours`` window and split the conversion's
+    value across them — 100% to a lone touch, 50/50 across two, else
+    40% first + 40% last + 20% shared equally by the middles.
+    Conversions with no touch in the window credit a synthetic
+    ``unattributed`` channel, so total credited value always equals
+    total conversion value (conservation is the operator's invariant —
+    pinned in tests).
+
+    Returns one row per (channel) with ``credited_value`` (6 dp),
+    ``n_credits`` (touch-credit rows), and ``n_conversions`` touched.
+
+    Scale shape: the touch window is a per-user equi-join (touches and
+    conversions both shuffle once on the user key) with the time bound
+    applied in-join — per-user activity is bounded, so the join output
+    tracks true (conversion × in-window-touch) pairs, never a cross
+    product. Position weights come from ONE window sort per conversion
+    set; the channel rollup is a map-side-combined aggregate over
+    credit-sized rows.
+    """
+    ev = events
+    conv = ev.filter(F.col("event_type") == conversion_type).select(
+        F.col(user_col).alias("__u"),
+        F.col("event_id").alias("conv_id"),
+        F.col(ts_col).alias("__cts"),
+        F.col(value_col).cast("double").alias("__val"),
+    )
+    touch = ev.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col(user_col).alias("__u"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col(ts_col).alias("__tts"),
+    )
+    lb = F.expr(f"INTERVAL {lookback_hours} HOURS")
+    pairs = conv.join(touch, "__u").filter(
+        (F.col("__tts") <= F.col("__cts")) & (F.col("__tts") >= F.col("__cts") - lb)
+    )
+    w = Window.partitionBy("conv_id").orderBy(F.col("__tts").asc(), F.col("touch_id").asc())
+    ranked = (
+        pairs.withColumn("__pos", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("conv_id")))
+    )
+    weight = (
+        F.when(F.col("__n") == 1, F.lit(1.0))
+        .when(F.col("__n") == 2, F.lit(0.5))
+        .when(F.col("__pos") == 1, F.lit(0.4))
+        .when(F.col("__pos") == F.col("__n"), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("__n") - 2))
+    )
+    # per-credit doubles are computed identically on any engine (same IEEE
+    # ops per row); rounding each credit at 9 dp and summing as DECIMAL
+    # makes the rollup exact and order-independent — a raw double sum's
+    # merge-order drift would sit within one 6-dp grain of the total
+    credit9 = F.round(weight * F.col("__val"), 9).cast("decimal(20,9)")
+    credits = ranked.select("conv_id", "channel", credit9.alias("__credit"))
+    unattr = (
+        conv.join(credits.select("conv_id").distinct(), "conv_id", "left_anti")
+        .select(
+            "conv_id",
+            F.lit("unattributed").alias("channel"),
+            F.round(F.col("__val"), 9).cast("decimal(20,9)").alias("__credit"),
+        )
+    )
+    return (
+        credits.unionByName(unattr)
+        .groupBy("channel")
+        .agg(
+            F.round(F.sum("__credit").cast("double"), 6).alias("credited_value"),
+            F.count(F.lit(1)).alias("n_credits"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+        )
+    )

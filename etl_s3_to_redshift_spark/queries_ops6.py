@@ -209,3 +209,71 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "bucket_epoch", "n_events", "n_trailing", "zscore", "is_anomaly"
     )
+
+
+# ---------------------------------------------------------------------------
+# U-shaped multi-touch attribution (marketing analytics)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "attr_multi_touch",
+    """
+    WITH conv AS (
+        SELECT user_id AS u, event_id AS conv_id, ts AS cts,
+               CAST(value AS DOUBLE) AS val
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+        SELECT user_id AS u, event_id AS touch_id, event_type AS channel, ts AS tts
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pairs AS (
+        SELECT c.conv_id, c.val, t.channel, t.tts, t.touch_id
+        FROM conv c JOIN touch t USING (u)
+        WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 168 HOURS
+    ),
+    ranked AS (
+        SELECT conv_id, val, channel,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY tts ASC, touch_id ASC) AS pos,
+               count(*) OVER (PARTITION BY conv_id) AS n
+        FROM pairs
+    ),
+    credits AS (
+        SELECT conv_id, channel,
+               CAST(round(CASE WHEN n = 1 THEN 1.0
+                               WHEN n = 2 THEN 0.5
+                               WHEN pos = 1 THEN 0.4
+                               WHEN pos = n THEN 0.4
+                               ELSE 0.2 / (n - 2) END * val, 9)
+                    AS DECIMAL(20,9)) AS credit
+        FROM ranked
+        UNION ALL
+        SELECT c.conv_id, 'unattributed' AS channel,
+               CAST(round(c.val, 9) AS DECIMAL(20,9)) AS credit
+        FROM conv c
+        WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.conv_id = c.conv_id)
+    )
+    SELECT channel,
+           round(CAST(sum(credit) AS DOUBLE), 6) AS credited_value,
+           count(*) AS n_credits,
+           count(DISTINCT conv_id) AS n_conversions
+    FROM credits GROUP BY channel
+    """,
+    doc=(
+        "U-shaped multi-touch attribution "
+        "(operators/analytics.attribution_u_shaped): every purchase "
+        "splits its value across the user's click/view touches in the "
+        "preceding 7 days — lone touch 100%, two 50/50, else 40/40 "
+        "first/last + 20% shared by middles; untouched purchases credit "
+        "'unattributed', so credited value conserves total conversion "
+        "value. Per-user equi-join with in-join time bound (never a "
+        "cross product), one window sort per conversion set, per-credit "
+        "9-dp rounding + exact DECIMAL rollup (order-independent)."
+    ),
+)
+def attr_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import attribution_u_shaped
+
+    return attribution_u_shaped(_t(spark, sf_dir, "events"))

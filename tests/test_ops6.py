@@ -126,3 +126,36 @@ def test_rolling_zscore_flags_spike(spark):
     # first bucket has no trailing window -> NULL score, never flagged
     first = min(out)
     assert out[first]["zscore"] is None and not out[first]["is_anomaly"]
+
+
+def test_attribution_conserves_value_and_weights(spark):
+    from etl_s3_to_redshift_spark.operators.analytics import attribution_u_shaped
+
+    rows = [
+        # user 1: click, view, click then purchase 100 -> 40/20/40 by position
+        (1, "2024-01-01 00:00:00", 1, "click", 0.0),
+        (2, "2024-01-01 01:00:00", 1, "view", 0.0),
+        (3, "2024-01-01 02:00:00", 1, "click", 0.0),
+        (4, "2024-01-01 03:00:00", 1, "purchase", 100.0),
+        # user 2: one view then purchase 50 -> view gets all 50
+        (5, "2024-01-02 00:00:00", 2, "view", 0.0),
+        (6, "2024-01-02 01:00:00", 2, "purchase", 50.0),
+        # user 3: no touches -> unattributed 30
+        (7, "2024-01-03 00:00:00", 3, "purchase", 30.0),
+        # user 4: touch OUTSIDE the 7-day lookback -> unattributed 20
+        (8, "2024-01-01 00:00:00", 4, "click", 0.0),
+        (9, "2024-01-20 00:00:00", 4, "purchase", 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type", "value"]
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id",
+        "event_type", "value",
+    )
+    out = {r["channel"]: r for r in attribution_u_shaped(df).collect()}
+    assert out["click"]["credited_value"] == pytest.approx(80.0)  # 40 + 40
+    assert out["view"]["credited_value"] == pytest.approx(70.0)  # 20 + 50
+    assert out["unattributed"]["credited_value"] == pytest.approx(50.0)
+    total = sum(float(r["credited_value"]) for r in out.values())
+    assert total == pytest.approx(200.0)  # conservation
+    assert out["unattributed"]["n_conversions"] == 2
