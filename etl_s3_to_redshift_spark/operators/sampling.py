@@ -312,3 +312,58 @@ def weighted_sample(
         .orderBy(F.col("log_priority").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    weights: dict[str, float],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "split42",
+    key_words: int | None = None,
+) -> DataFrame:
+    """Split-contamination audit: after a ``hash_split`` assignment, find
+    content fingerprints that land in MORE THAN ONE split — the
+    train/eval leakage that id-keyed splitting cannot see when the corpus
+    carries duplicate or near-identical documents. Run it before
+    release; any returned row means eval numbers are compromised until
+    the duplicates are collapsed or re-keyed by content.
+
+    ``key_words=None`` keys on the full normalized-text md5 (exact-dup
+    leakage); ``key_words=n`` keys on the first n normalized words — the
+    cheap blocking fingerprint that also catches near-duplicates sharing
+    a prefix (template/boilerplate families). For full near-dup-aware
+    auditing, feed ``dedup_groups`` cluster ids through this groupBy
+    instead of a fingerprint.
+
+    Returns (content_key, n_docs, n_splits, splits) for leaking content,
+    ``splits`` as the sorted comma-joined split names.
+
+    Scale shape: split assignment and the fingerprint are per-row
+    expressions inside the scan; the audit is ONE groupBy shuffle on the
+    16-byte fingerprint (map-side combined) with the >1-split filter on
+    the fingerprint-sized aggregate. Same cost class as exact dedup — and
+    it shares its content key, so a lake that stages fingerprints for
+    dedup gets this audit as a column-pruned scan.
+    """
+    from etl_s3_to_redshift_spark.functions.text import md5_fingerprint, words
+
+    if key_words is None:
+        key = md5_fingerprint(F.col(text_col))
+    else:
+        key = F.md5(
+            F.array_join(
+                F.slice(words(F.lower(F.col(text_col))), 1, key_words), " "
+            ).cast("binary")
+        )
+    assigned = hash_split(df, weights, id_col=id_col, seed=seed)
+    return (
+        assigned.select(key.alias("content_key"), F.col("split"))
+        .groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("split").alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set("split")), ",").alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

@@ -277,3 +277,52 @@ def attr_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.analytics import attribution_u_shaped
 
     return attribution_u_shaped(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Split-contamination audit (train/eval leakage gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "data_split_leakage",
+    r"""
+    WITH assigned AS (
+        SELECT md5(array_to_string(list_slice(
+                   list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                               x -> x != ''), 1, 5), ' ')) AS content_key,
+               CASE WHEN substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < 'e6666666' THEN 'train'
+                    WHEN substring(md5('split42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                         < 'f3333333' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT content_key,
+           count(*) AS n_docs,
+           count(DISTINCT split) AS n_splits,
+           array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+    FROM assigned
+    GROUP BY content_key
+    HAVING count(DISTINCT split) > 1
+    """,
+    doc=(
+        "Train/eval split-contamination audit "
+        "(operators/sampling.split_leakage): content fingerprints that "
+        "land in more than one split of the 90/5/5 hash_split — keyed "
+        "here on the first-5-words blocking fingerprint so "
+        "template/boilerplate near-dup families are caught, not just "
+        "byte-exact dups (4 leaking families exist in the sf0.01 lake). "
+        "Split assignment + fingerprint are in-scan expressions; the "
+        "audit is one fingerprint groupBy with the >1-split filter on "
+        "the fingerprint-sized aggregate — exact-dedup cost class."
+    ),
+)
+def data_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.sampling import split_leakage
+
+    return split_leakage(
+        _t(spark, sf_dir, "documents"),
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        key_words=5,
+    )
