@@ -435,6 +435,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucketize corpus and queries with the same
     planes, equi-join on (band, bucket), exact-rescore only bucket-mates.
@@ -442,6 +443,14 @@ def lsh_topk(
     Recall < 1 by design; raise bands (more probes) or lower rows-per-band
     for higher recall at more candidates. The equi-join replaces the full
     cross product — this is the 100 TB path.
+
+    ``round_to`` rounds the cosine BEFORE ranking (id tiebreak), which —
+    together with the deterministic plane literals and index-order dot
+    folds — makes the whole output exactly reproducible in ANSI SQL:
+    the candidate set depends only on dot-product SIGNS (bit-identical
+    when both engines fold the same literal chain), and the ranking on
+    the 6-dp grid. That is what lets the driver check this ANN path
+    against an exact DuckDB oracle instead of a rows-only count.
     """
     c = lsh_bucketize(corpus, dim, n_planes, bands, vec_col, seed).select(
         F.col(id_col), F.col(vec_col).alias("__cvec"), "band", "bucket"
@@ -455,9 +464,10 @@ def lsh_topk(
         .select(query_id_col, id_col, "__cvec", "__qvec")
         .distinct()
     )
-    scored = cand.select(
-        query_id_col, id_col, cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim")
-    )
+    cos = cosine(F.col("__cvec"), F.col("__qvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = cand.select(query_id_col, id_col, cos.alias("cos_sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))

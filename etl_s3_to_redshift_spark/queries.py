@@ -957,6 +957,8 @@ _DRIVER_FIRST = [
     # now matches the exact-fold oracle)
     "array_map_suite", "dedup_simhash", "mm_frame_sample",
     "sim_topk_cosine_fast",
+    # graduated round 3d: deterministic hyperplane index -> exact oracle
+    "sim_ann_lsh",
     # round-3 additions (no driver row yet)
     "sim_ann_ivfpq", "agg_corr_regression", "w4_value_range_frames",
     "grouping_sets_orders", "rollup_incremental_merge",

@@ -327,16 +327,90 @@ def sim_topk_cosine_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_np(emb, queries, k=10, round_to=6)
 
 
+def _lsh_oracle_sql(dim: int = 64, n_planes: int = 16, bands: int = 4, k: int = 10) -> str:
+    """Exact DuckDB twin of ``lsh_topk``: the gaussian plane literals are
+    baked into the SQL (same doubles the Spark plan ships), the sign bits
+    come from the identical left-associative fold chain (bit-identical
+    doubles → identical buckets), and the rescoring cosine is rounded to
+    the same 6-dp grid before ranking — so even this APPROXIMATE index
+    path is exactly reproducible cross-engine. Graduated from rows-only
+    in round 3d."""
+    from etl_s3_to_redshift_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, 42)
+    rpb = n_planes // bands
+
+    def chain(vec: str, ws) -> str:
+        return " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * {w!r}" for i, w in enumerate(ws)
+        )
+
+    def pair_dot(a: str, b: str) -> str:
+        return " + ".join(
+            f"CAST({a}[{i + 1}] AS DOUBLE) * CAST({b}[{i + 1}] AS DOUBLE)"
+            for i in range(dim)
+        )
+
+    bits = ",\n               ".join(
+        f"CASE WHEN ({chain('embedding', planes[i])}) > 0 THEN 1 ELSE 0 END AS bit{i}"
+        for i in range(n_planes)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        "SELECT vec_id, {b} AS band, {bk} AS bucket FROM sigs".format(
+            b=b,
+            bk=" || ".join(
+                f"CAST(bit{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id,
+               {bits}
+        FROM embeddings
+    ),
+    bucketed AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+        FROM bucketed cb
+        JOIN (SELECT * FROM bucketed WHERE vec_id < 5) qb USING (band, bucket)
+        WHERE qb.vec_id != cb.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.vec_id,
+               round(({pair_dot('ce.embedding', 'qe.embedding')})
+                     / (sqrt({pair_dot('ce.embedding', 'ce.embedding')})
+                        * sqrt({pair_dot('qe.embedding', 'qe.embedding')})),
+                     6) AS cos_sim
+        FROM cand
+        JOIN embeddings ce ON ce.vec_id = cand.vec_id
+        JOIN embeddings qe ON qe.vec_id = cand.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rank FROM (
+        SELECT query_id, vec_id, cos_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id ASC)
+                    AS INTEGER) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 @register(
     "sim_ann_lsh",
-    None,  # approximate by construction → rows-only; recall pinned in tests
+    _lsh_oracle_sql(),
     doc=(
         "Approximate top-k via random-hyperplane LSH (16 planes, 4 bands, "
         "seeded): bucketize corpus+queries with the same planes, equi-join "
         "on (band, bucket), exact-rescore bucket-mates only "
         "(operators/similarity.lsh_topk). The 100 TB path: replaces the "
         "full scan with a hash join. Recall vs brute force pinned in "
-        "tests/test_similarity.py."
+        "tests; the INDEX ITSELF is deterministic (content-addressed "
+        "plane literals + index-order folds), so since round 3d the "
+        "oracle checks the exact output, not just row counts."
     ),
 )
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +420,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
-    return lsh_topk(emb, queries, dim=64, k=10)
+    return lsh_topk(emb, queries, dim=64, k=10, round_to=6)
 
 
 # ===========================================================================
