@@ -326,3 +326,62 @@ def data_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"train": 0.9, "val": 0.05, "test": 0.05},
         key_words=5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio-modality plumbing (PCM windows via Arrow kernel)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mm_audio_windows",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) // 2 AS n_samp
+        FROM documents
+    ),
+    w AS (
+        SELECT media_id, text, n_samp,
+               unnest(range(least(CAST(ceil(n_samp / 64.0) AS INTEGER), 16)))
+                   AS window_no
+        FROM m WHERE n_samp > 0
+    ),
+    s AS (
+        SELECT media_id, window_no, text,
+               unnest(range(window_no * 64, least((window_no + 1) * 64, n_samp)))
+                   AS si
+        FROM w
+    ),
+    v AS (
+        SELECT media_id, window_no,
+               ascii(substring(text, si * 2 + 1, 1))
+                   + 256 * ascii(substring(text, si * 2 + 2, 1)) AS val
+        FROM s
+    )
+    SELECT media_id,
+           CAST(window_no AS INTEGER) AS window_no,
+           CAST(count(*) AS INTEGER) AS n_samples,
+           round(sqrt(CAST(sum(val * val) AS DOUBLE) / count(*)), 6) AS rms,
+           CAST(max(abs(val)) AS INTEGER) AS peak
+    FROM v GROUP BY media_id, window_no
+    """,
+    doc=(
+        "Audio-modality plumbing (operators/multimodal.audio_windows): "
+        "payloads interpreted as 16-bit LE PCM (the honest codec "
+        "stand-in; payload bytes here are ASCII, so the oracle rebuilds "
+        "each sample from character codes), windowed into 64-sample "
+        "frames with per-window RMS (6 dp from an exact integer "
+        "sum-of-squares) and peak. The windowing runs INSIDE the Arrow "
+        "kernel — one vectorized numpy pass per batch, raw bytes never "
+        "amplify across a shuffle, zero shuffles, partitioning "
+        "preserved."
+    ),
+)
+def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.multimodal import (
+        audio_windows,
+        docs_as_media,
+    )
+
+    media = docs_as_media(_t(spark, sf_dir, "documents"))
+    return audio_windows(media, window_samples=64, max_windows=16)

@@ -189,3 +189,33 @@ def test_split_leakage_exact_and_prefix_modes(spark):
     assert prefix_docs >= exact_docs
     for r in exact + prefix:
         assert r["n_splits"] == 2 and r["splits"] == "a,b"
+
+
+def test_audio_windows_kernel_math(spark):
+    import math
+
+    from etl_s3_to_redshift_spark.operators.multimodal import audio_windows
+
+    # 6 bytes -> 3 int16 LE samples; window of 2 -> windows [s0,s1], [s2]
+    payload = bytes([1, 0, 0, 1, 255, 127])  # samples 1, 256, 32767
+    media = spark.createDataFrame(
+        [(1, payload, "audio/pcm", None, None)],
+        "media_id long, payload binary, mime string, width int, height int",
+    )
+    out = {
+        r["window_no"]: r
+        for r in audio_windows(media, window_samples=2, max_windows=8).collect()
+    }
+    assert out[0]["n_samples"] == 2 and out[1]["n_samples"] == 1
+    assert out[0]["rms"] == pytest.approx(round(math.sqrt((1 + 256 * 256) / 2), 6))
+    assert out[0]["peak"] == 256
+    assert out[1]["peak"] == 32767
+
+    # odd trailing byte dropped; empty payload yields no rows
+    odd = spark.createDataFrame(
+        [(2, bytes([5, 0, 9]), "audio/pcm", None, None),
+         (3, b"", "audio/pcm", None, None)],
+        "media_id long, payload binary, mime string, width int, height int",
+    )
+    rows = audio_windows(odd, window_samples=4).collect()
+    assert len(rows) == 1 and rows[0]["media_id"] == 2 and rows[0]["n_samples"] == 1
