@@ -385,3 +385,108 @@ def mm_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = docs_as_media(_t(spark, sf_dir, "documents"))
     return audio_windows(media, window_samples=64, max_windows=16)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mode + exact median per group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mode_median",
+    """
+    WITH pr AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY 1, 2
+    ),
+    md AS (
+        SELECT o_orderstatus, o_orderpriority AS mode_priority,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY n DESC, o_orderpriority ASC) AS rk
+        FROM pr
+    ),
+    med AS (
+        SELECT o_orderstatus,
+               round(median(o_totalprice), 6) AS median_totalprice,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT m.o_orderstatus AS status, md.mode_priority,
+           m.median_totalprice, m.n_orders
+    FROM med m JOIN md ON md.o_orderstatus = m.o_orderstatus AND md.rk = 1
+    """,
+    doc=(
+        "Deterministic MODE (most frequent order priority per status, "
+        "count-desc value-asc tiebreak — engines' native mode() breaks "
+        "ties arbitrarily, so it is computed as count+rank) and exact "
+        "linear-interpolation MEDIAN of the order value per status "
+        "(Spark median == DuckDB median == quantile_cont 0.5). Two "
+        "group-sized aggregates; the rank runs on the (status, priority) "
+        "combo frame, never row-sized data."
+    ),
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    pr = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    md = (
+        pr.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("o_orderstatus", F.col("o_orderpriority").alias("mode_priority"))
+    )
+    med = o.groupBy("o_orderstatus").agg(
+        F.round(F.median("o_totalprice"), 6).alias("median_totalprice"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return med.join(md, "o_orderstatus").select(
+        F.col("o_orderstatus").alias("status"),
+        "mode_priority",
+        "median_totalprice",
+        "n_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group WITH ties (rank semantics, vs w1's row_number)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w6_topk_with_ties",
+    """
+    SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+           o_totalprice AS total_price, CAST(rk AS INTEGER) AS rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               rank() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    doc=(
+        "Top-3 orders per customer WITH TIES (rank(), not w1's "
+        "row_number()): equal-value orders all surface, so the result is "
+        "deterministic without an id tiebreak and matches SQL:2008 FETCH "
+        "... WITH TIES semantics. One per-key window sort; output size "
+        "tracks k + tie multiplicity."
+    ),
+)
+def w6_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+            "rk",
+        )
+    )
