@@ -91,6 +91,9 @@ HEADLINE = [
     "data_weighted_sample",
     "ts_anomaly_zscore",
     "attr_multi_touch",
+    "mm_audio_windows",
+    "data_split_leakage",
+    "sim_ann_lsh",
 ]
 
 

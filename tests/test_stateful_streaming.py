@@ -63,3 +63,82 @@ def test_stateful_profile_converges_to_batch(spark, tmp_path):
         for r in batch_user_profile(events).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_zscore_converges_to_batch(spark, tmp_path):
+    from etl_s3_to_redshift_spark.operators.analytics import rolling_zscore_anomalies
+    from etl_s3_to_redshift_spark.streaming.anomaly import streaming_zscore
+
+    events = load_table(spark, SF_SMOKE, "events").select("event_type", "ts")
+    path = str(tmp_path / "zs_events")
+    # several files -> several micro-batches with maxFilesPerTrigger
+    events.repartition(5).write.mode("overwrite").parquet(path)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(path)
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            streaming_zscore(stream, retain_buckets=10**6)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("zscores")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    # update mode re-emits per batch: the LAST row per (key, bucket) wins
+    streamed = {}
+    for r in spark.sql(
+        "SELECT * FROM zscores"
+    ).collect():  # memory sink preserves append order
+        streamed[(r.event_type, r.bucket_epoch)] = (
+            r.n_events,
+            r.n_trailing,
+            r.zscore,
+            r.is_anomaly,
+        )
+    batch = {
+        (r["event_type"], r["bucket_epoch"]): (
+            r["n_events"],
+            r["n_trailing"],
+            r["zscore"],
+            r["is_anomaly"],
+        )
+        for r in rolling_zscore_anomalies(
+            load_table(spark, SF_SMOKE, "events")
+        ).collect()
+    }
+    assert set(streamed) == set(batch)
+    for k in batch:
+        sb, bb = streamed[k], batch[k]
+        assert sb[0] == bb[0] and sb[1] == bb[1] and sb[3] == bb[3], k
+        if bb[2] is None:
+            assert sb[2] is None, k
+        else:
+            assert sb[2] == pytest.approx(bb[2], abs=2e-6), k
+
+
+def test_streaming_zscore_state_trimming():
+    from etl_s3_to_redshift_spark.streaming.anomaly import score_buckets
+
+    # trimming is lossless for the newest window: scores of the retained
+    # horizon computed from a trimmed map equal those from the full map
+    full = {3600 * i: 10 + (i % 3) for i in range(100)}
+    window = 10
+    retain = 30
+    trimmed = {e: full[e] for e in sorted(full)[-retain:]}
+    f = score_buckets(full, window, 3.0).set_index("bucket_epoch")
+    t = score_buckets(trimmed, window, 3.0).set_index("bucket_epoch")
+    newest = sorted(full)[-(retain - window):]
+    for ep in newest:
+        assert f.loc[ep].equals(t.loc[ep])
