@@ -51,12 +51,25 @@ def shingles(words_col: Column, k: int = 3) -> Column:
 def shingles_all(words_col: Column, k: int = 3) -> Column:
     """k-word shingles WITH duplicates (position-ordered) — the multiset
     form repetition scoring needs (``shingles`` is its distinct
-    projection). Same short-document convention."""
+    projection). Same short-document convention.
+
+    Built as a chained zip of k shifted slices — one linear pass; the
+    earlier transform(sequence)+slice form re-walked the array per
+    shingle position (2.5x measured on the same shape in
+    textops.ngram_top_terms, and this expression sits inside the MinHash
+    hot path)."""
     n = F.size(words_col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words_col, i + 1, k)),
-    )
+    m = F.greatest(n - (k - 1), F.lit(0))
+    grams = F.slice(words_col, 1, m)
+    for i in range(1, k):
+        grams = F.zip_with(
+            grams,
+            F.slice(words_col, i + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    # documents shorter than k words keep their full token join as a
+    # single shingle so they still participate in dedup
+    return F.when(n >= k, grams).otherwise(F.array(F.concat_ws(" ", words_col)))
 
 
 def md5_fingerprint(col: Column) -> Column:
