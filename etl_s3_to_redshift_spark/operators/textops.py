@@ -345,8 +345,8 @@ def ngram_top_terms(
     boilerplate phrase detection). Tokens are the same lowercase-alpha
     split; an n-gram is n consecutive tokens joined by single spaces.
 
-    Scale shape: n-grams are built INSIDE the token array with
-    ``transform(sequence(...))`` — no posexplode + self-join, no per-doc
+    Scale shape: n-grams are built INSIDE the token array as a chained
+    zip of n shifted slices — no posexplode + self-join, no per-doc
     window sort; the only wide operations are the vocabulary-sized
     groupBy (map-side combined) and the final TakeOrderedAndProject
     top-k heap. Tie order (count desc, ngram asc) is total, so the

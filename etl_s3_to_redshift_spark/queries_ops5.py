@@ -284,7 +284,7 @@ def data_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(operators/textops.ngram_top_terms): collocation mining / "
         "boilerplate-phrase detection next to the unigram "
         "vocab_top_terms. Bigrams are built INSIDE the token array via "
-        "transform(sequence) — no posexplode self-join, no per-doc "
+        "a chained zip of shifted slices — no posexplode self-join, no per-doc "
         "window sort; shuffle carries vocabulary-sized partials and the "
         "top-k is a TakeOrderedAndProject heap. Total tie order makes "
         "the k-boundary deterministic."

@@ -37,6 +37,11 @@ QUERIES = [
     "dedup_repeated_chunks",
     "fuzzy_customer_match",
     "ts_gapfill_hourly",
+    # round-3c/3d: zipped n-grams, in-scan scrub, per-conversion window
+    "text_bigram_topk",
+    "text_pii_scrub",
+    "attr_multi_touch",
+    "ts_interpolate_linear",
     # round-3b: distinct-agg cohort matrix, vocabulary-sized shuffle +
     # TakeOrdered top-k, and the two-scan mixture apportionment
     "cohort_retention_weekly",
