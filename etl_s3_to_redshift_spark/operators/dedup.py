@@ -585,3 +585,64 @@ def minhash_append_pairs(
     )
     sets = all_sigs.select(F.col(id_col), F.col("sh"))
     return _verify_pairs(cand, sets, threshold, id_col)
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Asymmetric containment dedup: ordered pairs where document A's
+    shingle set is (near-)contained in document B's —
+    ``C(A→B) = |A ∩ B| / |A| >= threshold``. This is the quote/excerpt
+    relation Jaccard misses: a paragraph fully quoted inside a much
+    longer page has tiny J but containment 1.0, and containment-aware
+    dedup is how a corpus drops the excerpt while keeping the source.
+
+    Returns (id_small, id_big, containment, n_small, n_big): one row per
+    ordered pair with the SMALLER shingle set first (ties broken by id),
+    so each unordered pair appears once with the direction that can
+    actually reach the threshold (C of the larger side is bounded by
+    |small|/|large|).
+
+    Scale shape: identical to ``jaccard_pairs`` — inverted-index
+    self-join on shingles (only co-shingle pairs materialize), exact
+    intersection counts, sizes joined back id-partitioned. Quadratic
+    only within a posting list; at scale run it over MinHash candidates
+    or stop-shingle-capped indexes, same as Jaccard.
+    """
+    sh = _shingled(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    joined = inter.join(sa, "id_a").join(sb, "id_b")
+    small_first = F.col("n_a") < F.col("n_b")
+    tie = (F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b"))
+    id_small = F.when(small_first | tie, F.col("id_a")).otherwise(F.col("id_b"))
+    id_big = F.when(small_first | tie, F.col("id_b")).otherwise(F.col("id_a"))
+    n_small = F.least("n_a", "n_b")
+    n_big = F.greatest("n_a", "n_b")
+    return (
+        joined.select(
+            id_small.alias("id_small"),
+            id_big.alias("id_big"),
+            F.round(
+                F.col("n_inter").cast("double") / n_small.cast("double"), 6
+            ).alias("containment"),
+            n_small.alias("n_small"),
+            n_big.alias("n_big"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

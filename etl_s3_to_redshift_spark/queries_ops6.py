@@ -490,3 +490,113 @@ def w6_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric quote/excerpt relation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_containment",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x != '') AS w
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(greatest(len(w) - 2, 1)),
+                   i -> array_to_string(list_slice(w, i + 1, i + 3), ' ')
+               )) AS sh
+        FROM t
+    ),
+    e AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    sizes AS (SELECT doc_id, count(*) AS n FROM e GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM e a JOIN e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    )
+    SELECT CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+                THEN id_a ELSE id_b END AS id_small,
+           CASE WHEN n_a < n_b OR (n_a = n_b AND id_a < id_b)
+                THEN id_b ELSE id_a END AS id_big,
+           round(CAST(n_inter AS DOUBLE) / least(n_a, n_b), 6) AS containment,
+           least(n_a, n_b) AS n_small,
+           greatest(n_a, n_b) AS n_big
+    FROM j
+    WHERE CAST(n_inter AS DOUBLE) / least(n_a, n_b) >= 0.9
+    """,
+    doc=(
+        "Asymmetric containment dedup (operators/dedup.containment_pairs): "
+        "pairs where the smaller shingle set is >=90% contained in the "
+        "larger — the quote/excerpt relation Jaccard misses (a paragraph "
+        "quoted inside a long page has tiny J but containment 1.0). Same "
+        "inverted-index shape as jaccard_pairs: only co-shingle pairs "
+        "materialize, exact intersection counts, sizes joined back "
+        "id-partitioned; at 100 TB run over MinHash candidates."
+    ),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(_t(spark, sf_dir, "documents"), threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct users per SLIDING window (overlap-aware distinct)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w7_sliding_distinct_users",
+    """
+    WITH assigned AS (
+        SELECT DISTINCT
+               (CAST(floor(CAST(epoch(ts) AS DOUBLE) / 3600) AS BIGINT)
+                    - k.k) * 3600 AS window_start_epoch,
+               user_id
+        FROM events
+        CROSS JOIN (SELECT unnest(range(4)) AS k) k
+    )
+    SELECT window_start_epoch,
+           count(*) AS n_distinct_users
+    FROM assigned
+    GROUP BY window_start_epoch
+    """,
+    doc=(
+        "Exact distinct users per SLIDING 4-hour window (1-hour slide): "
+        "distinct is NOT decomposable across overlapping windows (a user "
+        "in 3 buckets of one window counts once), so each event expands "
+        "to its 4 covering windows and a two-phase distinct-then-count "
+        "aggregate runs per window — amplification is exactly "
+        "window/slide = 4x, the price of exactness (streaming systems "
+        "pay it in state; HLL sketches trade it for error). The "
+        "(window, user) distinct is the only corpus-sized shuffle; the "
+        "count runs on the already-distinct frame."
+    ),
+)
+def w7_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    windows = ev.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)), lambda kk: (hour - kk) * 3600
+            )
+        ).alias("window_start_epoch"),
+        "user_id",
+    ).distinct()
+    return windows.groupBy("window_start_epoch").agg(
+        F.count(F.lit(1)).alias("n_distinct_users")
+    )

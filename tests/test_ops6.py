@@ -219,3 +219,51 @@ def test_audio_windows_kernel_math(spark):
     )
     rows = audio_windows(odd, window_samples=4).collect()
     assert len(rows) == 1 and rows[0]["media_id"] == 2 and rows[0]["n_samples"] == 1
+
+
+def test_containment_catches_quote_jaccard_misses(spark):
+    from etl_s3_to_redshift_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    page = quote + " " + " ".join(f"filler{i} word{i} more{i}" for i in range(30))
+    rows = [(1, quote), (2, page), (3, "completely different text about nothing")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cont = containment_pairs(df, threshold=0.9).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert (r["id_small"], r["id_big"]) == (1, 2)
+    assert r["containment"] == 1.0  # every quote shingle is in the page
+    # Jaccard cannot see this pair at any near-dup threshold
+    jac = jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []
+
+
+def test_sliding_distinct_counts_each_user_once_per_window(spark):
+    from etl_s3_to_redshift_spark.queries import REGISTRY
+
+    # user 7 appears in hours 0,1,2 -> within the window starting at hour
+    # -1 (covering 0..3) they must count ONCE
+    rows = [
+        (1, "2024-01-01 00:30:00", 7),
+        (2, "2024-01-01 01:30:00", 7),
+        (3, "2024-01-01 02:30:00", 7),
+        (4, "2024-01-01 00:45:00", 9),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts_s", "user_id"]).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id"
+    )
+    hour = F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+    win = df.select(
+        F.explode(
+            F.transform(F.sequence(F.lit(0), F.lit(3)), lambda kk: (hour - kk) * 3600)
+        ).alias("w"),
+        "user_id",
+    ).distinct()
+    got = {
+        r["w"]: r["n"]
+        for r in win.groupBy("w").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    epoch0 = 1704067200  # 2024-01-01 00:00 UTC
+    assert got[epoch0] == 2  # window [0,4): users 7 and 9
+    assert got[epoch0 - 3 * 3600] == 2  # window [-3,1): both users, once each
+    assert got[epoch0 + 2 * 3600] == 1  # window [2,6): only user 7
