@@ -94,6 +94,10 @@ HEADLINE = [
     "mm_audio_windows",
     "data_split_leakage",
     "sim_ann_lsh",
+    "dedup_containment",
+    "w7_sliding_distinct_users",
+    "agg_mode_median",
+    "w6_topk_with_ties",
 ]
 
 
