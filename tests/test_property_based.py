@@ -104,11 +104,15 @@ def test_sessionize_invariants(spark, stream, gap_minutes):
     for user_rows in by_user.values():
         user_rows.sort(key=lambda r: (r.t, r.row_id))
         # session ids start at 1, increase monotonically, and bump exactly
-        # when the gap to the previous event exceeds the threshold
+        # when the gap to the previous event REACHES the threshold — the
+        # operator follows F.session_window's [ts, ts+gap) convention (an
+        # event at exactly ts+gap starts a new session), and so does the
+        # oracle; hypothesis found the exact-boundary example this
+        # assertion originally got backwards
         assert user_rows[0].session_id == 1
         for prev, cur in zip(user_rows, user_rows[1:]):
             delta = (cur.t - prev.t).total_seconds()
-            if delta > gap:
+            if delta >= gap:
                 assert cur.session_id == prev.session_id + 1
             else:
                 assert cur.session_id == prev.session_id
