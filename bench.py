@@ -98,6 +98,7 @@ HEADLINE = [
     "w7_sliding_distinct_users",
     "agg_mode_median",
     "w6_topk_with_ties",
+    "w8_moving_median",
 ]
 
 

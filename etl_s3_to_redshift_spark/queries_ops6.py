@@ -600,3 +600,67 @@ def w7_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windows.groupBy("window_start_epoch").agg(
         F.count(F.lit(1)).alias("n_distinct_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Moving exact median (order statistic over a sliding frame)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w8_moving_median",
+    """
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(floor(CAST(epoch(ts) AS DOUBLE) / 3600) AS BIGINT) * 3600
+                   AS bucket_epoch,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket_epoch,
+           round(v, 6) AS bucket_value,
+           round(median(v) OVER (PARTITION BY event_type ORDER BY bucket_epoch
+                                 ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+                 6) AS moving_median
+    FROM hourly
+    """,
+    doc=(
+        "Moving exact median of the hourly per-type value total over a "
+        "trailing 6-bucket frame — the robust smoother for spiky "
+        "series (a moving MEAN chases outliers; the z-score detector "
+        "flags them). Spark has no frame-median, so the operator "
+        "collects the frame into an array and takes the interpolated "
+        "middle of its sort — O(frame log frame) per row, correct for "
+        "the BOUNDED frames this op is for (the oracle uses DuckDB's "
+        "native windowed median). Bucket values are exact decimal sums "
+        "cast once to double, so both engines interpolate identical "
+        "operands."
+    ),
+)
+def w8_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long") * 3600
+    ).alias("bucket_epoch")
+    hourly = ev.groupBy(F.col("event_type"), bucket).agg(
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(-5, 0)
+    )
+    arr = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(arr)
+    mid_hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (F.element_at(arr, (n / 2).cast("int")) + mid_hi) / 2.0
+    median = F.when(n % 2 == 1, odd).otherwise(even)
+    return hourly.select(
+        "event_type",
+        "bucket_epoch",
+        F.round("v", 6).alias("bucket_value"),
+        F.round(median, 6).alias("moving_median"),
+    )

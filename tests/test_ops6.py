@@ -267,3 +267,20 @@ def test_sliding_distinct_counts_each_user_once_per_window(spark):
     assert got[epoch0] == 2  # window [0,4): users 7 and 9
     assert got[epoch0 - 3 * 3600] == 2  # window [-3,1): both users, once each
     assert got[epoch0 + 2 * 3600] == 1  # window [2,6): only user 7
+
+
+def test_moving_median_interpolation(spark, tmp_path):
+    from etl_s3_to_redshift_spark.queries_ops6 import w8_moving_median
+
+    # one event per hour: frame prefixes [5], [5,1], [5,1,9], [5,1,9,3]
+    # -> medians 5, 3 (interpolated), 5, 4 (interpolated)
+    rows = [("a", f"2024-01-01 0{h}:10:00", v) for h, v in enumerate([5.0, 1.0, 9.0, 3.0])]
+    df = spark.createDataFrame(rows, ["event_type", "ts_s", "value"]).select(
+        "event_type", F.col("ts_s").cast("timestamp").alias("ts"), "value"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        (r["bucket_epoch"], r["moving_median"])
+        for r in w8_moving_median(spark, str(tmp_path)).collect()
+    )
+    assert [v for _e, v in out] == [5.0, 3.0, 5.0, 4.0]
