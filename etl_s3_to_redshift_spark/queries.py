@@ -981,6 +981,7 @@ _DRIVER_FIRST = [
     "ts_anomaly_zscore", "attr_multi_touch", "data_split_leakage",
     "mm_audio_windows", "agg_mode_median", "w6_topk_with_ties",
     "dedup_containment", "w7_sliding_distinct_users", "w8_moving_median",
+    "events_heatmap_dow_hour",
 ]
 
 

@@ -664,3 +664,56 @@ def w8_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 6).alias("bucket_value"),
         F.round(median, 6).alias("moving_median"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Calendar heatmap: day-of-week x hour-of-day activity matrix (wide pivot)
+# ---------------------------------------------------------------------------
+
+_HEAT_HOURS = ", ".join(
+    f"CAST(sum(CASE WHEN hr = {h} THEN 1 ELSE 0 END) AS BIGINT) AS h{h}"
+    for h in range(24)
+)
+
+
+@register(
+    "events_heatmap_dow_hour",
+    f"""
+    WITH e AS (
+        SELECT ((CAST(floor(CAST(epoch(ts) AS DOUBLE) / 86400) AS BIGINT) + 4) % 7)
+                   AS dow,
+               CAST(floor((CAST(epoch(ts) AS DOUBLE) % 86400) / 3600) AS BIGINT)
+                   AS hr
+        FROM events
+    )
+    SELECT dow, {_HEAT_HOURS}
+    FROM e GROUP BY dow
+    """,
+    doc=(
+        "Calendar activity heatmap: day-of-week (0=Sunday, derived as "
+        "(epoch_days + 4) %% 7 — pure integer arithmetic, immune to the "
+        "engines' conflicting dayofweek() numbering) x hour-of-day event "
+        "counts, pivoted to 24 wide columns. Spark uses the native "
+        "pivot with an explicit value list (no extra distinct-values "
+        "job, schema stable at any scale); the oracle is 24 conditional "
+        "aggregates. One groupBy shuffle carrying 7 rows x 24 partials."
+    ),
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    staged = ev.select(
+        ((F.floor(epoch / 86400).cast("long") + 4) % 7).alias("dow"),
+        F.floor((epoch % 86400) / 3600).cast("long").alias("hr"),
+    )
+    out = (
+        staged.groupBy("dow")
+        .pivot("hr", list(range(24)))
+        .count()
+    )
+    # pivot leaves null for absent (dow, hour) cells; the oracle's
+    # conditional sums yield 0 — align, and rename to stable h{h} names
+    return out.select(
+        "dow",
+        *[F.coalesce(F.col(str(h)), F.lit(0)).alias(f"h{h}") for h in range(24)],
+    )
