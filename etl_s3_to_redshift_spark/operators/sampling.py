@@ -316,11 +316,12 @@ def weighted_sample(
 
 def split_leakage(
     df: DataFrame,
-    weights: dict[str, float],
+    weights: dict[str, float] | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     seed: str = "split42",
     key_words: int | None = None,
+    split_col: str = "split",
 ) -> DataFrame:
     """Split-contamination audit: after a ``hash_split`` assignment, find
     content fingerprints that land in MORE THAN ONE split — the
@@ -339,6 +340,12 @@ def split_leakage(
     Returns (content_key, n_docs, n_splits, splits) for leaking content,
     ``splits`` as the sorted comma-joined split names.
 
+    Split source: when ``df`` already carries ``split_col`` the audit
+    groups by THAT column — the split the corpus actually ships with —
+    never a re-derived hypothetical. Only when the column is absent does
+    it derive the assignment via ``hash_split(weights, seed)``; passing
+    neither an existing column nor ``weights`` is an error.
+
     Scale shape: split assignment and the fingerprint are per-row
     expressions inside the scan; the audit is ONE groupBy shuffle on the
     16-byte fingerprint (map-side combined) with the >1-split filter on
@@ -356,7 +363,14 @@ def split_leakage(
                 F.slice(words(F.lower(F.col(text_col))), 1, key_words), " "
             ).cast("binary")
         )
-    assigned = hash_split(df, weights, id_col=id_col, seed=seed)
+    if split_col in df.columns:
+        assigned = df.withColumnRenamed(split_col, "split") if split_col != "split" else df
+    else:
+        if weights is None:
+            raise ValueError(
+                f"split_leakage: no '{split_col}' column and no weights to derive one"
+            )
+        assigned = hash_split(df, weights, id_col=id_col, seed=seed)
     return (
         assigned.select(key.alias("content_key"), F.col("split"))
         .groupBy("content_key")

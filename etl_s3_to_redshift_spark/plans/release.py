@@ -68,12 +68,18 @@ def release_corpus(
 ) -> ReleaseResult:
     """Run the release pipeline over a curated, already-split corpus.
 
-    ``docs`` must carry ``split_col`` (from ``hash_split`` — pass the
-    same ``split_weights`` so the leakage audit reproduces the exact
-    assignment). ``mixture_budget`` enables temperature-weighted
-    assembly over the train split; ``None`` skips it.
+    ``docs`` must carry ``split_col`` — the leakage audit groups by that
+    column directly, so it audits the split the corpus actually ships
+    with (never a re-derived hypothetical with its own seed/weights).
+    ``split_weights`` is only a fallback for corpora missing the column.
+    ``mixture_budget`` enables temperature-weighted assembly over the
+    train split; ``None`` skips it.
     """
-    weights = split_weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    if split_col not in docs.columns and split_weights is None:
+        raise ValueError(
+            f"release_corpus: input must carry '{split_col}' (the release "
+            "contract) or provide split_weights to derive one"
+        )
 
     # 1. PII scrub — replaces the text column; counts stay as audit trail
     scrubbed = pii_scrub(docs, text_col=text_col, out_col="__scrubbed")
@@ -83,10 +89,11 @@ def release_corpus(
     # create new cross-split collisions unnoticed)
     leakage = split_leakage(
         released,
-        weights,
+        split_weights,
         text_col=text_col,
         id_col=id_col,
         key_words=leakage_key_words,
+        split_col=split_col,
     )
 
     # 3. k-anonymity over the released metadata columns
@@ -107,7 +114,8 @@ def release_corpus(
         *[F.sum(c).alias(c) for c in pii_cols],
     ).collect()[0]
     stats = {"released": stats_row["released"]}
-    stats.update({c: int(stats_row[c]) for c in pii_cols})
+    # F.sum over an empty corpus is NULL — report zeros, don't crash
+    stats.update({c: int(stats_row[c] or 0) for c in pii_cols})
     return ReleaseResult(
         released=released,
         leakage=leakage,

@@ -337,8 +337,14 @@ def data_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_audio_windows",
     """
     WITH m AS (
-        SELECT doc_id AS media_id, text, length(text) // 2 AS n_samp
+        -- byte-based kernel vs char-based SQL: only identical for ASCII
+        -- text (strlen = bytes, length = chars). The filter makes the
+        -- precondition explicit — a lake that gains non-ASCII docs
+        -- fails the row-count compare LOUDLY instead of silently
+        -- diverging on misaligned samples.
+        SELECT doc_id AS media_id, text, strlen(text) // 2 AS n_samp
         FROM documents
+        WHERE strlen(text) = length(text)
     ),
     w AS (
         SELECT media_id, text, n_samp,
@@ -353,10 +359,17 @@ def data_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w
     ),
     v AS (
+        -- signed little-endian int16, matching the kernel's numpy view:
+        -- unsigned word, then two's-complement correction (a no-op for
+        -- ASCII payloads where the high byte is always < 0x80)
         SELECT media_id, window_no,
-               ascii(substring(text, si * 2 + 1, 1))
-                   + 256 * ascii(substring(text, si * 2 + 2, 1)) AS val
-        FROM s
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS val
+        FROM (
+            SELECT media_id, window_no,
+                   ascii(substring(text, si * 2 + 1, 1))
+                       + 256 * ascii(substring(text, si * 2 + 2, 1)) AS u
+            FROM s
+        )
     )
     SELECT media_id,
            CAST(window_no AS INTEGER) AS window_no,

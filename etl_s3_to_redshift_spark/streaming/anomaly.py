@@ -16,6 +16,17 @@ trimming is lossless for the emitted stream going forward — the
 standard watermark argument, applied to a custom operator. Integer
 counts keep the state exact and replay-stable; all double math
 (mean/stddev/z) happens at emit time, never in state.
+
+Trim watermark: once trimming has occurred, the oldest retained
+buckets have trailing frames that conceptually extend into the trimmed
+region — re-scoring them from the truncated map would be wrong (and in
+update mode would overwrite their earlier, correct emissions). The
+state therefore carries the max epoch ever trimmed, and a bucket is
+re-emitted only when its whole trailing frame lies strictly above that
+watermark. Each bucket is scored with its full frame before it can age
+into the suppressed horizon (``retain_buckets >= window + slack``, the
+same in-order-within-slack assumption a time watermark makes), so the
+last emission per (key, bucket) still equals the batch twin.
 """
 
 from __future__ import annotations
@@ -43,6 +54,9 @@ ZSCORE_STATE_SCHEMA = T.StructType(
     [
         T.StructField("bucket_epochs", T.ArrayType(T.LongType())),
         T.StructField("counts", T.ArrayType(T.LongType())),
+        # max epoch ever trimmed from this key's map (-1 = never trimmed);
+        # buckets whose trailing frame reaches it are not re-emitted
+        T.StructField("trim_watermark", T.LongType()),
     ]
 )
 
@@ -79,10 +93,10 @@ def make_zscore_updater(
     ) -> Iterator[pd.DataFrame]:
         (event_type,) = key
         if state.exists:
-            epochs, counts = state.get
+            epochs, counts, watermark = state.get
             buckets = dict(zip(epochs, counts))
         else:
-            buckets = {}
+            buckets, watermark = {}, -1
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -93,11 +107,23 @@ def make_zscore_updater(
         # trim to the newest retain_buckets observed buckets — older ones
         # are outside every live trailing window and can't change a score
         if len(buckets) > retain_buckets:
-            for ep in sorted(buckets)[: len(buckets) - retain_buckets]:
+            trimmed = sorted(buckets)[: len(buckets) - retain_buckets]
+            watermark = max(watermark, trimmed[-1])
+            for ep in trimmed:
                 del buckets[ep]
         epochs = sorted(buckets)
-        state.update((epochs, [buckets[e] for e in epochs]))
+        state.update((epochs, [buckets[e] for e in epochs], watermark))
         out = score_buckets(buckets, window_buckets, z_threshold)
+        if watermark >= 0:
+            # suppress buckets whose trailing frame touches the trimmed
+            # region: frame of index i is epochs[i-window:i], so it is
+            # intact only when it starts strictly above the watermark.
+            # Their earlier full-frame emissions remain the last truth.
+            intact = [
+                i >= window_buckets and epochs[i - window_buckets] > watermark
+                for i in range(len(epochs))
+            ]
+            out = out[pd.Series(intact, index=out.index)]
         out.insert(0, "event_type", event_type)
         yield out
 

@@ -90,3 +90,33 @@ def test_release_deterministic_across_layout(curated):
     leak_a = sorted(r["content_key"] for r in a.leakage.collect())
     leak_b = sorted(r["content_key"] for r in b.leakage.collect())
     assert leak_a == leak_b
+
+
+def test_leakage_audit_uses_shipped_split_column(curated):
+    # plant a duplicate text pair and FORCE them into different splits via
+    # an explicit split column no hash_split assignment would produce —
+    # the audit must see the shipped split, not a re-derived hypothetical
+    one = curated.limit(1)
+    planted = one.withColumn("doc_id", F.col("doc_id") + 10_000_000).withColumn(
+        "split", F.lit("train")
+    ).unionByName(
+        one.withColumn("doc_id", F.col("doc_id") + 20_000_000).withColumn(
+            "split", F.lit("test")
+        )
+    )
+    corpus = curated.unionByName(planted.select(*curated.columns))
+    res = release_corpus(corpus)
+    leak = res.leakage.collect()
+    # the planted pair spans train+test under the SHIPPED split column
+    assert any(
+        r["n_splits"] >= 2 and "test" in r["splits"] and "train" in r["splits"]
+        for r in leak
+    ), leak
+
+
+def test_release_empty_corpus_reports_zero_stats(curated):
+    empty = curated.filter(F.lit(False))
+    res = release_corpus(empty)
+    assert res.stats["released"] == 0
+    for name, _p, _t in PII_RULES:
+        assert res.stats[f"n_{name}"] == 0

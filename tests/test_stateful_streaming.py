@@ -128,6 +128,76 @@ def test_streaming_zscore_converges_to_batch(spark, tmp_path):
             assert sb[2] == pytest.approx(bb[2], abs=2e-6), k
 
 
+class _FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState: just exists/get/update."""
+
+    def __init__(self):
+        self._value = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def test_streaming_zscore_trim_does_not_overwrite_aged_scores():
+    """Once trimming fires, aged buckets must NOT be re-emitted with
+    truncated trailing frames (update mode: last row per bucket wins, so
+    a late truncated re-emission would permanently corrupt the score).
+    Drive the updater through in-order micro-batches with a small retain
+    horizon and assert the last emission per bucket equals the batch twin
+    computed over the FULL history."""
+    import pandas as pd
+
+    from etl_s3_to_redshift_spark.streaming.anomaly import (
+        make_zscore_updater,
+        score_buckets,
+    )
+
+    step, window, retain = 3600, 10, 25
+    n_buckets = 100
+    counts = {step * i: 3 + (i * 7) % 11 for i in range(n_buckets)}
+    expected = score_buckets(counts, window, 3.0).set_index("bucket_epoch")
+
+    updater = make_zscore_updater(window, 3.0, step, retain)
+    state = _FakeGroupState()
+    last = {}
+    # 10 in-order micro-batches of 10 buckets each -> trimming fires often
+    epochs = sorted(counts)
+    for b in range(0, n_buckets, 10):
+        rows = []
+        for ep in epochs[b : b + 10]:
+            rows.extend([pd.Timestamp(ep, unit="s")] * counts[ep])
+        pdf = pd.DataFrame({"ts": rows})
+        for out in updater(("song",), iter([pdf]), state):
+            for r in out.itertuples(index=False):
+                last[r.bucket_epoch] = (
+                    r.n_events,
+                    r.n_trailing,
+                    r.zscore,
+                    r.is_anomaly,
+                )
+    # every bucket was emitted at least once, and the LAST emission per
+    # bucket matches the batch twin exactly (no truncated-frame overwrite)
+    assert set(last) == set(counts)
+    for ep in counts:
+        exp = expected.loc[ep]
+        got = last[ep]
+        assert got[0] == exp["n_events"], ep
+        assert got[1] == exp["n_trailing"], ep
+        if exp["zscore"] is None or pd.isna(exp["zscore"]):
+            assert got[2] is None or pd.isna(got[2]), ep
+        else:
+            assert got[2] == pytest.approx(exp["zscore"], abs=1e-9), ep
+        assert got[3] == exp["is_anomaly"], ep
+
+
 def test_streaming_zscore_state_trimming():
     from etl_s3_to_redshift_spark.streaming.anomaly import score_buckets
 
