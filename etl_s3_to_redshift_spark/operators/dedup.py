@@ -92,12 +92,33 @@ def _shingled(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     return dw.select(F.col(id_col), F.explode(shingles(F.col("__w"), k)).alias("shingle"))
 
 
+def _drop_hot_shingles(sh: DataFrame, max_df: int | None) -> DataFrame:
+    """Stop-shingle cap: remove shingles whose document frequency exceeds
+    ``max_df`` before any posting-list self-join. A boilerplate shingle
+    shared by 10⁶ docs would otherwise create a 10¹²-pair bucket; such a
+    shingle carries no dedup signal (it separates nothing), so dropping
+    it is the standard stop-word treatment applied to shingles. The DF
+    aggregate is one map-side-combined groupBy on the shingle — far
+    cheaper than the join it protects — and the anti-join applies it
+    shingle-partitioned."""
+    if max_df is None:
+        return sh
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("shingle")
+    )
+    return sh.join(hot, "shingle", "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via inverted index.
 
@@ -107,13 +128,17 @@ def jaccard_pairs(
     J = |∩| / (|A|+|B|−|∩|) from exact counts.
 
     Quadratic only within a shingle's posting list; at scale run AFTER
-    minhash_lsh_pairs to verify candidates instead of standalone, or cap
-    hot shingles (stop-shingle removal) — see minhash_lsh_pairs.
+    minhash_lsh_pairs to verify candidates instead of standalone, AND set
+    ``max_df`` (stop-shingle document-frequency cap, applied by
+    ``_drop_hot_shingles`` before the self-join) so one boilerplate
+    shingle can't create a quadratic bucket. With the cap, sizes and
+    intersections are both computed over the capped shingle space, so
+    the score stays a true Jaccard of the reduced sets.
     """
     # sh is consumed twice (sizes + self-join); recompute instead of
     # cache() — an operator-internal cache can never be unpersisted by the
     # caller and would pin executor memory for the session lifetime.
-    sh = _shingled(df, text_col, id_col, k)
+    sh = _drop_hot_shingles(_shingled(df, text_col, id_col, k), max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -593,6 +618,7 @@ def containment_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Asymmetric containment dedup: ordered pairs where document A's
     shingle set is (near-)contained in document B's —
@@ -610,10 +636,12 @@ def containment_pairs(
     Scale shape: identical to ``jaccard_pairs`` — inverted-index
     self-join on shingles (only co-shingle pairs materialize), exact
     intersection counts, sizes joined back id-partitioned. Quadratic
-    only within a posting list; at scale run it over MinHash candidates
-    or stop-shingle-capped indexes, same as Jaccard.
+    only within a posting list; at scale set ``max_df`` (stop-shingle
+    document-frequency cap applied before the self-join) and/or run it
+    over MinHash candidates, same as Jaccard. With the cap, sizes and
+    intersections are computed over the capped shingle space.
     """
-    sh = _shingled(df, text_col, id_col, k)
+    sh = _drop_hot_shingles(_shingled(df, text_col, id_col, k), max_df)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -939,49 +939,45 @@ def _load_extensions() -> None:
 
 
 # The external driver verifies at most the first 50 ``queries()`` entries
-# per round.  Cumulative r1+r2 coverage is all 94 registered queries; the
-# union scorecard's only non-green rows are queries whose oracle graduated
-# AFTER their last driver check (stale `no_oracle` rows) plus the
-# `array_map_suite` harness crash (fixed round 3: head4 is now a string).
-# Round-3 export order therefore leads with:
-#   1. queries whose driver row is stale or red but that pass locally
-#      (`dedup_simhash`, `mm_frame_sample` graduated to exact oracles in
-#      round 2; `array_map_suite` canonicalizer fix);
-#   2. round-3 additions with no driver row yet;
-#   3. the rest of the oracle-backed registry in registration order;
-#   4. rows-only queries (recall/shape-pinned in pytest) last.
-# Every query stays verifiable locally via tools/check_oracle.py (no cap).
+# per round.  Cumulative r1∪r2∪r3 coverage is all 138 registered queries,
+# every row green (or rows-only by design).  The 50-per-round cap means
+# driver rows go stale, so each round rotates the slate: lead with this
+# round's additions (no driver row yet), then the cohort whose NEWEST
+# driver row is oldest — for round 4 that is the 40 queries last checked
+# in round 1.  By round 5 the r2 cohort rotates in, keeping every row at
+# most two rounds old.  Every query stays verifiable locally via
+# tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
-    # stale/red driver rows that pass locally — re-check first
-    # (sim_topk_cosine_fast graduated round 3: rounded-rank BLAS output
-    # now matches the exact-fold oracle)
-    "array_map_suite", "dedup_simhash", "mm_frame_sample",
-    "sim_topk_cosine_fast",
-    # graduated round 3d: deterministic hyperplane index -> exact oracle
-    "sim_ann_lsh",
-    # round-3 additions (no driver row yet)
-    "sim_ann_ivfpq", "agg_corr_regression", "w4_value_range_frames",
-    "grouping_sets_orders", "rollup_incremental_merge",
-    "dedup_groups_incremental", "agg_bool_bit_suite", "scalar_try_safe_suite",
-    "null_safe_join_events", "skew_key_profile", "hist_equidepth_deciles",
-    "dedup_keep_best_quality", "asof_next_purchase",
-    # round-3b additions (no driver row yet)
-    "data_source_mixture", "funnel_user_conversion", "cohort_retention_weekly",
-    "event_transition_matrix", "text_vocab_topk",
-    "scd2_customer_history", "merge_upsert_snapshot",
-    "text_unigram_logprob", "profile_orders_columns",
-    "text_quality_calibrate", "w5_trailing_hour_window",
-    "seq_pattern_users", "snapshot_diff_customers",
-    "interval_join_shipments",
-    # round-3c additions (no driver row yet)
-    "text_pii_scrub", "ts_interpolate_linear", "data_weighted_sample",
-    "text_bigram_topk",
-    # round-3d additions (no driver row yet)
-    "privacy_k_anonymity", "scale_winsorize", "emb_random_projection",
-    "ts_anomaly_zscore", "attr_multi_touch", "data_split_leakage",
-    "mm_audio_windows", "agg_mode_median", "w6_topk_with_ties",
-    "dedup_containment", "w7_sliding_distinct_users", "w8_moving_median",
-    "events_heatmap_dow_hour",
+    # round-4 additions (no driver row yet)
+    "sim_ann_recall_report",
+    "delta_snapshot_read",
+    "events_bucketed_join",
+    "dedup_cross_run",
+    "text_zipf_fit",
+    "graph_copurchase_components",
+    "sample_reservoir_weighted",
+    "orders_sessionized_ltv",
+    "mm_image_decode",
+    "text_simstring_containment",
+    # r1 cohort: newest driver row is from round 1 — re-check first
+    "r8_count_rows", "r9_top_k", "q1_pricing_summary",
+    "q3_top_revenue_orders", "q5_nation_revenue",
+    "w1_top_orders_per_customer", "w2_running_user_value",
+    "t1_hourly_event_rollup", "sessionize_events",
+    "semi_join_active_customers", "anti_join_dormant_customers",
+    "rollup_revenue", "json_extract_props", "set_op_priority_orders",
+    "full_outer_reconcile", "cross_join_region_nation",
+    "q4_order_priority_check", "q6_revenue_forecast", "q10_top_returners",
+    "q14_promo_share", "q18_large_orders", "dedup_exact_docs",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_groups_connected",
+    "dedup_embedding_cosine", "sim_topk_cosine", "text_token_stats",
+    "text_quality", "text_lang_id", "text_tfidf_topterms",
+    "stream_tumbling_events", "stream_sliding_events",
+    "stream_session_window", "mm_binary_features", "text_fingerprint",
+    "asof_last_purchase", "range_join_shipments",
+    "sql_api_min_cost_supplier",
+    # rows-only r1 straggler: lowest priority within the cohort
+    "sim_ann_ivf",
 ]
 
 

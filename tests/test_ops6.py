@@ -238,6 +238,39 @@ def test_containment_catches_quote_jaccard_misses(spark):
     assert jac == []
 
 
+def test_stop_shingle_cap_kills_boilerplate_pair_explosion(spark):
+    from etl_s3_to_redshift_spark.operators.dedup import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    # 1000 docs sharing ONE boilerplate shingle (and nothing else
+    # pairwise) — the hot posting list that would quadratically explode
+    # into ~500k candidate pairs — plus one genuine quote/page pair
+    boiler = [
+        (i, f"visit our website u{i}a u{i}b u{i}c") for i in range(1000)
+    ]
+    quote = "alpha beta gamma delta epsilon zeta"
+    page = quote + " " + " ".join(f"tail{j}" for j in range(20))
+    rows = boiler + [(5001, quote), (5002, page)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # threshold 0 surfaces every candidate pair the self-join materializes:
+    # without the cap the boilerplate family dominates quadratically...
+    uncapped = containment_pairs(df, threshold=0.0).count()
+    assert uncapped >= 1000 * 999 // 2
+    # ...with the cap the 500k-pair bucket vanishes entirely while the
+    # genuine containment pair survives with its exact score
+    capped = containment_pairs(df, threshold=0.0, max_df=10).collect()
+    assert len(capped) == 1
+    r = capped[0]
+    assert (r["id_small"], r["id_big"], r["containment"]) == (5001, 5002, 1.0)
+
+    # same cap on the Jaccard generator
+    jac = jaccard_pairs(df, threshold=0.01, max_df=10).collect()
+    assert len(jac) == 1 and (jac[0]["id_a"], jac[0]["id_b"]) == (5001, 5002)
+
+
 def test_sliding_distinct_counts_each_user_once_per_window(spark):
     from etl_s3_to_redshift_spark.queries import REGISTRY
 
