@@ -250,6 +250,15 @@ def lsh_bucketize(
     """
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
+
+    # Round-4 profiling note: the signature pass is ~60% of lsh_topk wall
+    # time (0.46 s of 0.8 s warm at sf0.1). A flat 64-term Add/Multiply
+    # chain per plane (16 x 64 = 1024 expression nodes) was tried to get
+    # whole-stage codegen: it benched 5x SLOWER (2.2 s vs 0.46 s) — the
+    # generated method outgrows the JIT/codegen limits and falls back to
+    # interpreted evaluation of a vastly bigger tree. The aggregate over
+    # zip_with below is the faster form, and its index-order fold is what
+    # the exact DuckDB oracle reproduces; keep them in sync.
     bits = [
         F.when(
             F.aggregate(
