@@ -933,6 +933,7 @@ def _load_extensions() -> None:
         queries_ops4,
         queries_ops5,
         queries_ops6,
+        queries_ops7,
         queries_scalar,
         queries_tpch2,
     )
