@@ -1,0 +1,147 @@
+"""Write-audit-publish snapshot tables: atomic commits on plain parquet.
+
+The merge/upsert/SCD2 family rewrites whole snapshots (correct
+single-writer semantics — the reference's full-refresh load,
+/root/reference/etl.py:22-29). But a directory-rename swap has a window
+where the target path does not exist, and a reader listing files mid-swap
+sees a torn table. This module closes that seam with the standard
+write-audit-publish protocol, the same commit model Delta Lake and
+Iceberg implement with transaction logs:
+
+- every snapshot is an immutable, write-once directory ``v=<n>/``;
+- a tiny ``_CURRENT`` manifest names the published version; it is
+  replaced by write-temp → fsync → ``os.replace`` — atomic on POSIX, so
+  a reader sees either the old pointer or the new one, never a partial
+  file and never a missing table;
+- the audit hook runs BETWEEN staging and publishing: it sees the fully
+  written candidate snapshot and can veto the commit (the "audit" in
+  write-audit-publish — e.g. row-count sanity, PII scan, leakage gate);
+- a crash anywhere before the pointer swap leaves ``_CURRENT`` on the
+  old version and only an unpublished ``v=<n>`` directory to garbage-
+  collect; a crash after the swap leaves the new version fully
+  published. There is no in-between state.
+
+Readers pin a version at open (``read`` resolves ``_CURRENT`` once);
+because snapshot directories are immutable and retired only after
+``keep_versions`` newer commits, a long-running reader keeps a
+consistent view across concurrent commits — snapshot isolation by
+construction.
+
+Upgrade path: on a real lakehouse this entire module is replaced by the
+table format's commit protocol — ``df.write.format("delta")`` +
+``MERGE INTO`` (Delta's _delta_log is exactly this pointer, with
+optimistic concurrency on top) or Iceberg's snapshot commit. The
+operators that produce the snapshot DataFrames (operators/merge.py) are
+unchanged either way; only the sink swaps.
+
+Local-filesystem scope: ``os.replace`` atomicity holds for POSIX
+filesystems and HDFS rename; on S3 the pointer becomes a small object
+PUT (single-object PUT is atomic) and directory listing is replaced by
+manifest-listed files, which is precisely why Delta/Iceberg exist —
+use them there.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST = "_CURRENT"
+_VDIR = re.compile(r"^v=(\d+)$")
+
+
+class AuditRejected(RuntimeError):
+    """Raised by commit() when the audit hook vetoes the candidate."""
+
+
+class SnapshotTable:
+    """A versioned parquet table with atomic write-audit-publish commits."""
+
+    def __init__(self, path: str, keep_versions: int = 2):
+        self.path = path
+        self.keep_versions = max(1, keep_versions)
+        os.makedirs(path, exist_ok=True)
+
+    # -- pointer ----------------------------------------------------------
+
+    def current_version(self) -> int | None:
+        try:
+            with open(os.path.join(self.path, _MANIFEST)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def version_path(self, version: int) -> str:
+        return os.path.join(self.path, f"v={version}")
+
+    def _staged_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.path):
+            m = _VDIR.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    # -- read -------------------------------------------------------------
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read the published snapshot (or a pinned historical version).
+        Resolves the pointer ONCE — the returned frame keeps reading the
+        same immutable directory across later commits."""
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no published snapshot at {self.path}")
+        return spark.read.parquet(self.version_path(v))
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    # -- commit -----------------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        audit: Callable[[DataFrame], None] | None = None,
+    ) -> int:
+        """Write-audit-publish one snapshot; returns the new version.
+
+        1. WRITE ``df`` to the next ``v=<n>`` directory (unpublished —
+           invisible to readers, who only follow ``_CURRENT``).
+        2. AUDIT the fully written files; an exception (or
+           ``AuditRejected``) aborts, removing the staged directory and
+           leaving the published version untouched.
+        3. PUBLISH by atomically replacing the pointer, then retire
+           versions older than ``keep_versions``.
+        """
+        current = self.current_version()
+        staged = self._staged_versions()
+        version = max([current if current is not None else -1, *staged, -1]) + 1
+        vpath = self.version_path(version)
+        df.write.mode("overwrite").parquet(vpath)
+        if audit is not None:
+            try:
+                audit(df.sparkSession.read.parquet(vpath))
+            except Exception:
+                shutil.rmtree(vpath, ignore_errors=True)
+                raise
+        self._publish(version)
+        self._retire(version)
+        return version
+
+    def _publish(self, version: int) -> None:
+        tmp = os.path.join(self.path, _MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, _MANIFEST))
+
+    def _retire(self, newest: int) -> None:
+        keep_floor = newest - self.keep_versions + 1
+        for v in self._staged_versions():
+            if v < keep_floor:
+                shutil.rmtree(self.version_path(v), ignore_errors=True)

@@ -94,3 +94,70 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish snapshot table (atomic-commit seam)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delta_snapshot_read",
+    """
+    WITH b1 AS (
+        SELECT c_custkey, c_mktsegment, 1 AS ver
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    b2 AS (
+        SELECT c_custkey, 'MOVED' AS c_mktsegment, 2 AS ver
+        FROM customer WHERE c_custkey % 6 = 0
+        UNION ALL
+        SELECT c_custkey + 500000, 'NEWSEG', 2
+        FROM customer WHERE c_custkey % 50 = 0
+    ),
+    all_rows AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+    SELECT c_custkey, c_mktsegment, ver FROM (
+        SELECT c_custkey, c_mktsegment, ver,
+               row_number() OVER (PARTITION BY c_custkey
+                                  ORDER BY ver DESC, c_mktsegment DESC) AS rn
+        FROM all_rows
+    ) WHERE rn = 1
+    """,
+    doc=(
+        "Write-audit-publish snapshot table end-to-end "
+        "(operators/table_commit.SnapshotTable + streaming/upsert."
+        "upsert_table): two CDC batches committed as immutable v=<n> "
+        "snapshot dirs behind an atomically swapped _CURRENT pointer, "
+        "then read back through the pointer. Latest version per key "
+        "wins (version-aware merge, replay-safe); concurrent readers "
+        "see complete old-or-new snapshots, never torn directories — "
+        "crash-injection pinned in tests/test_table_commit.py. On a "
+        "lakehouse this sink is Delta/Iceberg MERGE; the operators are "
+        "unchanged."
+    ),
+)
+def delta_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_s3_to_redshift_spark.operators.table_commit import SnapshotTable
+    from etl_s3_to_redshift_spark.streaming.upsert import upsert_table
+
+    cust = _t(spark, sf_dir, "customer")
+    b1 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment", F.lit(1).alias("ver")
+    )
+    b2 = (
+        cust.filter(F.col("c_custkey") % 6 == 0)
+        .select("c_custkey", F.lit("MOVED").alias("c_mktsegment"), F.lit(2).alias("ver"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 500000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(2).alias("ver"),
+            )
+        )
+    )
+    table = SnapshotTable(tempfile.mkdtemp(prefix="wap_table_"))
+    upsert_table(spark, b1, table, "c_custkey", "ver")
+    upsert_table(spark, b2, table, "c_custkey", "ver")
+    return table.read(spark).select("c_custkey", "c_mktsegment", "ver")

@@ -11,11 +11,17 @@ source-wins (operators/merge.merge_upsert): micro-batches can replay or
 carry out-of-order CDC rows, and a source-wins merge would let a stale
 row overwrite a newer one.
 
-The local target here is a plain parquet directory swapped atomically
-(write to ``<target>.__new__``, then rename) — the no-table-format
-equivalent of a transactional commit. On a real lakehouse the body of
-``_merge_batch`` becomes ``MERGE INTO`` on Delta/Iceberg and the swap
-disappears; the streaming wiring is identical. At 100 TB the rewrite
+Two sink flavors. ``upsert_snapshot``/``start_upsert_stream`` swap a
+plain parquet directory by rename — fine single-writer/single-reader,
+but the swap has a window where the path is missing and a concurrent
+reader sees a torn table. ``upsert_table``/``start_upsert_stream_wap``
+close that seam with write-audit-publish on a versioned
+``SnapshotTable`` (operators/table_commit.py): immutable ``v=<n>``
+snapshot dirs + an atomic ``_CURRENT`` pointer, so concurrent readers
+always see a complete old-or-new snapshot. On a real lakehouse the body
+of ``_merge_batch`` becomes ``MERGE INTO`` on Delta/Iceberg (whose
+transaction log is this pointer, hardened) and the swap disappears; the
+streaming wiring is identical. At 100 TB the rewrite
 narrows to the partitions the batch touches (partition-pruned MERGE) —
 full-snapshot rewrite is only for dimension-scale targets, which is
 exactly the reference's full-refresh user/song upsert
@@ -77,6 +83,52 @@ def upsert_snapshot(
         shutil.rmtree(old)
     else:
         os.rename(tmp, target_path)
+
+
+def upsert_table(
+    spark: SparkSession,
+    updates: DataFrame,
+    table,
+    key: str,
+    order_col: str,
+    audit=None,
+) -> int:
+    """Version-aware merge into a ``SnapshotTable`` via write-audit-
+    publish: readers following the table pointer see the old snapshot or
+    the new one, never a torn directory (operators/table_commit.py).
+    Returns the committed version."""
+    delta = latest_per_key(updates, key, order_col)
+    if table.exists():
+        current = table.read(spark)
+        merged = latest_per_key(current.unionByName(delta), key, order_col)
+    else:
+        merged = delta
+    return table.commit(merged, audit=audit)
+
+
+def start_upsert_stream_wap(
+    stream: DataFrame,
+    table,
+    key: str,
+    order_col: str,
+    checkpoint: str,
+):
+    """Streaming twin of ``upsert_table``: foreachBatch merges each
+    micro-batch into the SnapshotTable with an atomic pointer commit per
+    batch. Replay-idempotent (version-aware merge) AND torn-read-free
+    (write-audit-publish) — the plain-path ``start_upsert_stream`` keeps
+    only the first property."""
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_table(batch_df.sparkSession, batch_df, table, key, order_col)
+
+    return (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
 
 
 def start_upsert_stream(
