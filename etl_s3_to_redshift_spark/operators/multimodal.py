@@ -73,6 +73,16 @@ def decode_image(payload: bytes) -> "object":
         ) from e
 
 
+def has_image_codec() -> bool:
+    """True when PIL/pillow is importable — gates the real resize path."""
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _make_feature_fn(dim: int = 8):
     """Factory returning the digest-feature closure. The closure (not a
     module-level function) is what Arrow kernels must capture: cloudpickle
@@ -153,7 +163,7 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024, max_frames: int =
     return media.mapInPandas(kernel, schema=out_schema)
 
 
-def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
+def resize_media(media: DataFrame, max_side: int = 256, codec: str = "stub") -> DataFrame:
     """Thumbnail/resize plumbing: payloads whose long side exceeds
     ``max_side`` are scaled down aspect-preserving.
 
@@ -161,16 +171,32 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
     byte budget are EXACT JVM integer arithmetic (``a * max_side DIV
     long_side`` — no float rounding, so the metadata contract is
     oracle-checkable to the byte), while only the pixel resample crosses
-    into the Arrow kernel. The container ships no codec, so the kernel is
-    the documented deterministic stand-in — truncate the payload to the
-    area-scaled byte budget; a real implementation swaps ``decode_image``
-    + re-encode into the same kernel without touching the plan.
+    into the Arrow kernel.
+
+    ``codec`` selects the kernel body; the Spark plan is identical:
+    - ``"stub"`` (default): the deterministic stand-in — truncate the
+      payload to the area-scaled byte budget. Oracle-exact, needs no
+      codec library; what the registered query uses.
+    - ``"pil"``: real decode → resize to the SAME JVM-computed target
+      dims → re-encode in the source format via PIL (contract-tested in
+      tests/test_streaming_multimodal.py, skipped when pillow is
+      absent). Rows whose mime is not image/* pass through untouched.
+    - ``"auto"``: ``"pil"`` when pillow imports on the driver, else
+      ``"stub"``.
 
     Input/output schema: (media_id, payload, mime, width, height).
     Rows already within bounds — and rows with unknown (NULL) dimensions,
     which ``docs_as_media`` produces — pass through untouched
     (byte-identical, dims preserved).
     """
+    if codec == "auto":
+        codec = "pil" if has_image_codec() else "stub"
+    if codec not in ("stub", "pil"):
+        raise ValueError(f"resize_media: unknown codec {codec!r}")
+    if codec == "pil" and not has_image_codec():
+        raise NotImplementedError(
+            "resize_media(codec='pil') requires PIL/pillow on driver and executors"
+        )
     out_schema = MEDIA_SCHEMA
 
     # NULL-dim rows must take the passthrough branch: `__ls > max_side` is
@@ -209,13 +235,40 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
         )
     )
 
+    use_pil = codec == "pil"
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_pil:
+            import io
+
+            from PIL import Image
+
+        def one(p, mime, w, nw, nh, tgt):
+            data = bytes(p)
+            if not use_pil:
+                return data[: int(tgt)]
+            if not (isinstance(mime, str) and mime.startswith("image/")):
+                return data
+            if w is None or nw is None or int(nw) == int(w):
+                return data  # within bounds or unknown dims: byte-identical
+            img = Image.open(io.BytesIO(data))
+            fmt = img.format or "PNG"
+            # the JVM already fixed the exact integer target dims — the
+            # kernel only resamples pixels, keeping the metadata contract
+            out = io.BytesIO()
+            img.resize((int(nw), int(nh))).save(out, format=fmt)
+            return out.getvalue()
+
         for pdf in batches:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "payload": [
-                        bytes(p)[: int(t)] for p, t in zip(pdf["payload"], pdf["__tgt"])
+                        one(p, m, w, nw, nh, t)
+                        for p, m, w, nw, nh, t in zip(
+                            pdf["payload"], pdf["mime"], pdf["__w"],
+                            pdf["__nw"], pdf["__nh"], pdf["__tgt"],
+                        )
                     ],
                     "mime": pdf["mime"],
                     # nullable Int32: NULL dims survive the Arrow round-trip
@@ -224,7 +277,7 @@ def resize_media(media: DataFrame, max_side: int = 256) -> DataFrame:
                 }
             )
 
-    cols = ["media_id", "payload", "mime", "__nw", "__nh", "__tgt"]
+    cols = ["media_id", "payload", "mime", "__w", "__nw", "__nh", "__tgt"]
     return step.select(*cols).mapInPandas(kernel, schema=out_schema)
 
 

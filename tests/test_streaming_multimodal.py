@@ -162,3 +162,51 @@ def test_frame_sampling_shapes(spark):
 def test_decode_stub_raises_without_codec():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG\r\n")
+
+
+def test_resize_pil_mode_gated_when_codec_absent(spark):
+    media = spark.createDataFrame(
+        [(1, b"xx", "image/png", 512, 256)],
+        "media_id long, payload binary, mime string, width int, height int",
+    )
+    if MM.has_image_codec():
+        pytest.skip("pillow present: covered by the real-codec contract test")
+    with pytest.raises(NotImplementedError):
+        MM.resize_media(media, max_side=128, codec="pil")
+    # auto degrades to the deterministic stub and still runs end-to-end
+    out = MM.resize_media(media, max_side=128, codec="auto").collect()
+    assert out[0]["width"] == 128 and out[0]["height"] == 64
+
+
+def test_resize_real_codec_contract(spark):
+    """Real-JPEG/PNG path: decode -> resize to the JVM-computed dims ->
+    re-encode. Skipped in containers without pillow; the stub path keeps
+    the registered query oracle-exact either way."""
+    PIL = pytest.importorskip("PIL")  # noqa: F841
+    import io
+
+    from PIL import Image
+
+    def png_bytes(w, h):
+        img = Image.new("RGB", (w, h), (200, 30, 90))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [
+            (1, png_bytes(512, 256), "image/png", 512, 256),  # resized
+            (2, png_bytes(100, 50), "image/png", 100, 50),    # within bounds
+            (3, b"not an image", "application/octet-stream", None, None),
+        ],
+        "media_id long, payload binary, mime string, width int, height int",
+    )
+    out = {r["media_id"]: r for r in MM.resize_media(media, max_side=128, codec="pil").collect()}
+    # metadata contract: exact integer aspect-preserving dims
+    assert (out[1]["width"], out[1]["height"]) == (128, 64)
+    img = Image.open(io.BytesIO(bytes(out[1]["payload"])))
+    assert img.size == (128, 64) and img.format == "PNG"
+    # within-bounds and non-image rows are byte-identical passthrough
+    assert bytes(out[2]["payload"]) == png_bytes(100, 50)
+    assert bytes(out[3]["payload"]) == b"not an image"
+    assert (out[3]["width"], out[3]["height"]) == (None, None)
