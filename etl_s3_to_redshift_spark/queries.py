@@ -952,14 +952,9 @@ _DRIVER_FIRST = [
     # round-4 additions (no driver row yet)
     "sim_ann_recall_report",
     "delta_snapshot_read",
-    "events_bucketed_join",
-    "dedup_cross_run",
     "text_zipf_fit",
-    "graph_copurchase_components",
-    "sample_reservoir_weighted",
-    "orders_sessionized_ltv",
-    "mm_image_decode",
-    "text_simstring_containment",
+    "basket_copurchase_pairs",
+    "customer_rfm_segments",
     # r1 cohort: newest driver row is from round 1 — re-check first
     "r8_count_rows", "r9_top_k", "q1_pricing_summary",
     "q3_top_revenue_orders", "q5_nation_revenue",

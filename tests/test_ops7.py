@@ -25,3 +25,35 @@ def test_recall_report_shape_and_floors(spark):
         assert 0 <= r["n_hits"] <= 50
         assert r["recall"] == pytest.approx(r["n_hits"] / 50.0, abs=1e-4)
         assert r["recall"] >= RECALL_FLOORS[m], (m, r["recall"])
+
+
+def test_zipf_fit_natural_text_shape(spark):
+    row = REGISTRY["text_zipf_fit"].spark(spark, SF_SMOKE).collect()[0]
+    assert row["n_vocab"] > 0 and row["n_tokens"] >= row["n_vocab"]
+    # rank-frequency must fall: slope strictly negative, sane R^2
+    assert row["zipf_slope"] < 0
+    assert 0.0 <= row["zipf_r2"] <= 1.0
+
+
+def test_basket_pairs_ordered_and_bounded(spark):
+    rows = REGISTRY["basket_copurchase_pairs"].spark(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r["part_a"] < r["part_b"] and r["n_orders"] >= 1 for r in rows)
+    counts = [r["n_orders"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_rfm_segments_partition_customers(spark):
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["customer_rfm_segments"].spark(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert 1 <= r["r_q"] <= 5 and 1 <= r["f_q"] <= 5 and 1 <= r["m_q"] <= 5
+    n_customers = (
+        spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    # segments partition the customer base exactly
+    assert sum(r["n_customers"] for r in rows) == n_customers
