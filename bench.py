@@ -106,6 +106,11 @@ HEADLINE = [
     "agg_mode_median",
     "w6_topk_with_ties",
     "w8_moving_median",
+    "text_zipf_fit",
+    "basket_copurchase_pairs",
+    "customer_rfm_segments",
+    "graph_pagerank_nations",
+    "w9_longest_daily_streak",
 ]
 
 

@@ -955,6 +955,8 @@ _DRIVER_FIRST = [
     "text_zipf_fit",
     "basket_copurchase_pairs",
     "customer_rfm_segments",
+    "graph_pagerank_nations",
+    "w9_longest_daily_streak",
     # r1 cohort: newest driver row is from round 1 — re-check first
     "r8_count_rows", "r9_top_k", "q1_pricing_summary",
     "q3_top_revenue_orders", "q5_nation_revenue",

@@ -377,3 +377,187 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("monetary"), 2).alias("total_monetary"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the nation trade graph — iterative algorithm, exact oracle
+# ---------------------------------------------------------------------------
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+_PR_EDGE_SQL = """
+    edges AS (
+        SELECT n1.n_name AS src, n2.n_name AS dst,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS w
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+        JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+        GROUP BY src, dst
+    ),
+    nodes AS (SELECT n_name AS node FROM nation),
+    outw AS (SELECT src, sum(w) AS out_w FROM edges GROUP BY src),
+    probs AS (
+        SELECT src, dst, CAST(w AS DOUBLE) / CAST(out_w AS DOUBLE) AS p
+        FROM edges JOIN outw USING (src)
+    ),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+    r0 AS (SELECT node, 1.0 / nn AS pr FROM nodes CROSS JOIN ns)
+"""
+
+
+def _pr_iter_sql(i: int) -> str:
+    prev = f"r{i - 1}"
+    return f"""
+    d{i} AS (
+        SELECT coalesce(sum(pr), 0.0) AS dang
+        FROM {prev} LEFT JOIN outw ON {prev}.node = outw.src
+        WHERE out_w IS NULL
+    ),
+    c{i} AS (
+        SELECT probs.dst AS node, sum({prev}.pr * probs.p) AS contrib
+        FROM {prev} JOIN probs ON probs.src = {prev}.node
+        GROUP BY probs.dst
+    ),
+    r{i} AS (
+        SELECT n.node,
+               (1 - {_PR_DAMP}) / ns.nn
+                 + {_PR_DAMP} * (coalesce(c{i}.contrib, 0.0) + d{i}.dang / ns.nn)
+                   AS pr
+        FROM nodes n CROSS JOIN ns CROSS JOIN d{i}
+        LEFT JOIN c{i} ON c{i}.node = n.node
+    )"""
+
+
+@register(
+    "graph_pagerank_nations",
+    "WITH "
+    + _PR_EDGE_SQL
+    + ","
+    + ",".join(_pr_iter_sql(i) for i in range(1, _PR_ITERS + 1))
+    + f"""
+    SELECT node AS nation, round(pr, 6) AS pagerank
+    FROM r{_PR_ITERS}
+    """,
+    doc=(
+        "Weighted PageRank (damping 0.85, 3 power iterations, dangling "
+        "mass redistributed) over the nation trade graph: edge (src, "
+        "dst) = supplier-nation ships to customer-nation, weighted by "
+        "exact-decimal revenue. The iterative-algorithm pattern: ONE "
+        "fact-sized join pipeline builds the edge aggregate, then every "
+        "iteration joins node-sized frames (ranks x edges <= |V|^2 "
+        "rows) — the loop never rescans the fact table, which is how "
+        "PageRank/label-propagation run at 100 TB (same shape as "
+        "dedup_groups_connected's min-label iteration). Transition "
+        "probabilities divide exact decimals cast to double, so both "
+        "engines iterate identical values; the final 6-dp round absorbs "
+        "sub-ulp drift of the <=|V|-term contribution sums."
+    ),
+)
+def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.analytics import money
+
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    edges = (
+        l.join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n.alias("n1")), s["s_nationkey"] == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n.alias("n2")), c["c_nationkey"] == F.col("n2.n_nationkey"))
+        .groupBy(F.col("n1.n_name").alias("src"), F.col("n2.n_name").alias("dst"))
+        .agg(F.sum(rev).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    probs = edges.join(outw, "src").select(
+        "src", "dst", (F.col("w").cast("double") / F.col("out_w").cast("double")).alias("p")
+    )
+    nodes = n.select(F.col("n_name").alias("node"))
+    nn = float(nodes.count())  # bounded dimension scalar (25 nations)
+    ranks = nodes.withColumn("pr", F.lit(1.0 / nn))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            ranks.join(probs, ranks["node"] == probs["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("pr") * F.col("p")).alias("contrib"))
+        )
+        dang = (
+            ranks.join(outw.select(F.col("src").alias("node")), "node", "left_anti")
+            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(dang))
+            .join(F.broadcast(contrib), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - _PR_DAMP) / nn)
+                    + F.lit(_PR_DAMP)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.col("dang") / nn)
+                ).alias("pr"),
+            )
+        )
+    return ranks.select(F.col("node").alias("nation"), F.round("pr", 6).alias("pagerank"))
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest daily activity streak per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w9_longest_daily_streak",
+    """
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    isl AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', day)
+                 - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM days
+    ),
+    runs AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(max(len) AS INTEGER) AS longest_streak,
+           CAST(sum(len) AS INTEGER) AS n_active_days
+    FROM runs GROUP BY user_id
+    """,
+    doc=(
+        "Gaps-and-islands: longest run of consecutive active days per "
+        "user (day_number - row_number is constant within a run — the "
+        "classic islands key), plus total active days. All-integer "
+        "arithmetic, so exact cross-engine. Scale shape: one distinct "
+        "over (user, day) — map-side combined, day-granular so far "
+        "smaller than raw events — then a user-partitioned window and "
+        "two user-sized aggregates; nothing event-sized ever windows."
+    ),
+)
+def w9_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("int").alias("longest_streak"),
+        F.sum("len").cast("int").alias("n_active_days"),
+    )

@@ -57,3 +57,44 @@ def test_rfm_segments_partition_customers(spark):
     )
     # segments partition the customer base exactly
     assert sum(r["n_customers"] for r in rows) == n_customers
+
+
+def test_pagerank_sums_to_one_and_is_layout_invariant(spark):
+    q = REGISTRY["graph_pagerank_nations"].spark
+    rows = q(spark, SF_SMOKE).collect()
+    assert len(rows) == 25
+    # probability mass conserved (damping + dangling redistribution)
+    assert sum(r["pagerank"] for r in rows) == pytest.approx(1.0, abs=1e-4)
+    assert all(r["pagerank"] > 0 for r in rows)
+
+
+def test_longest_streak_manual_islands(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (7, "2024-01-01"), (7, "2024-01-02"), (7, "2024-01-03"),  # run of 3
+        (7, "2024-01-05"),                                         # run of 1
+        (9, "2024-02-01"), (9, "2024-02-03"), (9, "2024-02-04"),  # runs 1+2
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "d"]).select(
+        "user_id", F.col("d").cast("timestamp").alias("ts")
+    )
+    # same islands logic as the registered query, on a hand-built frame
+    from pyspark.sql import Window
+
+    days = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.select(
+        "user_id",
+        (F.datediff(F.col("day"), F.lit("2024-01-01").cast("date"))
+         - F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("user_id", "grp").agg(F.count(F.lit(1)).alias("len"))
+    out = {
+        r["user_id"]: (r["longest_streak"], r["n_active_days"])
+        for r in runs.groupBy("user_id").agg(
+            F.max("len").cast("int").alias("longest_streak"),
+            F.sum("len").cast("int").alias("n_active_days"),
+        ).collect()
+    }
+    assert out == {7: (3, 4), 9: (2, 3)}
