@@ -957,6 +957,7 @@ _DRIVER_FIRST = [
     "customer_rfm_segments",
     "graph_pagerank_nations",
     "w9_longest_daily_streak",
+    "text_chunk_windows",
     # r1 cohort: newest driver row is from round 1 — re-check first
     "r8_count_rows", "r9_top_k", "q1_pricing_summary",
     "q3_top_revenue_orders", "q5_nation_revenue",

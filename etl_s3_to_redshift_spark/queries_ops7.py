@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_s3_to_redshift_spark.queries import _t, register
+from etl_s3_to_redshift_spark.queries_data import SQL_WORDS
 
 
 # ---------------------------------------------------------------------------
@@ -560,4 +561,79 @@ def w9_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.groupBy("user_id").agg(
         F.max("len").cast("int").alias("longest_streak"),
         F.sum("len").cast("int").alias("n_active_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG/context chunking: overlapping token windows
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_STRIDE = 32
+
+
+@register(
+    "text_chunk_windows",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, {SQL_WORDS.format(t='text')} AS toks FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               unnest(range(0, greatest(len(toks), 1), {_CHUNK_STRIDE})) AS s
+        FROM w WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(s / {_CHUNK_STRIDE} AS INTEGER) AS chunk_no,
+           CAST(least(n - s, {_CHUNK_SIZE}) AS INTEGER) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, s + 1, least(s + {_CHUNK_SIZE}, n)), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+    doc=(
+        "RAG/context chunking: split each document into overlapping "
+        f"{_CHUNK_SIZE}-token windows at stride {_CHUNK_STRIDE} "
+        "(50% overlap), emitting (doc_id, chunk_no, n_chunk_tokens, "
+        "chunk_text) — the retrieval-index / context-packing primitive "
+        "every RAG and long-context training pipeline needs. Scale "
+        "shape: tokenize + start-generation + slice are all in-scan "
+        "expressions (explode of an int sequence, then slices of the "
+        "already-tokenized array — the text is scanned once and never "
+        "re-tokenized per chunk); no shuffle at all, partitioning "
+        "preserved, ~2x row amplification at these parameters. "
+        "Downstream embedding/indexing jobs consume the chunks "
+        "id-partitioned."
+    ),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.functions.text import words
+
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id", words(F.col("text")).alias("toks")
+    )
+    staged = (
+        toks.withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            "toks",
+            "n",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("n") - 1, F.lit(0)),
+                    F.lit(_CHUNK_STRIDE),
+                )
+            ).alias("s"),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        (F.col("s") / _CHUNK_STRIDE).cast("int").alias("chunk_no"),
+        F.least(F.col("n") - F.col("s"), F.lit(_CHUNK_SIZE))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.array_join(F.slice(F.col("toks"), F.col("s") + 1, F.lit(_CHUNK_SIZE)), " ").alias(
+            "chunk_text"
+        ),
     )

@@ -98,3 +98,30 @@ def test_longest_streak_manual_islands(spark):
         ).collect()
     }
     assert out == {7: (3, 4), 9: (2, 3)}
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    from pyspark.sql import functions as F
+
+    out = REGISTRY["text_chunk_windows"].spark(spark, SF_SMOKE)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    rows = out.collect()
+    assert all(1 <= r["n_chunk_tokens"] <= 64 for r in rows)
+    # chunk 0 of every non-empty doc exists, chunk numbers are dense
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_no"])
+    for doc_id, chunks in by_doc.items():
+        assert sorted(chunks) == list(range(len(chunks)))
+    n_docs = docs.filter(F.trim("text") != "").count()
+    assert len(by_doc) == n_docs
+    # overlap: consecutive chunks share stride-worth of tokens
+    one = [r for r in rows if len(by_doc[r["doc_id"]]) >= 2][0]
+    nxt = next(
+        r for r in rows
+        if r["doc_id"] == one["doc_id"] and r["chunk_no"] == one["chunk_no"] + 1
+    ) if one["chunk_no"] + 1 in by_doc[one["doc_id"]] else None
+    if nxt is not None and one["n_chunk_tokens"] == 64:
+        tail = one["chunk_text"].split()[32:]
+        head = nxt["chunk_text"].split()[: len(tail)]
+        assert tail == head
