@@ -111,6 +111,7 @@ HEADLINE = [
     "customer_rfm_segments",
     "graph_pagerank_nations",
     "w9_longest_daily_streak",
+    "text_chunk_windows",
 ]
 
 
@@ -139,6 +140,12 @@ DATA_BOUND = [
     "text_vocab_topk",
     "text_bigram_topk",
     "text_pii_scrub",
+    "text_zipf_fit",
+    "text_chunk_windows",
+    "basket_copurchase_pairs",
+    "customer_rfm_segments",
+    "graph_pagerank_nations",
+    "w9_longest_daily_streak",
 ]
 
 

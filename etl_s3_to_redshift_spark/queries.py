@@ -958,6 +958,7 @@ _DRIVER_FIRST = [
     "graph_pagerank_nations",
     "w9_longest_daily_streak",
     "text_chunk_windows",
+    "text_bpe_merges",
     # r1 cohort: newest driver row is from round 1 — re-check first
     "r8_count_rows", "r9_top_k", "q1_pricing_summary",
     "q3_top_revenue_orders", "q5_nation_revenue",

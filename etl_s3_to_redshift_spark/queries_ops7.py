@@ -637,3 +637,34 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bpe_merges",
+    None,  # rows-only: iterative argmax training is not SQL-expressible;
+    # exactness is pinned in tests/test_ops7.py against a pure-Python
+    # reference BPE run on the identical word-frequency table
+    doc=(
+        "Distributed BPE tokenizer training "
+        "(operators/bpe.train_bpe): 16 byte-pair merges learned over "
+        "the corpus, returned as the ordered merge table (merge_rank, "
+        "left, right, merged, pair_n). Scale shape: the corpus is "
+        "scanned ONCE into the word-frequency table; every merge "
+        "iteration explodes adjacent symbol pairs of THAT vocabulary-"
+        "sized table (weighted by word count, map-side combined) and "
+        "rewrites symbol arrays with a JVM-side aggregate fold — no "
+        "Python touches row data, and the only driver round-trip per "
+        "iteration is the 1-row argmax. Deterministic: exact integer "
+        "counts, (count desc, left asc, right asc) tiebreak, index-"
+        "order fold."
+    ),
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.bpe import train_bpe
+
+    return train_bpe(_t(spark, sf_dir, "documents"), n_merges=16)

@@ -125,3 +125,61 @@ def test_chunk_windows_cover_and_overlap(spark):
         tail = one["chunk_text"].split()[32:]
         head = nxt["chunk_text"].split()[: len(tail)]
         assert tail == head
+
+
+def _ref_bpe(word_counts, n_merges):
+    """Pure-Python reference BPE on a word-frequency table."""
+    vocab = [(list(w) + ["</w>"], n) for w, n in word_counts]
+    merges = []
+    for rank in range(n_merges):
+        pc = {}
+        for syms, n in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, l + r, cnt))
+
+        def apply(syms):
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            return out
+
+        vocab = [(apply(syms), n) for syms, n in vocab]
+    return merges
+
+
+def test_bpe_matches_pure_python_reference_on_corpus(spark):
+    from etl_s3_to_redshift_spark.operators.bpe import train_bpe, word_freq_table
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    wf = [(r["word"], r["n"]) for r in word_freq_table(docs).collect()]
+    want = _ref_bpe(wf, 8)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_n"])
+        for r in train_bpe(docs, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert got == want and len(got) == 8
+
+
+def test_bpe_apply_tokenizes_with_learned_merges(spark):
+    from etl_s3_to_redshift_spark.operators.bpe import apply_bpe, train_bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        ["doc_id", "text"],
+    )
+    merges_df = train_bpe(docs, n_merges=6)
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("merge_rank").collect()]
+    out = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(docs, merges).collect()}
+    # every word round-trips: stripping </w> and joining restores the text
+    for doc_id, text in [(1, "low lower lowest low low"), (2, "new newer newest new")]:
+        joined = "".join(out[doc_id]).replace("</w>", " ").strip()
+        assert joined == text
+    # the most frequent word collapses into few symbols
+    assert out[1][:1] != ["l"] or len(merges) < 2  # 'low' got merged
