@@ -145,3 +145,43 @@ class SnapshotTable:
         for v in self._staged_versions():
             if v < keep_floor:
                 shutil.rmtree(self.version_path(v), ignore_errors=True)
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table: SnapshotTable,
+    target_bytes: int = 128 << 20,
+    shuffle: bool = False,
+) -> int:
+    """Small-file compaction as just another WAP commit: rewrite the
+    published snapshot into ``ceil(size / target_bytes)`` files and
+    publish atomically — readers mid-compaction keep the fragmented old
+    version, and a crash changes nothing. This is the maintenance job
+    every streaming upsert sink needs (each micro-batch commit writes
+    batch-sized files; compaction folds them back to scan-efficient
+    sizes), and on Delta/Iceberg it is OPTIMIZE / rewrite_data_files.
+
+    ``shuffle=False`` uses coalesce — no exchange, each output file
+    concatenates input partitions (the cheap path for merging small
+    files). ``shuffle=True`` repartitions for even output sizes when the
+    inputs are skewed. File sizes come from the snapshot directory
+    listing here; a manifest-based table reads them from its metadata.
+
+    Returns the newly published version.
+    """
+    import math
+
+    v = table.current_version()
+    if v is None:
+        raise FileNotFoundError(f"no published snapshot at {table.path}")
+    vpath = table.version_path(v)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _dirs, files in os.walk(vpath)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    df = spark.read.parquet(vpath)
+    df = df.repartition(n_files) if shuffle else df.coalesce(n_files)
+    return table.commit(df)

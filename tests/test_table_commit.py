@@ -142,3 +142,24 @@ def test_upsert_stream_wap_converges_to_batch(spark, tmp_path):
     got = {r.k: (r.attr, r.ver) for r in t.read(spark).collect()}
     want = {r.k: (r.attr, r.ver) for r in SU.latest_per_key(cdc, "k", "ver").collect()}
     assert got == want and len(got) == 4
+
+
+def test_compaction_is_an_atomic_commit(spark, tmp_path):
+    import glob
+
+    from etl_s3_to_redshift_spark.operators.table_commit import compact_snapshot
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    frag = spark.range(10_000).selectExpr("id AS k", "id * 2 AS v").repartition(64)
+    t.commit(frag)
+    n_before = len(glob.glob(t.version_path(0) + "/*.parquet"))
+    assert n_before >= 32  # genuinely fragmented
+
+    pinned = t.read(spark)  # reader opened before compaction
+    v = compact_snapshot(spark, t, target_bytes=1 << 30)  # everything fits one file
+    n_after = len(glob.glob(t.version_path(v) + "/*.parquet"))
+    assert v == 1 and n_after < n_before
+
+    # identical data, and the pinned pre-compaction reader still works
+    assert _rows(t.read(spark)) == _rows(pinned)
+    assert t.read(spark).count() == 10_000
