@@ -220,10 +220,14 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_vocab"),
         F.sum("n").cast("long").alias("n_tokens"),
     )
+    # top-1000 via orderBy+limit -> TakeOrderedAndProject (per-task heaps),
+    # NOT row_number over the full vocab — a global single-partition window
+    # sort of a web-scale vocabulary is the smell this avoids; the rank
+    # window then runs on the bounded 1000-row frame only
+    top = vocab.orderBy(F.col("n").desc(), F.col("token").asc()).limit(1000)
     w = Window.orderBy(F.col("n").desc(), F.col("token").asc())
     fitted = (
-        vocab.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 1000)
+        top.withColumn("rank", F.row_number().over(w))
         .select(
             F.log(F.col("rank").cast("double")).alias("lr"),
             F.log(F.col("n").cast("double")).alias("lf"),
