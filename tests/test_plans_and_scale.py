@@ -82,6 +82,10 @@ def test_no_cartesian_products_anywhere(spark):
         "cross_join_region_nation",  # deliberate bounded×bounded cross join
         "q22_dormant_value_customers",  # 1-row global-average broadcast (scalar subquery)
         "q11_important_part_value",  # 1-row global-threshold broadcast (scalar subquery)
+        "text_zipf_fit",  # 1-row totals × 1-row regression cross join
+        "customer_rfm_segments",  # 1-row percentile-boundary broadcast
+        "graph_pagerank_nations",  # 1-row dangling-mass broadcast per iteration
+        "sim_ann_recall_report",  # contains the exact brute-force baseline scan
     }
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))
