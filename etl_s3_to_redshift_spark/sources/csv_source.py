@@ -23,16 +23,30 @@ def read_csv(
     null_value: str = "",
     timestamp_format: str | None = None,
     mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Explicit-schema CSV read. ``mode='PERMISSIVE'`` nulls malformed
-    fields (the COPY-with-MAXERROR analogue); 'FAILFAST' for strict loads."""
+    fields (the COPY-with-MAXERROR analogue); 'FAILFAST' for strict loads.
+
+    ``corrupt_col`` captures each unparseable raw line into a string
+    column of that name (Spark's columnNameOfCorruptRecord) instead of
+    silently nulling it — the quarantine pattern: load everything, then
+    split on ``corrupt_col IS NULL`` into clean rows and a dead-letter
+    audit table. COPY's equivalent is the stl_load_errors table."""
+    read_schema = schema
+    if corrupt_col is not None:
+        read_schema = T.StructType(
+            list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+        )
     reader = (
-        spark.read.schema(schema)
+        spark.read.schema(read_schema)
         .option("header", header)
         .option("delimiter", delimiter)
         .option("nullValue", null_value)
         .option("mode", mode)
     )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if timestamp_format:
         reader = reader.option("timestampFormat", timestamp_format)
     return reader.csv(path)

@@ -166,3 +166,31 @@ def test_varchar_length_enforcement(spark):
         ).collect()
     }
     assert got == {"free", "paidpa"}
+
+
+def test_csv_source_quarantines_corrupt_records(spark, tmp_path):
+    """corrupt_col captures the raw unparseable line; clean rows split
+    from the dead-letter set on corrupt_col IS NULL."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_s3_to_redshift_spark.sources.csv_source import read_csv
+
+    p = tmp_path / "u.csv"
+    p.write_text("user_id,name,score\n1,ada,3.5\n,grace,bad\n2,alan,7.25\n")
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema, corrupt_col="_bad").cache()
+    clean = df.filter(F.col("_bad").isNull())
+    dead = df.filter(F.col("_bad").isNotNull())
+    try:
+        assert {r.name for r in clean.collect()} == {"ada", "alan"}
+        bad = dead.collect()
+        assert len(bad) == 1 and bad[0]["_bad"] == ",grace,bad"
+    finally:
+        df.unpersist()
