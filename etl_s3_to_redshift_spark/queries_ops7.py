@@ -480,6 +480,13 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n1.n_name").alias("src"), F.col("n2.n_name").alias("dst"))
         .agg(F.sum(rev).alias("w"))
     )
+    # the unrolled final plan references the edge aggregate once per
+    # iteration (contrib + dangling) — without truncation Spark would
+    # re-run the fact-sized join pipeline for every reference. The edge
+    # list is node^2-sized (<=625 rows), so localCheckpoint materializes
+    # it once and the iterations reuse the tiny frame (3.45s -> ~1s at
+    # sf0.1; same pattern as dedup_groups_incremental).
+    edges = edges.localCheckpoint(eager=True)
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     probs = edges.join(outw, "src").select(
         "src", "dst", (F.col("w").cast("double") / F.col("out_w").cast("double")).alias("p")
@@ -488,6 +495,10 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = float(nodes.count())  # bounded dimension scalar (25 nations)
     ranks = nodes.withColumn("pr", F.lit(1.0 / nn))
     for _ in range(_PR_ITERS):
+        # each iteration references ranks twice (contribution + dangling)
+        # — checkpoint keeps the lineage linear instead of doubling per
+        # round, and the frame is |V| rows
+        ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             ranks.join(probs, ranks["node"] == probs["src"])
             .groupBy(F.col("dst").alias("node"))
