@@ -92,3 +92,19 @@ def view_to_purchase_funnel(
         "purchase_id",
         (F.unix_timestamp("r_ts") - F.unix_timestamp("l_ts")).alias("secs_to_purchase"),
     )
+
+
+def enrich_stream(stream, dim, keys: list[str], how: str = "left"):
+    """Stream-static enrichment: join a streaming frame against a batch
+    dimension. Spark re-plans the static side per micro-batch, so a dim
+    refreshed in place (or a SnapshotTable read re-resolved per batch)
+    is picked up without restarting the query; the broadcast keeps the
+    stream side shuffle-free — the streaming twin of the reference's
+    diststyle-all enrichment (sql_queries.py:144-151).
+
+    State: none — stream-static joins buffer nothing, unlike
+    stream-stream joins; at 100 TB this is the default way to decorate
+    an event stream with dimension attributes."""
+    from pyspark.sql import functions as F
+
+    return stream.join(F.broadcast(dim), keys, how)

@@ -210,3 +210,38 @@ def test_resize_real_codec_contract(spark):
     assert bytes(out[2]["payload"]) == png_bytes(100, 50)
     assert bytes(out[3]["payload"]) == b"not an image"
     assert (out[3]["width"], out[3]["height"]) == (None, None)
+
+
+def test_stream_static_enrich_equals_batch(spark, tmp_path):
+    from etl_s3_to_redshift_spark.sources.tables import load_table
+    from etl_s3_to_redshift_spark.streaming.joins import enrich_stream
+
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id", "value")
+    dim = spark.createDataFrame(
+        [(u, f"tier{u % 3}") for u in range(0, 60)], "user_id long, tier string"
+    )
+    path = str(tmp_path / "ev")
+    events.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(events.schema).parquet(path)
+    q = (
+        enrich_stream(stream, dim, ["user_id"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("enriched")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.event_id, r.tier)
+        for r in spark.sql("SELECT event_id, tier FROM enriched").collect()
+    }
+    want = {
+        (r.event_id, r.tier)
+        for r in events.join(F.broadcast(dim), ["user_id"], "left").select(
+            "event_id", "tier"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
