@@ -112,6 +112,7 @@ HEADLINE = [
     "graph_pagerank_nations",
     "w9_longest_daily_streak",
     "text_chunk_windows",
+    "ts_decompose_hourly",
 ]
 
 

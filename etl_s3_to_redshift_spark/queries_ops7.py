@@ -683,3 +683,100 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.bpe import train_bpe
 
     return train_bpe(_t(spark, sf_dir, "documents"), n_merges=16)
+
+
+# ---------------------------------------------------------------------------
+# Classical time-series decomposition (trend / seasonal / residual)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ts_decompose_hourly",
+    """
+    WITH series AS (
+        SELECT date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS s
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT bucket, s,
+               CAST(sum(s) OVER w AS BIGINT) AS sum25,
+               CAST(count(*) OVER w AS BIGINT) AS n25
+        FROM series
+        WINDOW w AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    detr AS (
+        SELECT bucket, s,
+               CASE WHEN n25 = 25 THEN sum25 END AS sum25,
+               CASE WHEN n25 = 25 THEN 25 * s - sum25 END AS d25,
+               CAST(extract(hour FROM bucket) AS BIGINT) AS hod
+        FROM tr
+    ),
+    seas AS (
+        SELECT hod,
+               CAST(sum(d25) AS BIGINT) AS num,
+               CAST(25 * count(d25) AS BIGINT) AS den
+        FROM detr WHERE d25 IS NOT NULL GROUP BY hod
+    )
+    -- + 0 normalizes IEEE negative zero (round can yield -0.0 and the
+    -- engines disagree on which); -0.0 + 0.0 = +0.0 exactly
+    SELECT d.bucket, d.s AS n_events,
+           round(CAST(d.sum25 AS DOUBLE) / 25, 6) + 0 AS trend,
+           round(CAST(num AS DOUBLE) / den, 6) + 0 AS seasonal,
+           round((d.s - CAST(d.sum25 AS DOUBLE) / 25)
+                 - CAST(num AS DOUBLE) / den, 6) + 0 AS residual
+    FROM detr d JOIN seas ON seas.hod = d.hod
+    """,
+    doc=(
+        "Classical additive decomposition of the hourly event series: "
+        "trend = centered 25-point moving average (NULL-gated to full "
+        "windows), seasonal = hour-of-day mean of the detrended series, "
+        "residual = series - trend - seasonal. All intermediate "
+        "arithmetic is INTEGER (25*s - sum25 keeps the detrended values "
+        "exact; each output is one integer division) so both engines "
+        "produce identical doubles — no summation-order drift to paper "
+        "over. Scale shape: one event-sized bucket aggregate, then every "
+        "window/join runs on the bucket-count-sized series (time-span "
+        "bounded, not data bounded) with the 24-row seasonal profile "
+        "joined back broadcast."
+    ),
+)
+def ts_decompose_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    series = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(-12, 12)
+    tr = series.select(
+        "bucket",
+        "s",
+        F.sum("s").over(w).cast("long").alias("sum25"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n25"),
+    )
+    detr = tr.select(
+        "bucket",
+        "s",
+        F.when(F.col("n25") == 25, F.col("sum25")).alias("sum25"),
+        F.when(F.col("n25") == 25, 25 * F.col("s") - F.col("sum25")).alias("d25"),
+        F.hour("bucket").cast("long").alias("hod"),
+    )
+    seas = (
+        detr.filter(F.col("d25").isNotNull())
+        .groupBy("hod")
+        .agg(
+            F.sum("d25").cast("long").alias("num"),
+            (25 * F.count("d25")).cast("long").alias("den"),
+        )
+    )
+    trend = F.col("sum25").cast("double") / 25
+    seasonal = F.col("num").cast("double") / F.col("den")
+    # + 0.0 normalizes IEEE negative zero symmetrically with the oracle
+    return detr.join(F.broadcast(seas), "hod").select(
+        "bucket",
+        F.col("s").alias("n_events"),
+        (F.round(trend, 6) + F.lit(0.0)).alias("trend"),
+        (F.round(seasonal, 6) + F.lit(0.0)).alias("seasonal"),
+        (F.round((F.col("s") - trend) - seasonal, 6) + F.lit(0.0)).alias("residual"),
+    )

@@ -183,3 +183,24 @@ def test_bpe_apply_tokenizes_with_learned_merges(spark):
         assert joined == text
     # the most frequent word collapses into few symbols
     assert out[1][:1] != ["l"] or len(merges) < 2  # 'low' got merged
+
+
+def test_decomposition_identity_and_seasonal_balance(spark):
+    rows = REGISTRY["ts_decompose_hourly"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    import collections
+
+    by_hod = collections.defaultdict(list)
+    n_full = 0
+    for r in rows:
+        if r["trend"] is not None:
+            # additive identity holds exactly at the rounded grid
+            assert r["n_events"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["residual"], abs=2e-6
+            )
+            n_full += 1
+        by_hod[r["bucket"].hour].append(r["seasonal"])
+    assert n_full > 0  # interior rows with full 25-point windows exist
+    # seasonal is constant within an hour-of-day
+    for vals in by_hod.values():
+        assert max(vals) == min(vals)
