@@ -113,6 +113,7 @@ HEADLINE = [
     "w9_longest_daily_streak",
     "text_chunk_windows",
     "ts_decompose_hourly",
+    "ts_inflight_shipments_daily",
 ]
 
 

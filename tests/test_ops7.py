@@ -204,3 +204,14 @@ def test_decomposition_identity_and_seasonal_balance(spark):
     # seasonal is constant within an hour-of-day
     for vals in by_hod.values():
         assert max(vals) == min(vals)
+
+
+def test_inflight_sweep_conserves_and_stays_nonnegative(spark):
+    rows = sorted(
+        REGISTRY["ts_inflight_shipments_daily"].spark(spark, SF_SMOKE).collect(),
+        key=lambda r: r["day"],
+    )
+    assert len(rows) > 0
+    assert all(r["n_inflight"] >= 0 for r in rows)
+    # every interval both opens and closes -> the sweep returns to zero
+    assert rows[-1]["n_inflight"] == 0

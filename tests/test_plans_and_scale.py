@@ -307,3 +307,28 @@ def test_winsorize_broadcasts_percentiles(spark):
     plan = plan_of(REGISTRY["scale_winsorize"].spark(spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A date/type-partitioned fact joined to a selectively-filtered dim
+    must plan a dynamic partition pruning subquery: only the partitions
+    the dim's surviving keys name are read — at 100 TB this is the
+    difference between scanning one day and scanning the lake."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events").select("event_id", "event_type", "value")
+    path = str(tmp_path / "ev_by_type")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("click", "engage"), ("purchase", "convert"), ("error", "ops")],
+        "event_type string, bucket string",
+    ).filter(F.col("bucket") == "convert")
+    joined = fact.join(dim, "event_type").select("event_id", "bucket")
+
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the pruned read is still correct
+    want = ev.filter(F.col("event_type") == "purchase").count()
+    assert joined.count() == want and want > 0
