@@ -114,6 +114,7 @@ HEADLINE = [
     "text_chunk_windows",
     "ts_decompose_hourly",
     "ts_inflight_shipments_daily",
+    "entity_groups_fuzzy",
 ]
 
 

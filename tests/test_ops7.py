@@ -215,3 +215,22 @@ def test_inflight_sweep_conserves_and_stays_nonnegative(spark):
     assert all(r["n_inflight"] >= 0 for r in rows)
     # every interval both opens and closes -> the sweep returns to zero
     assert rows[-1]["n_inflight"] == 0
+
+
+def test_entity_groups_pair_variants_with_originals(spark):
+    rows = REGISTRY["entity_groups_fuzzy"].spark(spark, SF_SMOKE).collect()
+    ents = {}
+    for r in rows:
+        ents.setdefault(r["entity_id"], []).append(r)
+    # every planted variant (rec_id > 10^6) lands in the SAME entity as
+    # its original (the original may itself cluster with other near-by
+    # names in the synthetic lake, so the entity can be larger), and a
+    # variant never outranks its original as canonical
+    entity_of = {r["member_id"]: r["entity_id"] for r in rows}
+    for r in rows:
+        if r["member_id"] > 1_000_000:
+            assert r["entity_id"] == entity_of[r["member_id"] - 1_000_000]
+            assert not r["is_canonical"]
+    # exactly one canonical member per entity
+    for members in ents.values():
+        assert sum(1 for m in members if m["is_canonical"]) == 1
