@@ -938,3 +938,71 @@ def entity_groups_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_canonical"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectations report (dbt-test surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_orders_expectations",
+    """
+    SELECT 'orderkey_not_null' AS rule,
+           CAST(count(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'totalprice_positive',
+           CAST(count(*) FILTER (WHERE o_totalprice IS NULL OR o_totalprice < 1e-9) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'status_in_set',
+           CAST(count(*) FILTER (WHERE o_orderstatus IS NULL
+                                    OR o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orderkey_unique',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'custkey_references_customer',
+           CAST(count(*) AS BIGINT)
+    FROM orders o
+    WHERE o.o_custkey IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    """,
+    doc=(
+        "Data-quality expectation suite (operators/quality."
+        "expectations_report): not-null / positive-range / accepted-set "
+        "/ key-uniqueness / referential-integrity rules over orders as a "
+        "(rule, n_violations) report — the dbt-test / load-gate surface, "
+        "generalizing the reference's notebook row-count verification "
+        "(test_etl.ipynb cells 8-21). Plan shape is rule-count-"
+        "independent: every row-level rule folds into ONE conditional-"
+        "count aggregate on a single scan, uniqueness is one map-side-"
+        "combined groupBy, and the FK check is one anti-join against "
+        "distinct referenced keys (broadcast while it fits). Range rule "
+        "uses o_totalprice > 0: expected 0 violations; the set rule "
+        "pins the live status domain."
+    ),
+)
+def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.quality import Rule, expectations_report
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rules = [
+        Rule("orderkey_not_null", "not_null", column="o_orderkey"),
+        Rule("totalprice_positive", "range", column="o_totalprice", lo=1e-9),
+        Rule("status_in_set", "in_set", column="o_orderstatus", values=("O", "F", "P")),
+        Rule("orderkey_unique", "unique", column="o_orderkey"),
+        Rule(
+            "custkey_references_customer",
+            "references",
+            column="o_custkey",
+            ref=c,
+            ref_col="c_custkey",
+        ),
+    ]
+    return expectations_report(o, rules)

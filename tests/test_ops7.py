@@ -234,3 +234,44 @@ def test_entity_groups_pair_variants_with_originals(spark):
     # exactly one canonical member per entity
     for members in ents.values():
         assert sum(1 for m in members if m["is_canonical"]) == 1
+
+
+def test_dq_expectations_catch_planted_violations(spark):
+    from etl_s3_to_redshift_spark.operators.quality import Rule, expectations_report
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "O", 100),
+            (1, -5.0, "X", 100),   # dup key, negative price, bad status
+            (None, 3.0, "F", 999), # null key, orphan fk
+        ],
+        "k long, price double, status string, fk long",
+    )
+    ref = spark.createDataFrame([(100,)], "rk long")
+    rules = [
+        Rule("k_not_null", "not_null", column="k"),
+        Rule("price_pos", "range", column="price", lo=0.0),
+        Rule("status_ok", "in_set", column="status", values=("O", "F")),
+        Rule("k_unique", "unique", column="k"),
+        Rule("fk_ok", "references", column="fk", ref=ref, ref_col="rk"),
+    ]
+    got = {r["rule"]: r["n_violations"] for r in expectations_report(df, rules).collect()}
+    assert got == {
+        "k_not_null": 1,
+        "price_pos": 1,
+        "status_ok": 1,
+        "k_unique": 1,
+        "fk_ok": 1,
+    }
+
+
+def test_dq_expectations_clean_on_empty_table(spark):
+    from etl_s3_to_redshift_spark.operators.quality import Rule, expectations_report
+
+    df = spark.createDataFrame([], "k long, price double")
+    rules = [
+        Rule("k_not_null", "not_null", column="k"),
+        Rule("k_unique", "unique", column="k"),
+    ]
+    got = {r["rule"]: r["n_violations"] for r in expectations_report(df, rules).collect()}
+    assert got == {"k_not_null": 0, "k_unique": 0}
