@@ -115,6 +115,7 @@ HEADLINE = [
     "ts_decompose_hourly",
     "ts_inflight_shipments_daily",
     "entity_groups_fuzzy",
+    "text_bigram_logprob",
 ]
 
 

@@ -386,3 +386,64 @@ def ngram_top_terms(
         .orderBy(F.col("n").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Per-document average bigram negative log-probability under the
+    corpus's own add-1/2-smoothed bigram model — the next step up from
+    ``unigram_logprob_scores``: word-order-aware surprisal, the quality
+    signal that separates shuffled-word salad (high bigram surprisal,
+    normal unigram) from natural text.
+
+    P(w2|w1) = (c(w1,w2) + 1/2) / (c(w1,·) + V/2) computed as the exact
+    integer ratio (2·c12 + 1) / (2·c1 + V) — one double division per
+    bigram key, so both engines iterate identical values; the per-doc
+    mean rounds 6 dp (libm ``ln`` drift sits ~10 orders below).
+
+    Scale shape mirrors the unigram scorer: ONE corpus tokenization into
+    the per-(doc, w1, w2) tf aggregate, model counts derived from that
+    frame by windows over the bigram/context keys (bigram-vocab-sized
+    shuffles, never a corpus rescan, no model broadcast). ``vocab_size``
+    (V = distinct second words) is a scalar; passing it skips the
+    driver-side distinct-count job.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
+    )
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.zip_with(
+                F.slice(arr, 1, F.size(arr) - 1),
+                F.slice(arr, 2, F.size(arr) - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    tf = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    if vocab_size is None:
+        vocab_size = tf.select("w2").distinct().count()  # scalar model size
+    wbg = Window.partitionBy("w1", "w2")
+    wctx = Window.partitionBy("w1")
+    scored = (
+        tf.withColumn("c12", F.sum("tf").over(wbg))
+        .withColumn("c1", F.sum("tf").over(wctx))
+        .withColumn(
+            "neglogp",
+            -F.log(
+                (2 * F.col("c12") + 1).cast("double")
+                / (2 * F.col("c1") + F.lit(int(vocab_size))).cast("double")
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.round(F.sum(F.col("tf") * F.col("neglogp")) / F.sum("tf"), 6).alias(
+            "avg_neglogp"
+        ),
+    )

@@ -963,6 +963,7 @@ _DRIVER_FIRST = [
     "ts_inflight_shipments_daily",
     "entity_groups_fuzzy",
     "dq_orders_expectations",
+    "text_bigram_logprob",
     # r1 cohort: newest driver row is from round 1 — re-check first
     "r8_count_rows", "r9_top_k", "q1_pricing_summary",
     "q3_top_revenue_orders", "q5_nation_revenue",

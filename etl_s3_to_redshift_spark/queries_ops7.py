@@ -1006,3 +1006,58 @@ def dq_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return expectations_report(o, rules)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM surprisal (word-order-aware quality signal)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_bigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           x -> x != '') AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks)
+    ),
+    tf AS (
+        SELECT doc_id, w1, w2, count(*) AS tf FROM pairs GROUP BY doc_id, w1, w2
+    ),
+    v AS (SELECT count(DISTINCT w2) AS vocab FROM tf),
+    scored AS (
+        SELECT doc_id, tf,
+               -ln(CAST(2 * (CAST(sum(tf) OVER (PARTITION BY w1, w2) AS BIGINT)) + 1 AS DOUBLE)
+                   / CAST(2 * (CAST(sum(tf) OVER (PARTITION BY w1) AS BIGINT)) + vocab AS DOUBLE))
+                 AS neglogp
+        FROM tf CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(tf * neglogp) AS DOUBLE)
+                 / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE), 6) AS avg_neglogp
+    FROM scored GROUP BY doc_id
+    """,
+    doc=(
+        "Per-document mean bigram surprisal under the corpus's own "
+        "add-1/2-smoothed bigram model (operators/textops."
+        "bigram_logprob_scores) — word-order-aware quality scoring that "
+        "separates shuffled-word salad from natural text where the "
+        "unigram model cannot. Smoothed probability is the exact "
+        "integer ratio (2c12+1)/(2c1+V), so both engines divide "
+        "identical integers; mean rounded 6 dp. Plan mirrors the "
+        "unigram scorer: one tokenization into the (doc, w1, w2) tf "
+        "aggregate, model counts via windows over the bigram/context "
+        "keys — bigram-vocab-sized shuffles, no model broadcast, no "
+        "corpus rescan."
+    ),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.textops import bigram_logprob_scores
+
+    return bigram_logprob_scores(_t(spark, sf_dir, "documents"))

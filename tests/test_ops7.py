@@ -275,3 +275,21 @@ def test_dq_expectations_clean_on_empty_table(spark):
     ]
     got = {r["rule"]: r["n_violations"] for r in expectations_report(df, rules).collect()}
     assert got == {"k_not_null": 0, "k_unique": 0}
+
+
+def test_bigram_surprisal_flags_shuffled_text(spark):
+    """Word salad built from real corpus words must score higher bigram
+    surprisal than the natural text it was shuffled from."""
+    from etl_s3_to_redshift_spark.operators.textops import bigram_logprob_scores
+
+    natural = "the quick brown fox jumps over the lazy dog " * 6
+    salad_words = natural.split()
+    # deterministic derangement: reverse
+    salad = " ".join(reversed(salad_words))
+    base = [(i, natural) for i in range(10)]  # corpus dominated by natural order
+    docs = spark.createDataFrame(base + [(100, salad)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["avg_neglogp"]
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    assert got[100] > got[0]
