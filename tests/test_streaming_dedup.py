@@ -101,3 +101,51 @@ def test_upsert_stream_converges_to_batch(spark, cdc_updates, tmp_path):
         for r in SU.latest_per_key(cdc_updates, "k", "ver").collect()
     }
     assert got == want and len(got) == 4
+
+
+def test_quality_gated_stream_routes_violations(spark, tmp_path):
+    from etl_s3_to_redshift_spark.operators.quality import Rule
+    from etl_s3_to_redshift_spark.streaming.quality_gate import (
+        split_by_rules,
+        start_quality_gated_stream,
+    )
+
+    rows = [
+        (1, 10.0, "O"),
+        (2, -3.0, "O"),    # range violation
+        (3, 5.0, "X"),     # set violation
+        (None, 7.0, "F"),  # null violation
+        (5, -1.0, "X"),    # two violations
+        (6, 2.0, "F"),
+    ]
+    df = spark.createDataFrame(rows, "k long, price double, status string")
+    rules = [
+        Rule("k_not_null", "not_null", column="k"),
+        Rule("price_pos", "range", column="price", lo=0.0),
+        Rule("status_ok", "in_set", column="status", values=("O", "F")),
+    ]
+    src = str(tmp_path / "src")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    clean_p, dead_p, ckpt = (
+        str(tmp_path / "clean"), str(tmp_path / "dead"), str(tmp_path / "ck")
+    )
+    q = start_quality_gated_stream(stream, rules, clean_p, dead_p, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    clean = {r.k for r in spark.read.parquet(clean_p).collect()}
+    dead = {r.k: r["__failed"] for r in spark.read.parquet(dead_p).collect()}
+    assert clean == {1, 6}
+    assert dead[2] == "price_pos" and dead[3] == "status_ok"
+    assert dead[None] == "k_not_null"
+    assert set(dead[5].split(",")) == {"price_pos", "status_ok"}
+
+    # streaming result == the batch split
+    b_clean, b_dead = split_by_rules(df, rules)
+    assert clean == {r.k for r in b_clean.collect()}
+    assert dead == {r.k: r["__failed"] for r in b_dead.collect()}
