@@ -381,3 +381,29 @@ def split_leakage(
         )
         .filter(F.col("n_splits") > 1)
     )
+
+
+def group_aware_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    group_col: str,
+    seed: str = "split42",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-PREVENTING train/val/test assignment: split by the hash
+    of a GROUP key (dedup cluster id, exact-content fingerprint, source
+    document id of derived chunks, ...) so every member of a group lands
+    in the same split by construction.
+
+    ``split_leakage`` audits contamination after the fact; this closes
+    it at the source — id-keyed splitting scatters near-duplicates
+    across splits, group-keyed splitting cannot. Same deterministic
+    md5-range machinery as ``hash_split`` (stable under re-runs,
+    appends, repartitioning, engine ports), just keyed on the group.
+
+    Scale: a pure per-row expression over whatever column carries the
+    group id — deriving THAT id is the dedup pipeline's job
+    (operators/components.dedup_groups, exact fingerprints, minhash
+    clusters), which a curated corpus has already run.
+    """
+    return hash_split(df, weights, id_col=group_col, seed=seed, split_col=split_col)

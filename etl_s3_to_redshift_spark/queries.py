@@ -987,6 +987,7 @@ _DRIVER_FIRST = [
     "entity_groups_fuzzy",
     "dq_orders_expectations",
     "text_bigram_logprob",
+    "data_group_aware_split",
 ]
 
 

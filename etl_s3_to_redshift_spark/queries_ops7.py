@@ -1061,3 +1061,57 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.textops import bigram_logprob_scores
 
     return bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Contamination-aware split: dedup groups never span splits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "data_group_aware_split",
+    """
+    WITH grouped AS (
+        SELECT doc_id,
+               min(doc_id) OVER (
+                   PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+               ) AS group_id
+        FROM documents
+    )
+    SELECT doc_id, group_id,
+           CASE
+             WHEN substring(md5(concat('split42', ':', CAST(group_id AS VARCHAR))), 1, 8)
+                  < 'e6666666' THEN 'train'
+             WHEN substring(md5(concat('split42', ':', CAST(group_id AS VARCHAR))), 1, 8)
+                  < 'f3333333' THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM grouped
+    """,
+    doc=(
+        "Leakage-preventing split (operators/sampling.group_aware_split): "
+        "documents are assigned to train/val/test by the hash of their "
+        "exact-content GROUP id (min doc_id per normalized-text "
+        "fingerprint), so duplicate families land in one split by "
+        "construction — the prevention twin of the data_split_leakage "
+        "audit. Scale shape: the group id is one fingerprint window "
+        "(shared with exact dedup's content key), the split a pure "
+        "per-row expression; 90/5/5 boundaries on the md5 hex range."
+    ),
+)
+def data_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_s3_to_redshift_spark.functions.text import normalize_text
+    from etl_s3_to_redshift_spark.operators.sampling import group_aware_split
+
+    docs = _t(spark, sf_dir, "documents")
+    grouped = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(normalize_text(F.col("text"))))
+        .alias("group_id"),
+    )
+    return group_aware_split(
+        grouped, {"train": 0.9, "val": 0.05, "test": 0.05}, group_col="group_id"
+    ).select("doc_id", "group_id", "split")

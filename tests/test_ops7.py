@@ -293,3 +293,29 @@ def test_bigram_surprisal_flags_shuffled_text(spark):
         for r in bigram_logprob_scores(docs).collect()
     }
     assert got[100] > got[0]
+
+
+def test_group_aware_split_colocates_duplicate_families(spark):
+    from etl_s3_to_redshift_spark.operators.sampling import (
+        group_aware_split,
+        split_leakage,
+    )
+
+    # 60 groups of 3 byte-identical docs each: id-keyed splitting would
+    # scatter them; group-keyed splitting cannot
+    rows = [
+        (g * 10 + i, f"family {g} shares this exact body text", g * 10)
+        for g in range(60)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "group_id"])
+    out = group_aware_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, "group_id")
+    per_group = out.groupBy("group_id").agg(
+        __import__("pyspark").sql.functions.countDistinct("split").alias("n")
+    )
+    assert per_group.filter("n > 1").count() == 0
+    # and the exact-key leakage audit over the result is empty
+    leak = split_leakage(out, key_words=None)
+    assert leak.count() == 0
+    # all three splits are actually populated at 60 groups
+    assert out.select("split").distinct().count() == 3
