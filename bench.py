@@ -116,6 +116,8 @@ HEADLINE = [
     "ts_inflight_shipments_daily",
     "entity_groups_fuzzy",
     "text_bigram_logprob",
+    "events_top_paths",
+    "basket_association_rules",
 ]
 
 

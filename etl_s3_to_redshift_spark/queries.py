@@ -988,6 +988,8 @@ _DRIVER_FIRST = [
     "dq_orders_expectations",
     "text_bigram_logprob",
     "data_group_aware_split",
+    "events_top_paths",
+    "basket_association_rules",
 ]
 
 

@@ -1115,3 +1115,151 @@ def data_group_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_aware_split(
         grouped, {"train": 0.9, "val": 0.05, "test": 0.05}, group_col="group_id"
     ).select("doc_id", "group_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# Behavioral: top user journeys (first-k event-type paths)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    paths AS (
+        SELECT user_id,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ordered WHERE rn <= 5 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path ASC
+    LIMIT 20
+    """,
+    doc=(
+        "Top user journeys: each user's first five event types joined "
+        "into a path string, the 20 most common paths with user counts "
+        "— the onboarding/funnel-discovery staple. Deterministic order "
+        "inside a user via (ts, event_id). Scale shape: one user-"
+        "partitioned window ranks events, the path build aggregates at "
+        "most 5 rows per user (user-sized shuffle, map-side combined), "
+        "and the top-20 is TakeOrderedAndProject. No collect_list over "
+        "unbounded histories — the rn <= 5 cut happens before the "
+        "aggregation."
+    ),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    paths = ordered.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Association rules: support / confidence / lift over co-purchase pairs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "basket_association_rules",
+    """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM items),
+    item_n AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_a FROM items GROUP BY l_partkey
+    ),
+    pair_n AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_ab,
+           round(CAST(n_ab AS DOUBLE) / n, 6) AS support,
+           round(CAST(n_ab AS DOUBLE) / ia.n_a, 6) AS confidence,
+           round(CAST(n_ab AS DOUBLE) * n
+                 / (CAST(ia.n_a AS DOUBLE) * ib.n_a), 6) AS lift
+    FROM pair_n
+    JOIN item_n ia ON ia.l_partkey = part_a
+    JOIN item_n ib ON ib.l_partkey = part_b
+    CROSS JOIN n_orders
+    ORDER BY n_ab DESC, part_a ASC, part_b ASC
+    LIMIT 50
+    """,
+    doc=(
+        "Association rules over the market-basket pairs: support "
+        "(P(a,b)), confidence (P(b|a)) and lift "
+        "(P(a,b)/(P(a)P(b))) for the 50 most frequent same-order part "
+        "pairs — the recommendation/bundling metric basket_copurchase_"
+        "pairs seeds. Every metric is one division of exact integers "
+        "(pair, item, and basket counts), rounded 6 dp. Scale shape: "
+        "the pair self-join is quadratic only within bounded baskets; "
+        "item counts join back part-partitioned; the 1-row basket total "
+        "broadcasts."
+    ),
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    n = items.select("l_orderkey").distinct().count()  # basket-count scalar
+    item_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    a, b = items.alias("a"), items.alias("b")
+    pair_n = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    ia = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n_a").alias("na"))
+    ib = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n_a").alias("nb"))
+    return (
+        pair_n.join(ia, "part_a")
+        .join(ib, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.lit(n), 6).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("na"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.lit(n)
+                / (F.col("na").cast("double") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(50)
+    )

@@ -319,3 +319,25 @@ def test_group_aware_split_colocates_duplicate_families(spark):
     assert leak.count() == 0
     # all three splits are actually populated at 60 groups
     assert out.select("split").distinct().count() == 3
+
+
+def test_association_rules_metric_identities(spark):
+    rows = REGISTRY["basket_association_rules"].spark(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert 0 < r["support"] <= 1
+        assert 0 < r["confidence"] <= 1
+        assert r["lift"] > 0
+        # lift > 1 iff confidence beats the consequent's base rate;
+        # here just pin the algebraic relation lift = conf / P(b)
+        # via support/confidence consistency: support <= confidence
+        assert r["support"] <= r["confidence"] + 1e-9
+
+
+def test_top_paths_deterministic_and_bounded(spark):
+    rows = REGISTRY["events_top_paths"].spark(spark, SF_SMOKE).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert 1 <= len(r["path"].split(">")) <= 5
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
