@@ -104,3 +104,30 @@ def merge_new_and_changed(
         .join(current_attrs.alias("c"), cond, "left_anti")
         .select(F.col(key), *attrs)
     )
+
+
+def change_feed(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Classify every key across two table states as added / removed /
+    changed / unchanged — one full-outer equi-join on the key with
+    null-safe attribute comparison. With a versioned SnapshotTable this
+    turns any two committed versions into a CDC stream (Delta's
+    table_changes / Iceberg's changelog scan); with plain snapshots it
+    converts full-refresh dumps into the incremental feed MERGE/SCD2
+    consume."""
+    o, n = old.alias("o"), new.alias("n")
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(f"o.{a}").eqNullSafe(F.col(f"n.{a}"))
+    return o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer").select(
+        F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
+        F.when(F.col(f"o.{key}").isNull(), "added")
+        .when(F.col(f"n.{key}").isNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+        .alias("change_kind"),
+    )

@@ -990,6 +990,7 @@ _DRIVER_FIRST = [
     "data_group_aware_split",
     "events_top_paths",
     "basket_association_rules",
+    "delta_change_feed",
 ]
 
 

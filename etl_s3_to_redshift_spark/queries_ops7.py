@@ -1263,3 +1263,84 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), F.col("part_a").asc(), F.col("part_b").asc())
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Change data feed between SnapshotTable versions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "delta_change_feed",
+    """
+    WITH b1 AS (
+        SELECT c_custkey, c_mktsegment, 1 AS ver
+        FROM customer WHERE c_custkey % 3 = 0
+    ),
+    b2 AS (
+        SELECT c_custkey, 'MOVED' AS c_mktsegment, 2 AS ver
+        FROM customer WHERE c_custkey % 6 = 0
+        UNION ALL
+        SELECT c_custkey + 500000, 'NEWSEG', 2
+        FROM customer WHERE c_custkey % 50 = 0
+    ),
+    all_rows AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2),
+    v1 AS (
+        SELECT c_custkey, c_mktsegment, ver FROM (
+            SELECT c_custkey, c_mktsegment, ver,
+                   row_number() OVER (PARTITION BY c_custkey
+                                      ORDER BY ver DESC, c_mktsegment DESC) AS rn
+            FROM all_rows
+        ) WHERE rn = 1
+    )
+    SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+           CASE WHEN o.c_custkey IS NULL THEN 'added'
+                WHEN n.c_custkey IS NULL THEN 'removed'
+                WHEN o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+                  OR o.ver IS DISTINCT FROM n.ver THEN 'changed'
+                ELSE 'unchanged' END AS change_kind
+    FROM b1 o FULL OUTER JOIN v1 n ON o.c_custkey = n.c_custkey
+    """,
+    doc=(
+        "Change data feed between two committed versions of the "
+        "write-audit-publish table (operators/merge.change_feed over "
+        "SnapshotTable.read(version=...)): the same two CDC commits as "
+        "delta_snapshot_read, then every key classified added / removed "
+        "/ changed / unchanged between v0 and v1 — Delta's "
+        "table_changes / Iceberg changelog scan, built from pinned "
+        "immutable snapshot reads. One full-outer key join, null-safe "
+        "attribute compare; version pinning is what makes the diff "
+        "consistent while new commits land."
+    ),
+)
+def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from etl_s3_to_redshift_spark.operators.merge import change_feed
+    from etl_s3_to_redshift_spark.operators.table_commit import SnapshotTable
+    from etl_s3_to_redshift_spark.streaming.upsert import upsert_table
+
+    cust = _t(spark, sf_dir, "customer")
+    b1 = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", "c_mktsegment", F.lit(1).alias("ver")
+    )
+    b2 = (
+        cust.filter(F.col("c_custkey") % 6 == 0)
+        .select("c_custkey", F.lit("MOVED").alias("c_mktsegment"), F.lit(2).alias("ver"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 50 == 0).select(
+                (F.col("c_custkey") + 500000).alias("c_custkey"),
+                F.lit("NEWSEG").alias("c_mktsegment"),
+                F.lit(2).alias("ver"),
+            )
+        )
+    )
+    table = SnapshotTable(tempfile.mkdtemp(prefix="wap_cdc_"))
+    upsert_table(spark, b1, table, "c_custkey", "ver")
+    upsert_table(spark, b2, table, "c_custkey", "ver")
+    return change_feed(
+        table.read(spark, version=0),
+        table.read(spark, version=1),
+        key="c_custkey",
+        attrs=["c_mktsegment", "ver"],
+    )
