@@ -42,6 +42,12 @@ def connected_components(
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
+    # edges are re-joined every iteration (plus the initial label build):
+    # without truncation each round re-runs the whole upstream pair
+    # pipeline — ruinous when pairs come from an expensive generator
+    # (measured 24s -> 4s on the sf0.1 fuzzy entity graph). The edge
+    # list is match-sized, so materializing it is the cheap side.
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("u").alias("vertex"))
         .distinct()
