@@ -152,6 +152,10 @@ DATA_BOUND = [
     "customer_rfm_segments",
     "graph_pagerank_nations",
     "w9_longest_daily_streak",
+    "ts_decompose_hourly",
+    "ts_inflight_shipments_daily",
+    "text_bigram_logprob",
+    "basket_association_rules",
 ]
 
 
