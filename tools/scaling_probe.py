@@ -47,6 +47,19 @@ QUERIES = [
     "cohort_retention_weekly",
     "text_vocab_topk",
     "data_source_mixture",
+    # round-4: vocab-bounded zipf fit, in-scan chunking, in-row basket
+    # pairs, checkpointed PageRank iterations, islands streaks, RFM
+    # percentile broadcast, integer-exact decomposition, +1/-1 sweep,
+    # window-derived bigram model
+    "text_zipf_fit",
+    "text_chunk_windows",
+    "basket_copurchase_pairs",
+    "graph_pagerank_nations",
+    "w9_longest_daily_streak",
+    "customer_rfm_segments",
+    "ts_decompose_hourly",
+    "ts_inflight_shipments_daily",
+    "text_bigram_logprob",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
