@@ -85,8 +85,11 @@ def expectations_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
 
     for r in rules:
         if r.kind == "unique":
+            # NULL keys are the not_null rule's business (dbt convention):
+            # grouping them here would count all NULLs as one fake dup set
             dup = (
-                df.groupBy(r.column)
+                df.filter(F.col(r.column).isNotNull())
+                .groupBy(r.column)
                 .agg(F.count(F.lit(1)).alias("__n"))
                 .filter(F.col("__n") > 1)
                 .agg(F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("n"))

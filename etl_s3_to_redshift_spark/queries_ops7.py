@@ -987,7 +987,8 @@ def entity_groups_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'orderkey_unique',
            CAST(coalesce(sum(n - 1), 0) AS BIGINT)
-    FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders
+          WHERE o_orderkey IS NOT NULL GROUP BY o_orderkey
           HAVING count(*) > 1)
     UNION ALL
     SELECT 'custkey_references_customer',

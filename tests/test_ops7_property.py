@@ -118,3 +118,101 @@ def test_wap_pointer_always_names_complete_snapshot(spark, tmp_path_factory, com
         # last committed frame — never a mix of versions
         got = [(r["k"], r["batch"]) for r in t.read(spark).collect()] if n else []
         assert sorted(got) == [(k, i) for k in range(n)]
+
+
+state_rows = st.lists(
+    st.tuples(st.integers(0, 8), st.sampled_from(["a", "b", "c"])),
+    min_size=0, max_size=10, unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(old=state_rows, new=state_rows)
+def test_change_feed_matches_bruteforce(spark, old, new):
+    from etl_s3_to_redshift_spark.operators.merge import change_feed
+
+    if not old and not new:
+        return
+    odf = spark.createDataFrame(old or [(99, "z")], "k int, attr string")
+    ndf = spark.createDataFrame(new or [(98, "z")], "k int, attr string")
+    old_m = dict(old or [(99, "z")])
+    new_m = dict(new or [(98, "z")])
+    got = {
+        r["k"]: r["change_kind"]
+        for r in change_feed(odf, ndf, "k", ["attr"]).collect()
+    }
+    want = {}
+    for k in set(old_m) | set(new_m):
+        if k not in old_m:
+            want[k] = "added"
+        elif k not in new_m:
+            want[k] = "removed"
+        elif old_m[k] != new_m[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert got == want
+
+
+basket_lists = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 6)), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=basket_lists)
+def test_order_pair_counts_match_itertools(spark, rows):
+    import itertools
+
+    from etl_s3_to_redshift_spark.queries_ops7 import _order_pair_counts
+
+    df = spark.createDataFrame(rows, "l_orderkey int, l_partkey int")
+    got = {
+        (r["part_a"], r["part_b"]): r["n_orders"]
+        for r in _order_pair_counts(df).collect()
+    }
+    want: dict = {}
+    baskets: dict = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    for parts in baskets.values():
+        for a, b in itertools.combinations(sorted(parts), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+quality_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(0, 5)),
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        st.sampled_from(["O", "F", "X", "Y"]),
+    ),
+    min_size=0, max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=quality_rows)
+def test_expectations_report_matches_bruteforce(spark, rows):
+    from etl_s3_to_redshift_spark.operators.quality import Rule, expectations_report
+
+    df = spark.createDataFrame(rows, "k int, price double, status string") if rows else (
+        spark.createDataFrame([], "k int, price double, status string")
+    )
+    rules = [
+        Rule("k_not_null", "not_null", column="k"),
+        Rule("price_pos", "range", column="price", lo=0.0),
+        Rule("status_ok", "in_set", column="status", values=("O", "F")),
+        Rule("k_unique", "unique", column="k"),
+    ]
+    got = {r["rule"]: r["n_violations"] for r in expectations_report(df, rules).collect()}
+    from collections import Counter
+
+    ks = Counter(k for k, _p, _s in rows if k is not None)
+    want = {
+        "k_not_null": sum(1 for k, _p, _s in rows if k is None),
+        "price_pos": sum(1 for _k, p, _s in rows if p < 0.0),
+        "status_ok": sum(1 for _k, _p, s in rows if s not in ("O", "F")),
+        "k_unique": sum(n - 1 for n in ks.values() if n > 1),
+    }
+    assert got == want
