@@ -991,6 +991,7 @@ _DRIVER_FIRST = [
     "events_top_paths",
     "basket_association_rules",
     "delta_change_feed",
+    "ts_seasonal_anomalies",
 ]
 
 

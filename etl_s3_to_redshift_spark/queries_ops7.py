@@ -1359,3 +1359,89 @@ def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="c_custkey",
         attrs=["c_mktsegment", "ver"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality-adjusted anomalies (decomposition residual z-scores)
+# ---------------------------------------------------------------------------
+
+_DECOMP_SQL_BODY = """
+    series AS (
+        SELECT date_trunc('hour', ts) AS bucket, CAST(count(*) AS BIGINT) AS s
+        FROM events GROUP BY 1
+    ),
+    tr AS (
+        SELECT bucket, s,
+               CAST(sum(s) OVER w AS BIGINT) AS sum25,
+               CAST(count(*) OVER w AS BIGINT) AS n25
+        FROM series
+        WINDOW w AS (ORDER BY bucket ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    detr AS (
+        SELECT bucket, s,
+               CASE WHEN n25 = 25 THEN sum25 END AS sum25,
+               CASE WHEN n25 = 25 THEN 25 * s - sum25 END AS d25,
+               CAST(extract(hour FROM bucket) AS BIGINT) AS hod
+        FROM tr
+    ),
+    seas AS (
+        SELECT hod,
+               CAST(sum(d25) AS BIGINT) AS num,
+               CAST(25 * count(d25) AS BIGINT) AS den
+        FROM detr WHERE d25 IS NOT NULL GROUP BY hod
+    ),
+    resid AS (
+        -- consumes the decomposition's PUBLISHED (6-dp rounded) trend and
+        -- seasonal values, exactly like the Spark side composing on the
+        -- registered ts_decompose_hourly output
+        SELECT d.bucket, d.s,
+               (d.s - (round(CAST(d.sum25 AS DOUBLE) / 25, 6) + 0))
+                 - (round(CAST(num AS DOUBLE) / den, 6) + 0) AS residual
+        FROM detr d JOIN seas ON seas.hod = d.hod
+        WHERE d.sum25 IS NOT NULL
+    )
+"""
+
+
+@register(
+    "ts_seasonal_anomalies",
+    "WITH "
+    + _DECOMP_SQL_BODY
+    + """
+    , sd AS (SELECT stddev_samp(residual) AS sigma FROM resid)
+    SELECT bucket, s AS n_events,
+           round(residual / sigma, 6) + 0 AS zscore,
+           (abs(residual / sigma) >= 3.0) AS is_anomaly
+    FROM resid CROSS JOIN sd
+    """,
+    doc=(
+        "Seasonality-adjusted anomaly detection: the additive "
+        "decomposition's residuals (trend and hour-of-day seasonality "
+        "removed) z-scored against their own sample stddev, flagged at "
+        "|z| >= 3 — the detector that does NOT fire on rush hour "
+        "(ts_anomaly_zscore's plain rolling z-score would). Residuals "
+        "are exact integer ratios (same machinery as "
+        "ts_decompose_hourly); the stddev is one scalar broadcast back, "
+        "z rounded 6 dp with negative-zero normalization. Windows and "
+        "aggregates all run on the bucket-count-sized series."
+    ),
+)
+def ts_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dec = ts_decompose_hourly(spark, sf_dir).filter(F.col("trend").isNotNull())
+    # residual rebuilt from the decomposition's published 6-dp trend and
+    # seasonal (bit-identical cross-engine), so the z-score's numerator
+    # is exactly reproducible; only sigma carries sub-ulp sum drift,
+    # absorbed by the 6-dp round
+    resid = dec.select(
+        "bucket",
+        "n_events",
+        (F.col("n_events") - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )
+    sd = resid.agg(F.stddev_samp("residual").alias("sigma"))
+    z = F.col("residual") / F.col("sigma")
+    return resid.crossJoin(F.broadcast(sd)).select(
+        "bucket",
+        "n_events",
+        (F.round(z, 6) + F.lit(0.0)).alias("zscore"),
+        (F.abs(z) >= 3.0).alias("is_anomaly"),
+    )

@@ -341,3 +341,17 @@ def test_top_paths_deterministic_and_bounded(spark):
         assert 1 <= len(r["path"].split(">")) <= 5
     counts = [r["n_users"] for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_seasonal_anomalies_zscores_are_standardized(spark):
+    rows = REGISTRY["ts_seasonal_anomalies"].spark(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    zs = [r["zscore"] for r in rows]
+    # standardized residuals: mean ~0, sample stddev ~1
+    m = sum(zs) / len(zs)
+    var = sum((z - m) ** 2 for z in zs) / (len(zs) - 1)
+    assert abs(m) < 0.2 and 0.8 < var < 1.2
+    for r in rows:
+        assert r["is_anomaly"] == (abs(r["zscore"]) >= 3.0) or abs(
+            abs(r["zscore"]) - 3.0
+        ) < 1e-6
