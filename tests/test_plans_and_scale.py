@@ -86,6 +86,7 @@ def test_no_cartesian_products_anywhere(spark):
         "customer_rfm_segments",  # 1-row percentile-boundary broadcast
         "graph_pagerank_nations",  # 1-row dangling-mass broadcast per iteration
         "sim_ann_recall_report",  # contains the exact brute-force baseline scan
+        "ts_seasonal_anomalies",  # 1-row residual-stddev broadcast
     }
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))
