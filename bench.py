@@ -118,6 +118,9 @@ HEADLINE = [
     "text_bigram_logprob",
     "events_top_paths",
     "basket_association_rules",
+    "ts_seasonal_anomalies",
+    "data_group_aware_split",
+    "dq_orders_expectations",
 ]
 
 
