@@ -992,6 +992,8 @@ _DRIVER_FIRST = [
     "basket_association_rules",
     "delta_change_feed",
     "ts_seasonal_anomalies",
+    "orders_yoy_growth",
+    "supplier_pareto_revenue",
 ]
 
 

