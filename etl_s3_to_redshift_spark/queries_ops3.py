@@ -505,21 +505,41 @@ def skew_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distribution via ntile over a unique total order (value + key "
         "tiebreak -> deterministic bucket membership on both engines), "
         "then per-bucket count/bounds/decimal sum — the equi-depth "
-        "complement to hist_order_values' fixed-width buckets. HONEST "
-        "SCALE NOTE: an unpartitioned ntile funnels every row through "
-        "one window task — this is the exact-semantics baseline, fine "
-        "up to ~1e8 rows on a fat executor. At 100 TB use "
-        "hist_order_values (shuffle-free fixed buckets) or sample "
-        "boundaries with percentile_approx and bucket by range "
-        "comparison (one scan, no sort) — approximate boundaries, exact "
-        "per-bucket counts."
+        "complement to hist_order_values' fixed-width buckets. SCALE "
+        "PLAN: no unpartitioned ntile window — operators/prefix."
+        "ranked_running computes the global row_number with a range-"
+        "partitioned two-pass scheme (parallel at every scale), and the "
+        "ntile bucket is derived arithmetically from (rank, total "
+        "count) with the SQL-standard split (first n%k buckets get "
+        "ceil(n/k) rows) — bit-identical to ntile over the same total "
+        "order, but the only single-task frame anywhere is the "
+        "#partitions-row offset table. floor(x/y) on doubles is exact "
+        "here (counts < 2^53)."
     ),
 )
 def hist_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    from etl_s3_to_redshift_spark.operators.prefix import ranked_running
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = ranked_running(
+        o,
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        count_col="__n_total",
+    )
+    k = F.lit(10).cast("long")
+    n = F.col("__n_total")
+    rk = F.col("rk")
+    base = F.floor(n / k)  # rows per small bucket
+    rem = n % k  # number of big (base+1-row) buckets, assigned first
+    big = base + F.lit(1)
+    base_safe = F.greatest(base, F.lit(1))  # n<k guard: otherwise-branch unused then
+    decile = (
+        F.when(rk <= rem * big, F.floor((rk + big - F.lit(1)) / big))
+        .otherwise(rem + F.floor((rk - rem * big + base_safe - F.lit(1)) / base_safe))
+        .cast("int")
+    )
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("decile"))
+        ranked.select("o_totalprice", decile.alias("decile"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -1529,31 +1529,28 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the concentration analysis behind key-account and risk "
         "reviews. Cumulative sums stay DECIMAL (exact, order-"
         "independent) until one double division per row, rounded 6 dp. "
-        "Scale shape: one fact aggregate to the supplier frame; rank "
-        "and running sum window over that dimension-sized series; the "
-        "1-row total broadcasts."
+        "Scale shape: one fact aggregate to the supplier frame; then "
+        "operators/prefix.ranked_running — the range-partitioned two-"
+        "pass rank + running sum (NO global window, NO crossJoin: the "
+        "grand total rides the per-partition-offset broadcast equi-"
+        "join), so the cumulative pass stays parallel even when the "
+        "supplier dimension itself reaches 1e8 rows at 100 TB."
     ),
 )
 def supplier_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from etl_s3_to_redshift_spark.operators.analytics import money
+    from etl_s3_to_redshift_spark.operators.prefix import ranked_running
 
     li = _t(spark, sf_dir, "lineitem")
     rev = money("l_extendedprice") * (F.lit(1) - money("l_discount"))
     sup = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev"))
-    tot = sup.agg(F.sum("rev").alias("total"))
-    w = Window.orderBy(F.col("rev").desc(), F.col("l_suppkey").asc())
-    ranked = sup.select(
-        "l_suppkey",
-        "rev",
-        F.row_number().over(w).cast("int").alias("rk"),
-        F.sum("rev").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    ranked = ranked_running(
+        sup, [F.col("rev").desc(), F.col("l_suppkey").asc()], "rev"
     )
     share = F.col("cum").cast("double") / F.col("total").cast("double")
-    return ranked.crossJoin(F.broadcast(tot)).select(
+    return ranked.select(
         "l_suppkey",
-        "rk",
+        F.col("rk").cast("int").alias("rk"),
         F.col("rev").cast("double").alias("revenue"),
         F.round(share, 6).alias("cum_share"),
         (share <= 0.8).alias("in_top80"),
