@@ -113,20 +113,27 @@ def change_feed(
     attrs: list[str],
 ) -> DataFrame:
     """Classify every key across two table states as added / removed /
-    changed / unchanged — one full-outer equi-join on the key with
-    null-safe attribute comparison. With a versioned SnapshotTable this
-    turns any two committed versions into a CDC stream (Delta's
-    table_changes / Iceberg's changelog scan); with plain snapshots it
-    converts full-refresh dumps into the incremental feed MERGE/SCD2
-    consume."""
-    o, n = old.alias("o"), new.alias("n")
+    changed / unchanged — one full-outer NULL-SAFE equi-join on the key
+    with null-safe attribute comparison. A NULL key is a real key value
+    here (the two sides' NULL-key rows pair up, like Delta's
+    table_changes over a nullable key); presence is tracked with literal
+    marker columns, never by key-nullness, so NULL-key rows classify
+    correctly instead of always reporting 'added'. With a versioned
+    SnapshotTable this turns any two committed versions into a CDC
+    stream (Delta's table_changes / Iceberg's changelog scan); with
+    plain snapshots it converts full-refresh dumps into the incremental
+    feed MERGE/SCD2 consume."""
+    o = old.select(key, *attrs).withColumn("__in_old", F.lit(True)).alias("o")
+    n = new.select(key, *attrs).withColumn("__in_new", F.lit(True)).alias("n")
     changed = F.lit(False)
     for a in attrs:
         changed = changed | ~F.col(f"o.{a}").eqNullSafe(F.col(f"n.{a}"))
-    return o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer").select(
+    return o.join(
+        n, F.col(f"o.{key}").eqNullSafe(F.col(f"n.{key}")), "full_outer"
+    ).select(
         F.coalesce(F.col(f"o.{key}"), F.col(f"n.{key}")).alias(key),
-        F.when(F.col(f"o.{key}").isNull(), "added")
-        .when(F.col(f"n.{key}").isNull(), "removed")
+        F.when(F.col("o.__in_old").isNull(), "added")
+        .when(F.col("n.__in_new").isNull(), "removed")
         .when(changed, "changed")
         .otherwise("unchanged")
         .alias("change_kind"),

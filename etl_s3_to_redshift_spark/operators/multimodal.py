@@ -249,7 +249,9 @@ def resize_media(media: DataFrame, max_side: int = 256, codec: str = "stub") -> 
                 return data[: int(tgt)]
             if not (isinstance(mime, str) and mime.startswith("image/")):
                 return data
-            if w is None or nw is None or int(nw) == int(w):
+            # pandas renders nullable-long NULLs as NaN (not None), so the
+            # unknown-dims passthrough must test pd.isna, not `is None`
+            if pd.isna(w) or pd.isna(nw) or int(nw) == int(w):
                 return data  # within bounds or unknown dims: byte-identical
             img = Image.open(io.BytesIO(data))
             fmt = img.format or "PNG"

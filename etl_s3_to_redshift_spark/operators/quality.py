@@ -67,20 +67,28 @@ def expectations_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     frames: list[DataFrame] = []
 
     if row_rules:
+        # positional __v<i> aliases + the Column API (array-of-structs
+        # explode instead of a stack() selectExpr) keep rule names as pure
+        # DATA — a name with quotes/spaces/dots can't break the plan
         agg = df.agg(
             *[
-                F.sum(_row_violation(r).cast("long")).alias(r.name)
-                for r in row_rules
+                F.sum(_row_violation(r).cast("long")).alias(f"__v{i}")
+                for i, r in enumerate(row_rules)
+            ]
+        )
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(r.name).alias("rule"),
+                    F.coalesce(F.col(f"__v{i}"), F.lit(0)).cast("long")
+                    .alias("n_violations"),
+                )
+                for i, r in enumerate(row_rules)
             ]
         )
         # one row per rule out of the single-pass aggregate
         frames.append(
-            agg.selectExpr(
-                "stack({n}, {args}) as (rule, n_violations)".format(
-                    n=len(row_rules),
-                    args=", ".join(f"'{r.name}', coalesce({r.name}, 0L)" for r in row_rules),
-                )
-            )
+            agg.select(F.explode(pairs).alias("p")).select("p.rule", "p.n_violations")
         )
 
     for r in rules:
@@ -110,6 +118,8 @@ def expectations_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
             )
             frames.append(orphans)
 
+    if not frames:  # no rules: empty report, stable schema
+        return spark.createDataFrame([], "rule string, n_violations long")
     out = frames[0]
     for f2 in frames[1:]:
         out = out.unionByName(f2)

@@ -9,11 +9,42 @@ where SQL-expressible.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_s3_to_redshift_spark.queries import _t, register
 from etl_s3_to_redshift_spark.queries_data import SQL_WORDS
+
+
+def _scratch_dir(spark: SparkSession, name: str) -> str:
+    """Per-(session, query) scratch directory for queries that materialize
+    a table as part of their semantics (the WAP snapshot queries).
+
+    Keyed by Spark applicationId so concurrent sessions never collide,
+    wiped before each use so repeated bench/oracle invocations reuse ONE
+    directory instead of leaking a new mkdtemp per run, and removed at
+    interpreter exit (best-effort) so nothing accumulates in /tmp across
+    sessions."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_scratch_{spark.sparkContext.applicationId}",
+    )
+    if root not in _SCRATCH_ROOTS:
+        _SCRATCH_ROOTS.add(root)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = os.path.join(root, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+_SCRATCH_ROOTS: set[str] = set()
 
 
 # ---------------------------------------------------------------------------
@@ -138,8 +169,6 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def delta_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from etl_s3_to_redshift_spark.operators.table_commit import SnapshotTable
     from etl_s3_to_redshift_spark.streaming.upsert import upsert_table
 
@@ -158,7 +187,11 @@ def delta_snapshot_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    table = SnapshotTable(tempfile.mkdtemp(prefix="wap_table_"))
+    # NOTE for bench readers: this query's timing includes two full
+    # snapshot WRITES by design (it measures the WAP commit path, not
+    # just the read-back); the scratch dir is session-scoped and wiped
+    # per invocation, never accumulated.
+    table = SnapshotTable(_scratch_dir(spark, "wap_snapshot_read"))
     upsert_table(spark, b1, table, "c_custkey", "ver")
     upsert_table(spark, b2, table, "c_custkey", "ver")
     return table.read(spark).select("c_custkey", "c_mktsegment", "ver")
@@ -1329,8 +1362,6 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from etl_s3_to_redshift_spark.operators.merge import change_feed
     from etl_s3_to_redshift_spark.operators.table_commit import SnapshotTable
     from etl_s3_to_redshift_spark.streaming.upsert import upsert_table
@@ -1350,7 +1381,9 @@ def delta_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    table = SnapshotTable(tempfile.mkdtemp(prefix="wap_cdc_"))
+    # timing includes the two snapshot writes by design (WAP commit path);
+    # scratch dir is session-scoped, wiped per invocation
+    table = SnapshotTable(_scratch_dir(spark, "wap_change_feed"))
     upsert_table(spark, b1, table, "c_custkey", "ver")
     upsert_table(spark, b2, table, "c_custkey", "ver")
     return change_feed(

@@ -5,9 +5,14 @@ Each micro-batch is split by the ROW-LEVEL rules of
 ``operators/quality`` (not-null / range / accepted-set / regex): rows
 violating any rule append to the dead-letter path with a ``__failed``
 column naming the rules they broke; clean rows append to the clean
-path. foreachBatch gives exactly-once-per-batch via the checkpoint's
-batch-id tracking, and appends are idempotent per batch replay at the
-file-sink level.
+path. foreachBatch itself is only AT-LEAST-ONCE (a crash between the
+clean write and the checkpoint commit replays the batch), so the gate
+makes the replay idempotent by writing every batch to a deterministic
+``batch_id=<n>`` subdirectory with mode=overwrite: a replayed batch
+overwrites its own previous (possibly partial) output instead of
+appending duplicates. Readers see a standard partition-discovered
+layout (``spark.read.parquet(clean_path)`` exposes ``batch_id`` as a
+partition column — free per-batch lineage).
 
 Aggregate rules (unique, references) are deliberately NOT evaluated
 per batch: a key unique within every batch can still collide across
@@ -42,6 +47,25 @@ def split_by_rules(df: DataFrame, rules: list[Rule]) -> tuple[DataFrame, DataFra
     return clean, dead
 
 
+def gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    rules: list[Rule],
+    clean_path: str,
+    dead_path: str,
+) -> None:
+    """One micro-batch through the gate. Idempotent under foreachBatch's
+    at-least-once replay: each batch owns a deterministic
+    ``batch_id=<n>`` subdir and overwrites it wholesale, so a replayed
+    batch replaces its own previous (possibly partial) output instead of
+    appending duplicates."""
+    if batch_df.isEmpty():
+        return
+    clean, dead = split_by_rules(batch_df, rules)
+    clean.write.mode("overwrite").parquet(f"{clean_path}/batch_id={batch_id}")
+    dead.write.mode("overwrite").parquet(f"{dead_path}/batch_id={batch_id}")
+
+
 def start_quality_gated_stream(
     stream: DataFrame,
     rules: list[Rule],
@@ -53,11 +77,7 @@ def start_quality_gated_stream(
     violating rows (with ``__failed``) to ``dead_path``."""
 
     def _gate(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        clean, dead = split_by_rules(batch_df, rules)
-        clean.write.mode("append").parquet(clean_path)
-        dead.write.mode("append").parquet(dead_path)
+        gate_batch(batch_df, batch_id, rules, clean_path, dead_path)
 
     return (
         stream.writeStream.foreachBatch(_gate)

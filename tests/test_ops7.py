@@ -277,6 +277,25 @@ def test_dq_expectations_clean_on_empty_table(spark):
     assert got == {"k_not_null": 0, "k_unique": 0}
 
 
+def test_dq_expectations_empty_rule_list_and_hostile_names(spark):
+    """ADVICE r4: no rules -> empty stable-schema report (not IndexError);
+    rule names are data, so quotes/spaces/dots can't break the plan."""
+    from etl_s3_to_redshift_spark.operators.quality import Rule, expectations_report
+
+    df = spark.createDataFrame([(1, -2.0)], "k long, price double")
+    empty = expectations_report(df, [])
+    assert empty.columns == ["rule", "n_violations"] and empty.count() == 0
+
+    hostile = "price's floor (USD).check"
+    got = {
+        r["rule"]: r["n_violations"]
+        for r in expectations_report(
+            df, [Rule(hostile, "range", column="price", lo=0.0)]
+        ).collect()
+    }
+    assert got == {hostile: 1}
+
+
 def test_bigram_surprisal_flags_shuffled_text(spark):
     """Word salad built from real corpus words must score higher bigram
     surprisal than the natural text it was shuffled from."""

@@ -148,4 +148,19 @@ def test_quality_gated_stream_routes_violations(spark, tmp_path):
     # streaming result == the batch split
     b_clean, b_dead = split_by_rules(df, rules)
     assert clean == {r.k for r in b_clean.collect()}
+
+    # at-least-once replay idempotency: re-running an already-committed
+    # batch must overwrite its own subdir, not duplicate rows
+    from etl_s3_to_redshift_spark.streaming.quality_gate import gate_batch
+
+    for bid in range(3):
+        gate_batch(df, bid, rules, clean_p, dead_p)  # simulate full replay
+    assert spark.read.parquet(clean_p).count() == 3 * len(
+        {1, 6}
+    )  # 3 batches × full frame's clean rows (replay replaced each subdir)
+    # replaying the SAME batch ids again changes nothing
+    for bid in range(3):
+        gate_batch(df, bid, rules, clean_p, dead_p)
+    assert spark.read.parquet(clean_p).count() == 3 * 2
+    assert spark.read.parquet(dead_p).count() == 3 * 4
     assert dead == {r.k: r["__failed"] for r in b_dead.collect()}

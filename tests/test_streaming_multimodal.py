@@ -198,6 +198,9 @@ def test_resize_real_codec_contract(spark):
             (1, png_bytes(512, 256), "image/png", 512, 256),  # resized
             (2, png_bytes(100, 50), "image/png", 100, 50),    # within bounds
             (3, b"not an image", "application/octet-stream", None, None),
+            # image/* mime with NULL dims (pandas gives NaN, not None):
+            # documented passthrough, must not crash the pil kernel
+            (4, png_bytes(64, 32), "image/png", None, None),
         ],
         "media_id long, payload binary, mime string, width int, height int",
     )
@@ -210,6 +213,8 @@ def test_resize_real_codec_contract(spark):
     assert bytes(out[2]["payload"]) == png_bytes(100, 50)
     assert bytes(out[3]["payload"]) == b"not an image"
     assert (out[3]["width"], out[3]["height"]) == (None, None)
+    assert bytes(out[4]["payload"]) == png_bytes(64, 32)
+    assert (out[4]["width"], out[4]["height"]) == (None, None)
 
 
 def test_stream_static_enrich_equals_batch(spark, tmp_path):
