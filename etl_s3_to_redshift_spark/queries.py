@@ -30,19 +30,27 @@ from etl_s3_to_redshift_spark.sources.tables import load_table
 
 @dataclass(frozen=True)
 class QuerySpec:
-    """A registered query: Spark builder + optional DuckDB oracle SQL."""
+    """A registered query: Spark builder + optional DuckDB oracle SQL.
+
+    ``oracle_sf`` marks a PRECOMPUTED-EXPECTATION oracle (a VALUES table
+    derived by an independent implementation) that is only valid at one
+    scale factor — the driver's correctness gate runs at sf0.01, which is
+    what these pin. tools/check_oracle.py downgrades such queries to a
+    rows-only check at any other sf_dir instead of reporting a bogus
+    mismatch."""
 
     spark: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str = ""
+    oracle_sf: str | None = None
 
 
 REGISTRY: dict[str, QuerySpec] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = ""):
+def register(name: str, oracle: str | None, doc: str = "", oracle_sf: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        REGISTRY[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc, oracle_sf=oracle_sf)
         return fn
 
     return deco

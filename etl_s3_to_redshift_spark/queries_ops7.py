@@ -54,9 +54,28 @@ _SCRATCH_ROOTS: set[str] = set()
 
 @register(
     "sim_ann_recall_report",
-    None,  # rows-only: IVF/PQ involve k-means training no SQL engine
-    # reproduces; the recall floors ARE the row values (audited in
-    # tests/test_ops7.py against the pinned per-method minimums)
+    # IVF/PQ involve seeded k-means no SQL engine reproduces, but the
+    # whole pipeline is deterministic (content-addressed hyperplanes,
+    # fixed seeds, integer hit counts — verified identical across
+    # repeated runs), so the oracle is a COMMITTED EXPECTATION of the
+    # row values at the driver's sf0.01 gate: a recall regression in any
+    # ANN path now fails the external hash check instead of only a
+    # pytest floor. Consistency with the per-method floors is pinned in
+    # tests/test_ops7.py. Valid only at sf0.01 (oracle_sf); other SFs
+    # fall back to rows-only.
+    """
+    SELECT method, CAST(k AS INTEGER) AS k,
+           CAST(n_queries AS INTEGER) AS n_queries,
+           CAST(n_hits AS INTEGER) AS n_hits,
+           CAST(recall AS DOUBLE) AS recall
+    FROM (VALUES
+        ('lsh',   10, 5, 20, 0.4),
+        ('ivf',   10, 5, 38, 0.76),
+        ('pq',    10, 5, 36, 0.72),
+        ('ivfpq', 10, 5, 30, 0.6)
+    ) AS t(method, k, n_queries, n_hits, recall)
+    """,
+    oracle_sf="sf0.01",
     doc=(
         "Recall@10 of every ANN path (LSH, IVF, PQ-rerank, IVF-PQ) "
         "against the exact brute-force top-k, as a 4-row table "
@@ -712,9 +731,40 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_bpe_merges",
-    None,  # rows-only: iterative argmax training is not SQL-expressible;
-    # exactness is pinned in tests/test_ops7.py against a pure-Python
-    # reference BPE run on the identical word-frequency table
+    # Iterative argmax training is not SQL-expressible, but it IS
+    # deterministic — so the oracle is a PRECOMPUTED EXPECTATION: the 16
+    # merges computed by a fully independent path (DuckDB tokenization +
+    # pure-Python classic BPE, tools/gen_bpe_oracle.py) on the sf0.01
+    # corpus the driver's correctness gate runs against. Regenerate with
+    # `python tools/gen_bpe_oracle.py /root/testdata/sf0.01 16` if the
+    # testdata ever changes. Valid ONLY at sf0.01 (oracle_sf below);
+    # other SFs fall back to the rows-only check, and exactness at any
+    # input stays pinned in tests/test_ops7.py against the pure-Python
+    # reference.
+    """
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+           "left", "right", merged,
+           CAST(pair_n AS BIGINT) AS pair_n
+    FROM (VALUES
+        (0, 'e', 'r', 'er', 4568),
+        (1, 'e', '</w>', 'e</w>', 4473),
+        (2, 'n', '</w>', 'n</w>', 2834),
+        (3, 'er', '</w>', 'er</w>', 2779),
+        (4, 'o', 'w', 'ow', 2747),
+        (5, 'ow', '</w>', 'ow</w>', 2747),
+        (6, 'o', 'r', 'or', 2696),
+        (7, 's', 't', 'st', 2676),
+        (8, 'h', '</w>', 'h</w>', 1884),
+        (9, 'a', 't', 'at', 1845),
+        (10, 'l', 'u', 'lu', 1831),
+        (11, 'i', 'n', 'in', 1796),
+        (12, 'a', '</w>', 'a</w>', 1788),
+        (13, 'g', '</w>', 'g</w>', 1777),
+        (14, 'y', '</w>', 'y</w>', 1767),
+        (15, 'a', 'r', 'ar', 1758)
+    ) AS t(merge_rank, "left", "right", merged, pair_n)
+    """,
+    oracle_sf="sf0.01",
     doc=(
         "Distributed BPE tokenizer training "
         "(operators/bpe.train_bpe): 16 byte-pair merges learned over "

@@ -167,6 +167,60 @@ def test_bpe_matches_pure_python_reference_on_corpus(spark):
     assert got == want and len(got) == 8
 
 
+def _ref_bpe_batched(word_counts, n_merges, batch_size):
+    """Pure-Python replay of BATCHED-GREEDY BPE: same pair counting and
+    merge application as _ref_bpe, but selection goes through the shared
+    operators/bpe.select_batch rule."""
+    from etl_s3_to_redshift_spark.operators.bpe import select_batch
+
+    vocab = [(list(w) + ["</w>"], n) for w, n in word_counts]
+    merges = []
+    while len(merges) < n_merges:
+        pc = {}
+        for syms, n in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + n
+        cands = [
+            (l, r, c)
+            for (l, r), c in sorted(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ]
+        batch = select_batch(cands, min(batch_size, n_merges - len(merges)))
+        if not batch:
+            break
+        for l, r, cnt in batch:
+            merges.append((len(merges), l, r, l + r, cnt))
+
+            def apply(syms, l=l, r=r):
+                out = []
+                for s in syms:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(s)
+                return out
+
+            vocab = [(apply(syms), n) for syms, n in vocab]
+    return merges
+
+
+@pytest.mark.parametrize("batch_size", [1, 4, 8])
+def test_bpe_batched_matches_python_replay(spark, batch_size):
+    from etl_s3_to_redshift_spark.operators.bpe import train_bpe, word_freq_table
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    wf = [(r["word"], r["n"]) for r in word_freq_table(docs).collect()]
+    want = _ref_bpe_batched(wf, 12, batch_size)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_n"])
+        for r in train_bpe(docs, n_merges=12, batch_size=batch_size)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want and len(got) == 12
+    if batch_size == 1:  # batch_size=1 IS classic BPE
+        assert got == _ref_bpe(wf, 12)
+
+
 def test_bpe_apply_tokenizes_with_learned_merges(spark):
     from etl_s3_to_redshift_spark.operators.bpe import apply_bpe, train_bpe
 

@@ -77,6 +77,16 @@ def main() -> int:
             if len(sdf) == 0:
                 failures.append((name, "rows-only query returned 0 rows"))
             continue
+        if spec.oracle_sf is not None and os.path.basename(sf_dir.rstrip("/")) != spec.oracle_sf:
+            # precomputed-expectation oracle pinned to another SF: the
+            # values CANNOT match here by construction — rows-only check
+            print(
+                f"  {name:40s} rows={len(sdf):>8} "
+                f"(rows-only here; oracle pinned to {spec.oracle_sf}, {t_spark:.1f}s)"
+            )
+            if len(sdf) == 0:
+                failures.append((name, "rows-only query returned 0 rows"))
+            continue
         odf = con.sql(spec.oracle).df()
         problems = []
         if sorted(sdf.columns) != sorted(odf.columns):
