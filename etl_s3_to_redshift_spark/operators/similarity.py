@@ -19,6 +19,7 @@ At 100 TB the LSH path turns the scan into an equi-join on bucket keys.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -234,6 +235,31 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _signature_udf(planes: list[list[float]]):
+    """Arrow-batched signature kernel: all plane dot products at once,
+    accumulated COLUMN-SEQUENTIALLY so every per-plane sum is the exact
+    left-to-right IEEE fold of the JVM path and the DuckDB oracle's
+    left-associative `+` chain — numpy's pairwise-summation dot() would
+    NOT be bit-identical near sign boundaries, so it is deliberately not
+    used. Returns the n_planes-char '0'/'1' signature string per row."""
+    from pyspark.sql.functions import pandas_udf
+
+    W = np.asarray(planes, dtype=np.float64)  # (P, D)
+
+    @pandas_udf("string")
+    def sig(v: pd.Series) -> pd.Series:
+        M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, D)
+        n = M.shape[0]
+        P, D = W.shape
+        acc = np.zeros((n, P), dtype=np.float64)
+        for i in range(D):  # sequential index order == the fold order
+            acc += M[:, [i]] * W[:, i]
+        codes = ((acc > 0).astype(np.uint8) + 48).tobytes()  # '0'/'1'
+        return pd.Series([codes[r * P : (r + 1) * P].decode("ascii") for r in range(n)])
+
+    return sig
+
+
 def lsh_bucketize(
     df: DataFrame,
     dim: int,
@@ -241,24 +267,47 @@ def lsh_bucketize(
     bands: int = 4,
     vec_col: str = "embedding",
     seed: int = 42,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Append (band, bucket) keys from signed random projections.
 
     Signature bit i = sign(v · plane_i); ``bands`` groups of
     n_planes/bands bits each become bucket keys. Cosine-similar vectors
     collide with high probability (random hyperplane LSH, Charikar 2002).
-    """
+
+    ``impl='arrow'`` (default) computes all signature bits in one
+    Arrow-batched pandas UDF — a vectorized (n × dim) × (dim × planes)
+    accumulation with COLUMN-SEQUENTIAL adds, bit-identical to the JVM
+    fold and the DuckDB oracle chain (parity pinned in tests). Round-5
+    profiling: the 16 separate zip_with/aggregate folds of ``impl='jvm'``
+    were ~60% of lsh_topk wall (and a flat codegen Add-chain benched 5×
+    worse — the generated method outgrows JIT limits); the Arrow kernel
+    replaces 16 array traversals per row with one batched matmul-shaped
+    pass. ``impl='jvm'`` keeps the pure-JVM fold as the no-Python
+    reference path."""
     planes = _hyperplanes(dim, n_planes, seed)
     rows_per_band = n_planes // bands
 
-    # Round-4 profiling note: the signature pass is ~60% of lsh_topk wall
-    # time (0.46 s of 0.8 s warm at sf0.1). A flat 64-term Add/Multiply
-    # chain per plane (16 x 64 = 1024 expression nodes) was tried to get
-    # whole-stage codegen: it benched 5x SLOWER (2.2 s vs 0.46 s) — the
-    # generated method outgrows the JIT/codegen limits and falls back to
-    # interpreted evaluation of a vastly bigger tree. The aggregate over
-    # zip_with below is the faster form, and its index-order fold is what
-    # the exact DuckDB oracle reproduces; keep them in sync.
+    if impl == "arrow":
+        sig = _signature_udf(planes)
+        with_sig = df.withColumn("__sig", sig(F.col(vec_col)))
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("__sig", b * rows_per_band + 1, rows_per_band).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+        return (
+            with_sig.select("*", F.explode(F.array(*band_cols)).alias("__bb"))
+            .select(
+                "*", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket")
+            )
+            .drop("__bb", "__sig")
+        )
+
     bits = [
         F.when(
             F.aggregate(

@@ -167,3 +167,19 @@ def test_embedding_neardup_high_threshold_params_prune(emb):
         .count()
     )
     assert n_cand < 0.10 * n * (n - 1) / 2
+
+
+def test_lsh_signature_arrow_matches_jvm_fold_exactly(emb):
+    """The Arrow signature kernel must be BIT-IDENTICAL to the JVM fold
+    (and hence the DuckDB oracle's left-associative chain): same column-
+    sequential IEEE add order. Any drift here silently changes candidate
+    sets at sign boundaries, so pin full bucket equality on the corpus,
+    across band geometries."""
+    for n_planes, bands in [(16, 4), (48, 6)]:
+        a = S.lsh_bucketize(
+            emb.select("vec_id", "embedding"), 64, n_planes, bands, impl="arrow"
+        ).select("vec_id", "band", "bucket")
+        j = S.lsh_bucketize(
+            emb.select("vec_id", "embedding"), 64, n_planes, bands, impl="jvm"
+        ).select("vec_id", "band", "bucket")
+        assert a.exceptAll(j).count() == 0 and j.exceptAll(a).count() == 0
