@@ -121,6 +121,12 @@ HEADLINE = [
     "ts_seasonal_anomalies",
     "data_group_aware_split",
     "dq_orders_expectations",
+    # round-5 additions: the scale-hardened prefix-sum pair, the exact
+    # equi-depth histogram (no global window since r5), and the Arrow-
+    # signature LSH already above; hist/pareto exercise ranked_running
+    "orders_yoy_growth",
+    "supplier_pareto_revenue",
+    "hist_equidepth_deciles",
 ]
 
 
@@ -159,6 +165,8 @@ DATA_BOUND = [
     "ts_inflight_shipments_daily",
     "text_bigram_logprob",
     "basket_association_rules",
+    "supplier_pareto_revenue",
+    "hist_equidepth_deciles",
 ]
 
 

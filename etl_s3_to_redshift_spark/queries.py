@@ -948,49 +948,19 @@ def _load_extensions() -> None:
 
 
 # The external driver verifies at most the first 50 ``queries()`` entries
-# per round.  Cumulative r1∪r2∪r3 coverage is all 138 registered queries,
-# every row green (or rows-only by design).  The 50-per-round cap means
-# driver rows go stale, so each round rotates the slate: lead with this
-# round's additions (no driver row yet), then the cohort whose NEWEST
-# driver row is oldest — for round 4 that is the 40 queries last checked
-# in round 1.  By round 5 the r2 cohort rotates in, keeping every row at
-# most two rounds old.  Every query stays verifiable locally via
+# per round.  Cumulative r1∪…∪r4 coverage is 148 of the 159 registered
+# queries, every checked row green (or rows-only by design).  The
+# 50-per-round cap means driver rows go stale, so each round rotates the
+# slate: lead with queries that have NO driver row yet, then queries
+# whose oracle changed this round, then the cohort whose newest driver
+# row is oldest.  Round-5 slate: the 11 round-4 additions the driver
+# never reached (judge-verified locally in round 4), the two queries
+# that graduated from rows-only to exact/committed oracles this round,
+# then 37 of the 48-query round-2 cohort (the 11 that don't fit lead
+# round 6).  Every query stays verifiable locally via
 # tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
-    # round-4 additions (no driver row yet) — exactly 10 lead slots so
-    # the full 40-query r1 cohort still fits the driver's 50-cap; the
-    # remaining 4 additions sit right after and rotate in next round
-    # (all are green in tools/logs/check_oracle_sf0.01_r04_full.log)
-    "sim_ann_recall_report",
-    "delta_snapshot_read",
-    "text_zipf_fit",
-    "basket_copurchase_pairs",
-    "customer_rfm_segments",
-    "graph_pagerank_nations",
-    "w9_longest_daily_streak",
-    "text_chunk_windows",
-    "text_bpe_merges",
-    "ts_decompose_hourly",
-    # r1 cohort: newest driver row is from round 1 — re-check first
-    "r8_count_rows", "r9_top_k", "q1_pricing_summary",
-    "q3_top_revenue_orders", "q5_nation_revenue",
-    "w1_top_orders_per_customer", "w2_running_user_value",
-    "t1_hourly_event_rollup", "sessionize_events",
-    "semi_join_active_customers", "anti_join_dormant_customers",
-    "rollup_revenue", "json_extract_props", "set_op_priority_orders",
-    "full_outer_reconcile", "cross_join_region_nation",
-    "q4_order_priority_check", "q6_revenue_forecast", "q10_top_returners",
-    "q14_promo_share", "q18_large_orders", "dedup_exact_docs",
-    "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_groups_connected",
-    "dedup_embedding_cosine", "sim_topk_cosine", "text_token_stats",
-    "text_quality", "text_lang_id", "text_tfidf_topterms",
-    "stream_tumbling_events", "stream_sliding_events",
-    "stream_session_window", "mm_binary_features", "text_fingerprint",
-    "asof_last_purchase", "range_join_shipments",
-    "sql_api_min_cost_supplier",
-    # rows-only r1 straggler: lowest priority within the cohort
-    "sim_ann_ivf",
-    # round-4 additions beyond the 50-cap (driver row lands in round 5)
+    # never driver-checked (round-4 additions past the 50-cap)
     "ts_inflight_shipments_daily",
     "entity_groups_fuzzy",
     "dq_orders_expectations",
@@ -1002,6 +972,35 @@ _DRIVER_FIRST = [
     "ts_seasonal_anomalies",
     "orders_yoy_growth",
     "supplier_pareto_revenue",
+    # oracle graduated this round (rows-only -> exact/committed values):
+    # the driver row must prove the new compare, not the old rows-count
+    "text_bpe_merges",
+    "sim_ann_recall_report",
+    # r2 cohort: newest driver row is from round 2 — oldest, re-check now
+    "r2_broadcast_enrich", "r2_multikey_left_join", "r4_distinct_projection",
+    "r5_notnull_filter", "r6_time_dim",
+    "q7_nation_trade_volume", "q8_market_share", "q9_product_profit",
+    "q11_important_part_value", "q12_late_shipment_priority",
+    "q13_order_count_distribution", "q15_top_revenue_supplier",
+    "q16_supplier_part_count", "q17_small_quantity_revenue",
+    "q19_bracketed_revenue", "q20_prolific_part_suppliers",
+    "q21_waiting_supplier", "q22_dormant_value_customers",
+    "agg_argminmax", "agg_collect_ordered", "agg_exact_moments",
+    "cube_order_stats", "pivot_event_counts", "unpivot_lineitem_measures",
+    "lateral_posexplode", "percentile_order_value", "hist_order_values",
+    "w3_window_shapes", "skew_salted_event_agg", "stream_interval_join",
+    "fuzzy_customer_match", "scalar_string_suite", "scalar_math_conditional",
+    "scalar_datetime_suite", "regex_suite", "udf_minmax_normalize",
+    "ts_gapfill_hourly",
+    # r2 cohort remainder (rotates to the lead of round 6):
+    # data_hash_split, data_pack_sequences, data_stratified_sample,
+    # data_training_order, dedup_repeated_chunks, emb_label_centroids,
+    # mm_resize_thumbs, text_decontaminate, text_repetition,
+    # approx_sketches, sim_ann_pq
+    "data_hash_split", "data_pack_sequences", "data_stratified_sample",
+    "data_training_order", "dedup_repeated_chunks", "emb_label_centroids",
+    "mm_resize_thumbs", "text_decontaminate", "text_repetition",
+    "approx_sketches", "sim_ann_pq",
 ]
 
 

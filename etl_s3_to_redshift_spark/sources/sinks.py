@@ -85,7 +85,9 @@ def write_redshift_jdbc(
 ) -> None:
     """Thin JDBC sink for an actual Redshift target (reference S3 sink,
     sql_queries.py:132-190). Requires the Redshift/Postgres JDBC driver jar
-    on the classpath; not exercised in CI (no warehouse available).
+    on the classpath. Contract-tested against any pg-protocol endpoint via
+    tests/test_jdbc_sink.py (skips cleanly where no endpoint/jar is
+    configured, as in the CI sandbox).
 
     At scale prefer the copy-based connector pattern (write parquet to S3,
     issue COPY) over row-wise JDBC inserts; this method exists for parity.
