@@ -954,11 +954,11 @@ def _load_extensions() -> None:
 # slate: lead with queries that have NO driver row yet, then queries
 # whose oracle changed this round, then the cohort whose newest driver
 # row is oldest.  Round-5 slate: the 11 round-4 additions the driver
-# never reached (judge-verified locally in round 4), the two queries
-# that graduated from rows-only to exact/committed oracles this round,
-# then 37 of the 48-query round-2 cohort (the 11 that don't fit lead
-# round 6).  Every query stays verifiable locally via
-# tools/check_oracle.py (no cap).
+# never reached (judge-verified locally in round 4), the five queries
+# that graduated from rows-only to exact/committed oracles this round
+# (BPE merges, recall report, IVF/PQ/IVF-PQ), then 34 of the 48-query
+# round-2 cohort (the rest lead round 6).  Every query stays verifiable
+# locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
     # never driver-checked (round-4 additions past the 50-cap)
     "ts_inflight_shipments_daily",
@@ -976,6 +976,8 @@ _DRIVER_FIRST = [
     # the driver row must prove the new compare, not the old rows-count
     "text_bpe_merges",
     "sim_ann_recall_report",
+    "sim_ann_ivf",
+    "sim_ann_ivfpq",
     # r2 cohort: newest driver row is from round 2 — oldest, re-check now
     "r2_broadcast_enrich", "r2_multikey_left_join", "r4_distinct_projection",
     "r5_notnull_filter", "r6_time_dim",
@@ -990,17 +992,14 @@ _DRIVER_FIRST = [
     "lateral_posexplode", "percentile_order_value", "hist_order_values",
     "w3_window_shapes", "skew_salted_event_agg", "stream_interval_join",
     "fuzzy_customer_match", "scalar_string_suite", "scalar_math_conditional",
-    "scalar_datetime_suite", "regex_suite", "udf_minmax_normalize",
-    "ts_gapfill_hourly",
-    # r2 cohort remainder (rotates to the lead of round 6):
-    # data_hash_split, data_pack_sequences, data_stratified_sample,
-    # data_training_order, dedup_repeated_chunks, emb_label_centroids,
-    # mm_resize_thumbs, text_decontaminate, text_repetition,
-    # approx_sketches, sim_ann_pq
+    "scalar_datetime_suite", "sim_ann_pq",
+    "regex_suite", "udf_minmax_normalize", "ts_gapfill_hourly",
+    # ---- 50-cap falls here: everything below leads the round-6 slate
+    # (r2-cohort remainder; approx_sketches last — rows-only, least info)
     "data_hash_split", "data_pack_sequences", "data_stratified_sample",
     "data_training_order", "dedup_repeated_chunks", "emb_label_centroids",
     "mm_resize_thumbs", "text_decontaminate", "text_repetition",
-    "approx_sketches", "sim_ann_pq",
+    "approx_sketches",
 ]
 
 

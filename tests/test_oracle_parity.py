@@ -27,8 +27,12 @@ def oracle_con():
 def test_query_matches_oracle(spark, oracle_con, name):
     spec = REGISTRY[name]
     sdf = spec.spark(spark, SF_SMOKE).toPandas()
-    if spec.oracle is None:
-        assert len(sdf) >= 0  # rows-only contract: must execute
+    if spec.oracle is None or (
+        spec.oracle_sf is not None and spec.oracle_sf != "sf0.001"
+    ):
+        # rows-only, or a precomputed-expectation oracle pinned to the
+        # driver's sf0.01 gate (checked there by tools/check_oracle.py)
+        assert len(sdf) >= 0  # must still execute at smoke SF
         return
     odf = oracle_con.sql(spec.oracle).df()
     assert sorted(sdf.columns) == sorted(odf.columns)
