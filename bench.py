@@ -127,6 +127,7 @@ HEADLINE = [
     "orders_yoy_growth",
     "supplier_pareto_revenue",
     "hist_equidepth_deciles",
+    "text_bpe_tokenize",  # train->apply tokenizer loop (vocab-memoized)
 ]
 
 

@@ -156,6 +156,14 @@ def train_bpe(
     )
     # the word table is reused every iteration — checkpoint the base once
     vocab = vocab.localCheckpoint(eager=True)
+    # right-size the iteration frame: ~50k words per partition (a small
+    # vocab collapses to ONE task per job instead of shuffle-partitions
+    # empty tasks — the driver loop is job-latency-bound; a web-scale
+    # vocab still spreads across the cluster)
+    n_words = vocab.count()
+    n_parts = max(1, min(int(spark.sparkContext.defaultParallelism), n_words // 50_000 + 1))
+    if n_parts != vocab.rdd.getNumPartitions():
+        vocab = vocab.coalesce(n_parts).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
     since_ckpt = 0
@@ -207,7 +215,10 @@ def apply_bpe(
     characters+EOW and apply every merge in learned order — the fold
     expression chained ``len(merges)`` deep INSIDE a transform over the
     word array, so token order is preserved and nothing ever leaves the
-    row (zero shuffles, all JVM-side)."""
+    row (zero shuffles, all JVM-side). Cost is corpus-words × merges of
+    interpreted higher-order folds — fine for small merge lists; for the
+    corpus-scale path use ``apply_bpe_vocab`` (identical output, pinned
+    in tests)."""
 
     def tokenize_word(w: Column) -> Column:
         sym = _init_symbols(w)
@@ -218,4 +229,59 @@ def apply_bpe(
     return docs.withColumn(
         out_col,
         F.flatten(F.transform(words(F.lower(F.col(text_col))), tokenize_word)),
+    )
+
+
+def apply_bpe_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Vocabulary-memoized BPE application — the corpus-scale path.
+
+    The merge fold runs once per DISTINCT word (a vocabulary-sized frame,
+    not corpus-words-sized), then tokenized words join back to the
+    (doc, position) exploded corpus and reassemble in order. Identical
+    output to ``apply_bpe`` (pinned in tests); at 100 TB the fold cost is
+    ∝ |vocab| while the corpus pays one posexplode + one size-driven
+    equi-join (auto-broadcast while the tokenized vocab fits — the usual
+    case: even a 10M-word vocab of short arrays is executor-memory-sized)
+    + one per-doc regroup. Documents with no words yield an empty array,
+    matching apply_bpe.
+
+    ``id_cols`` defaults to every non-text column (the regroup keys)."""
+    if id_cols is None:
+        id_cols = [c for c in docs.columns if c != text_col]
+
+    def tokenize_word(w: Column) -> Column:
+        sym = _init_symbols(w)
+        for left, right in merges:
+            sym = _merge_fold(sym, left, right)
+        return sym
+
+    pos_words = docs.select(
+        *id_cols, F.posexplode_outer(words(F.lower(F.col(text_col)))).alias("__pos", "__w")
+    )
+    vocab = pos_words.select("__w").where(F.col("__w").isNotNull()).distinct()
+    vocab_tok = vocab.select("__w", tokenize_word(F.col("__w")).alias("__toks"))
+    joined = pos_words.join(vocab_tok, "__w", "left")
+    return (
+        joined.groupBy(*id_cols)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__toks").isNotNull(),
+                                F.struct(F.col("__pos"), F.col("__toks")),
+                            )
+                        )
+                    ),
+                    lambda s: s["__toks"],
+                )
+            ).alias(out_col)
+        )
     )

@@ -978,6 +978,8 @@ _DRIVER_FIRST = [
     "sim_ann_recall_report",
     "sim_ann_ivf",
     "sim_ann_ivfpq",
+    # round-5 addition (new query, no driver row yet)
+    "text_bpe_tokenize",
     # r2 cohort: newest driver row is from round 2 — oldest, re-check now
     "r2_broadcast_enrich", "r2_multikey_left_join", "r4_distinct_projection",
     "r5_notnull_filter", "r6_time_dim",
@@ -992,10 +994,12 @@ _DRIVER_FIRST = [
     "lateral_posexplode", "percentile_order_value", "hist_order_values",
     "w3_window_shapes", "skew_salted_event_agg", "stream_interval_join",
     "fuzzy_customer_match", "scalar_string_suite", "scalar_math_conditional",
-    "scalar_datetime_suite", "sim_ann_pq",
-    "regex_suite", "udf_minmax_normalize", "ts_gapfill_hourly",
+    "sim_ann_pq",
+    "scalar_datetime_suite", "regex_suite", "udf_minmax_normalize",
+    "ts_gapfill_hourly",
     # ---- 50-cap falls here: everything below leads the round-6 slate
-    # (r2-cohort remainder; approx_sketches last — rows-only, least info)
+    # (r2-cohort remainder; approx_sketches carries a committed
+    # expectation since r5 — its round-6 row proves the new compare)
     "data_hash_split", "data_pack_sequences", "data_stratified_sample",
     "data_training_order", "dedup_repeated_chunks", "emb_label_centroids",
     "mm_resize_thumbs", "text_decontaminate", "text_repetition",

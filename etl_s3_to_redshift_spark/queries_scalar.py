@@ -189,8 +189,24 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_sketches",
-    None,  # sketch outputs are engine-specific → rows-only; error bounds
-    # vs exact values pinned in tests/test_scalar_ops.py
+    # Sketch outputs are engine-specific (DuckDB's HLL/quantile sketches
+    # produce different estimates), so no cross-engine SQL twin exists —
+    # but Spark's OWN sketch results are deterministic: HLL++ register
+    # merge is exactly commutative/associative (max per register), and
+    # the GK percentile summary came out bit-identical across plain
+    # local[5/8/16/32] sessions and 10 repeated runs (round-5 probes).
+    # Committed expectation at the driver's sf0.01 gate
+    # (tools/gen_committed_oracle.py); error bounds vs exact values stay
+    # pinned in tests. Valid only at sf0.01; rows-only elsewhere.
+    """
+    SELECT CAST("approx_orders" AS BIGINT) AS "approx_orders",
+           CAST("approx_parts" AS BIGINT) AS "approx_parts",
+           CAST("approx_median_price" AS DOUBLE) AS "approx_median_price"
+    FROM (VALUES
+        (14206, 1947, CAST('53020.59' AS DOUBLE))
+    ) AS t("approx_orders", "approx_parts", "approx_median_price")
+    """,
+    oracle_sf="sf0.01",
     doc=(
         "Approximate aggregates: HyperLogLog++ distinct counts and GK "
         "quantile sketches (approx_count_distinct / percentile_approx) — "

@@ -221,6 +221,35 @@ def test_bpe_batched_matches_python_replay(spark, batch_size):
         assert got == _ref_bpe(wf, 12)
 
 
+def test_bpe_apply_vocab_matches_direct_apply(spark):
+    """apply_bpe_vocab (vocabulary-memoized fold + position-ordered
+    reassembly) must produce EXACTLY apply_bpe's token sequences — also
+    for empty/no-word documents."""
+    from etl_s3_to_redshift_spark.operators.bpe import (
+        apply_bpe,
+        apply_bpe_vocab,
+        train_bpe,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(100001, ""), (100002, "   "), (100003, "one unseen-ish zz word")],
+        ["doc_id", "text"],
+    )
+    docs = docs.unionByName(extra)
+    merges_df = train_bpe(docs, n_merges=10)
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("merge_rank").collect()]
+    want = {r["doc_id"]: r["bpe_tokens"] for r in apply_bpe(docs, merges).collect()}
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in apply_bpe_vocab(docs, merges, id_cols=["doc_id"]).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], k
+    assert got[100001] == [] and got[100002] == []
+
+
 def test_bpe_apply_tokenizes_with_learned_merges(spark):
     from etl_s3_to_redshift_spark.operators.bpe import apply_bpe, train_bpe
 

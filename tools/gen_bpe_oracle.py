@@ -6,17 +6,25 @@ SQL_WORDS twin used by every text oracle), and the 16 merges come from a
 pure-Python classic BPE (same algorithm as tests/test_ops7._ref_bpe).
 Prints the VALUES-oracle SQL to embed in the register() call.
 
-Usage: python tools/gen_bpe_oracle.py [sf_dir] [n_merges]
+With ``--tokenize``: instead of the merge table, derive PER-DOCUMENT
+token statistics (tokenize every word with the trained merges, roll up
+per doc) and write the VALUES oracle to
+etl_s3_to_redshift_spark/oracles/text_bpe_tokenize.sql.
+
+Usage: python tools/gen_bpe_oracle.py [sf_dir] [n_merges] [--tokenize]
 """
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-n_merges = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+args = [a for a in sys.argv[1:] if a != "--tokenize"]
+tokenize_mode = "--tokenize" in sys.argv[1:]
+sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+n_merges = int(args[1]) if len(args) > 1 else 16
 
 con = duckdb.connect()
 wf = con.execute(
@@ -59,15 +67,70 @@ def q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-rows = ",\n        ".join(
-    f"({rank}, {q(l)}, {q(r)}, {q(m)}, {cnt})"
-    for rank, l, r, m, cnt in ref_bpe(wf, n_merges)
-)
-print(
-    f"""    SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+def tokenize_word(w: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(w) + ["</w>"]
+    for l, r in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == l and s == r:
+                out[-1] = l + r
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+if tokenize_mode:
+    merges = [(l, r) for _, l, r, _, _ in ref_bpe(wf, n_merges)]
+    cache: dict[str, list[str]] = {}
+    docs = con.execute(
+        rf"""
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                           x -> x != '') AS ws
+        FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id
+        """
+    ).fetchall()
+    rows = []
+    for doc_id, ws in docs:
+        toks: list[str] = []
+        for w in ws:
+            if w not in cache:
+                cache[w] = tokenize_word(w, merges)
+            toks.extend(cache[w])
+        rows.append((doc_id, len(toks), len(set(toks)),
+                     toks[0] if toks else None, toks[-1] if toks else None))
+    vals = ",\n        ".join(
+        "({}, {}, {}, {}, {})".format(
+            d, n, u, q(f) if f is not None else "NULL",
+            q(t) if t is not None else "NULL")
+        for d, n, u, f, t in rows
+    )
+    sql = f"""    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           CAST(n_unique AS INTEGER) AS n_unique,
+           first_token, last_token
+    FROM (VALUES
+        {vals}
+    ) AS t(doc_id, n_tokens, n_unique, first_token, last_token)"""
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "etl_s3_to_redshift_spark", "oracles", "text_bpe_tokenize.sql",
+    )
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(sql + "\n")
+    print(f"wrote {out_path} ({len(rows)} rows)")
+else:
+    rows = ",\n        ".join(
+        f"({rank}, {q(l)}, {q(r)}, {q(m)}, {cnt})"
+        for rank, l, r, m, cnt in ref_bpe(wf, n_merges)
+    )
+    print(
+        f"""    SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
            "left", "right", merged,
            CAST(pair_n AS BIGINT) AS pair_n
     FROM (VALUES
         {rows}
     ) AS t(merge_rank, "left", "right", merged, pair_n)"""
-)
+    )
