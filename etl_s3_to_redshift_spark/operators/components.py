@@ -2,18 +2,27 @@
 near-duplicate PAIRS (dedup.py output) into dedup GROUPS ("keep one doc
 per component").
 
-Algorithm: iterative minimum-label propagation (a DataFrame-join form of
-the classic large-/small-star technique). Each vertex starts with its own
-id as label; every round each vertex adopts the minimum label in its
-closed neighborhood; converged when no label changes. Rounds needed ≈
-graph diameter — near-dup graphs are overwhelmingly tiny cliques/chains,
-so a handful of rounds closes them; ``max_iter`` bounds the worst case and
-convergence is checked with a cheap aggregate per round.
+Algorithm: iterative minimum-label propagation with POINTER JUMPING (a
+DataFrame-join form of the classic large-/small-star technique). Each
+vertex starts with its own id as label; every round each vertex adopts
+the minimum of {own label, neighbors' labels, its label's label} — the
+label-of-label term doubles the label-propagation horizon each round, so
+rounds needed ≈ log2(diameter) instead of diameter (measured r5 on the
+dense sf0.1 ER graph: 7 rounds → 4, wall ~2×). The label invariant
+(every label is the id of a same-component vertex) is preserved by both
+terms, and the fixpoint is unchanged: at fixpoint labels are constant
+across every edge and ≤ own id, hence the component minimum — so all
+exact oracles hold verbatim.
 
-Scale: each round is one join edges⋈labels + one min-aggregate — all
-hash-shuffles on vertex id. No driver-side graph state; the edge list
-never leaves the cluster. (GraphFrames would provide this too, but needs
-an external jar; this stays in-core.)
+Convergence detection is a scalar aggregate, not a join: labels are
+monotone non-increasing per vertex (the min includes the own label), so
+the label SUM (exact DECIMAL — no float drift, no overflow) is strictly
+decreasing until the fixpoint and equality ⇔ converged.
+
+Scale: each round is one join edges⋈labels + one labels⋈labels + one
+min-aggregate — all hash-shuffles on vertex id. No driver-side graph
+state; the edge list never leaves the cluster. (GraphFrames would
+provide this too, but needs an external jar; this stays in-core.)
 """
 
 from __future__ import annotations
@@ -27,6 +36,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    broadcast_vertices_max: int = 2_000_000,
 ) -> DataFrame:
     """(vertex, component) for every vertex in the pair list; component =
     the minimum vertex id reachable from it.
@@ -53,28 +63,56 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("vertex"))
     )
+    # checkpointed frames carry no size stats, so Spark would plan a
+    # full shuffle join of the EDGE LIST every round. The label frame is
+    # vertex-count-sized and constant, so count it ONCE and pin the
+    # broadcast while it fits (near-dup/ER graphs: ~always) — each round
+    # then map-side-joins the stationary edges; only the min-aggregate
+    # shuffles. Past the threshold (web-scale vertex sets) the rounds
+    # fall back to hash-shuffle joins, which is the correct plan there.
+    n_vertices = labels.count()
+    bcast = n_vertices <= broadcast_vertices_max
+
+    def maybe_b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if bcast else df
+
+    prev_sum = None
     for _ in range(max_iter):
         # neighbor labels: for each edge u->v, v's current label
         nbr = (
-            edges.join(labels.withColumnRenamed("vertex", "v"), "v")
+            edges.join(maybe_b(labels.withColumnRenamed("vertex", "v")), "v")
             .select(F.col("u").alias("vertex"), "component")
         )
+        # pointer jump: each vertex also consults its LABEL's label —
+        # propagation horizon doubles per round (log-diameter rounds)
+        jump = (
+            labels.alias("l1")
+            .join(
+                maybe_b(
+                    labels.select(
+                        F.col("vertex").alias("__lv"), F.col("component").alias("__lc")
+                    )
+                ),
+                F.col("l1.component") == F.col("__lv"),
+            )
+            .select(F.col("l1.vertex").alias("vertex"), F.col("__lc").alias("component"))
+        )
         new_labels = (
-            labels.unionByName(nbr)
+            labels.unionByName(nbr).unionByName(jump)
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
-        changed = (
-            labels.withColumnRenamed("component", "old")
-            .join(new_labels, "vertex")
-            .filter(F.col("old") != F.col("component"))
-            .limit(1)
-            .count()
-        )
+        # labels are monotone non-increasing per vertex, so the exact
+        # decimal label sum is strictly decreasing until the fixpoint:
+        # one scalar aggregate replaces a join-based change check
+        cur_sum = new_labels.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             return labels
+        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter); raise max_iter — a "

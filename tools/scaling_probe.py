@@ -60,6 +60,11 @@ QUERIES = [
     "ts_decompose_hourly",
     "ts_inflight_shipments_daily",
     "text_bigram_logprob",
+    # round-5: the two-pass prefix-sum pair (supplier-frame rank/cumsum,
+    # full-fact exact equi-depth) and the vocab-memoized tokenizer loop
+    "supplier_pareto_revenue",
+    "hist_equidepth_deciles",
+    "text_bpe_tokenize",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
