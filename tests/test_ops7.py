@@ -160,11 +160,20 @@ def test_bpe_matches_pure_python_reference_on_corpus(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     wf = [(r["word"], r["n"]) for r in word_freq_table(docs).collect()]
     want = _ref_bpe(wf, 8)
-    got = [
+    # local_vocab_max=0 forces the DISTRIBUTED path; the default adaptive
+    # (driver-local) path must produce the identical table
+    got_dist = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_n"])
+        for r in train_bpe(docs, n_merges=8, local_vocab_max=0)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    got_local = [
         (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_n"])
         for r in train_bpe(docs, n_merges=8).orderBy("merge_rank").collect()
     ]
-    assert got == want and len(got) == 8
+    assert got_dist == want and len(got_dist) == 8
+    assert got_local == want
 
 
 def _ref_bpe_batched(word_counts, n_merges, batch_size):
@@ -212,13 +221,23 @@ def test_bpe_batched_matches_python_replay(spark, batch_size):
     want = _ref_bpe_batched(wf, 12, batch_size)
     got = [
         (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_n"])
-        for r in train_bpe(docs, n_merges=12, batch_size=batch_size)
+        for r in train_bpe(
+            docs, n_merges=12, batch_size=batch_size, local_vocab_max=0
+        )
         .orderBy("merge_rank")
         .collect()
     ]
     assert got == want and len(got) == 12
     if batch_size == 1:  # batch_size=1 IS classic BPE
         assert got == _ref_bpe(wf, 12)
+    # the adaptive driver-local path must match the distributed path
+    got_local = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_n"])
+        for r in train_bpe(docs, n_merges=12, batch_size=batch_size)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got_local == want
 
 
 def test_bpe_apply_vocab_matches_direct_apply(spark):
