@@ -128,6 +128,7 @@ HEADLINE = [
     "supplier_pareto_revenue",
     "hist_equidepth_deciles",
     "text_bpe_tokenize",  # train->apply tokenizer loop (vocab-memoized)
+    "dq_drift_psi",  # PSI snapshot-drift audit (bucket-frame-bounded)
 ]
 
 

@@ -124,3 +124,69 @@ def expectations_report(df: DataFrame, rules: list[Rule]) -> DataFrame:
     for f2 in frames[1:]:
         out = out.unionByName(f2)
     return out
+
+
+def psi_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    bucket: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of the same column — THE standard drift monitor a
+    training-data pipeline runs before every refresh (feature drift,
+    upstream schema/source changes, seasonality breaks).
+
+    ``bucket`` is any deterministic bucketing expression (fixed-width
+    edges, hash buckets, category codes) applied identically to both
+    frames. Per observed bucket: counts, Laplace-smoothed proportions
+    p = (n + 1) / (N + n_buckets) (no ln(0) blowups; n_buckets = the
+    OBSERVED bucket count so both engines derive it from data), the PSI
+    term (p_cur − p_ref)·ln(p_cur/p_ref), and the total PSI repeated on
+    every row (common read: <0.1 stable, 0.1–0.25 drifting, >0.25
+    shifted). Rounded ``round_to`` dp — ln differs across libms by ~1
+    ulp, orders below the grid.
+
+    Scale shape: both frames reduce to bucket-count-sized partials in
+    ONE union + map-side-combined groupBy (the only shuffle, on the
+    bucket key); totals and the PSI sum run on the bounded bucket frame
+    under an explicitly-keyed window (never row-scale data). Buckets
+    empty on ONE side are kept (smoothing prices their disappearance);
+    buckets empty on both sides would contribute exactly 0 and are
+    omitted."""
+    tagged = ref.select(bucket.alias("bucket")).withColumn(
+        "__side", F.lit("ref")
+    ).unionByName(
+        cur.select(bucket.alias("bucket")).withColumn("__side", F.lit("cur"))
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum((F.col("__side") == "ref").cast("long")).alias("n_ref"),
+        F.sum((F.col("__side") == "cur").cast("long")).alias("n_cur"),
+    )
+    # bounded bucket frame: explicit constant partition key (pmod — non-
+    # foldable) keeps WindowExec quiet, same device as operators/prefix
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy(F.pmod(F.coalesce(F.col("bucket"), F.lit(0)), F.lit(1))).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t_ref = F.sum("n_ref").over(w_all)
+    t_cur = F.sum("n_cur").over(w_all)
+    nb = F.count(F.lit(1)).over(w_all)
+    p_ref = (F.col("n_ref") + F.lit(1.0)) / (t_ref + nb).cast("double")
+    p_cur = (F.col("n_cur") + F.lit(1.0)) / (t_cur + nb).cast("double")
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    with_term = counts.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, round_to).alias("p_ref"),
+        F.round(p_cur, round_to).alias("p_cur"),
+        F.round(term, round_to).alias("psi_term"),
+    )
+    w2 = Window.partitionBy(F.pmod(F.coalesce(F.col("bucket"), F.lit(0)), F.lit(1))).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return with_term.select(
+        "*", F.round(F.sum("psi_term").over(w2), round_to).alias("psi_total")
+    )

@@ -978,8 +978,9 @@ _DRIVER_FIRST = [
     "sim_ann_recall_report",
     "sim_ann_ivf",
     "sim_ann_ivfpq",
-    # round-5 addition (new query, no driver row yet)
+    # round-5 additions (new queries, no driver row yet)
     "text_bpe_tokenize",
+    "dq_drift_psi",
     # r2 cohort: newest driver row is from round 2 — oldest, re-check now
     "r2_broadcast_enrich", "r2_multikey_left_join", "r4_distinct_projection",
     "r5_notnull_filter", "r6_time_dim",
@@ -993,10 +994,10 @@ _DRIVER_FIRST = [
     "cube_order_stats", "pivot_event_counts", "unpivot_lineitem_measures",
     "lateral_posexplode", "percentile_order_value", "hist_order_values",
     "w3_window_shapes", "skew_salted_event_agg", "stream_interval_join",
-    "fuzzy_customer_match", "scalar_string_suite", "scalar_math_conditional",
-    "sim_ann_pq",
-    "scalar_datetime_suite", "regex_suite", "udf_minmax_normalize",
-    "ts_gapfill_hourly",
+    "fuzzy_customer_match", "sim_ann_pq",
+    "scalar_string_suite", "scalar_math_conditional",
+    "scalar_datetime_suite", "regex_suite",
+    "udf_minmax_normalize", "ts_gapfill_hourly",
     # ---- 50-cap falls here: everything below leads the round-6 slate
     # (r2-cohort remainder; approx_sketches carries a committed
     # expectation since r5 — its round-6 row proves the new compare)

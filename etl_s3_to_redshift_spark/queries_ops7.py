@@ -1700,3 +1700,66 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("bpe_tokens", 1).alias("first_token"),
         F.element_at("bpe_tokens", -1).alias("last_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift: Population Stability Index between snapshots
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_drift_psi",
+    """
+    WITH b AS (
+        SELECT least(CAST(floor(CAST(o_totalprice AS DOUBLE) / 50000.0) AS BIGINT), 9)
+                   AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'ref' ELSE 'cur' END
+                   AS side
+        FROM orders
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(sum(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        FROM b GROUP BY bucket
+    ),
+    terms AS (
+        SELECT bucket, n_ref, n_cur,
+               round((n_ref + 1.0) / (sum(n_ref) OVER () + count(*) OVER ()), 6) AS p_ref,
+               round((n_cur + 1.0) / (sum(n_cur) OVER () + count(*) OVER ()), 6) AS p_cur,
+               round(((n_cur + 1.0) / (sum(n_cur) OVER () + count(*) OVER ())
+                      - (n_ref + 1.0) / (sum(n_ref) OVER () + count(*) OVER ()))
+                     * ln(((n_cur + 1.0) / (sum(n_cur) OVER () + count(*) OVER ()))
+                          / ((n_ref + 1.0) / (sum(n_ref) OVER () + count(*) OVER ()))),
+                     6) AS psi_term
+        FROM counts
+    )
+    SELECT bucket, n_ref, n_cur, p_ref, p_cur, psi_term,
+           round(sum(psi_term) OVER (), 6) AS psi_total
+    FROM terms
+    """,
+    doc=(
+        "Distribution-drift audit (operators/quality.psi_report): "
+        "Population Stability Index of the order-value distribution, "
+        "pre-1998 reference vs 1998+ current, over 10 fixed 50k-wide "
+        "value buckets. Laplace-smoothed proportions (n+1)/(N+buckets), "
+        "per-bucket PSI terms and the total (<0.1 stable / 0.1-0.25 "
+        "drifting / >0.25 shifted) — the refresh gate every "
+        "training-data pipeline runs when a new crawl/dump lands. "
+        "Scale shape: both snapshots collapse to bucket-count partials "
+        "in one map-side-combined groupBy (the only shuffle); all "
+        "ratios/ln/sums run on the bounded bucket frame under an "
+        "explicitly-keyed window. 6-dp rounds absorb cross-libm ln ulps."
+    ),
+)
+def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.quality import psi_report
+
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice").cast("double") / F.lit(50000.0)).cast("long"),
+        F.lit(9).cast("long"),
+    )
+    ref = o.filter(F.col("o_orderdate") < "1998-01-01")
+    cur = o.filter(F.col("o_orderdate") >= "1998-01-01")
+    return psi_report(ref, cur, bucket)

@@ -379,6 +379,33 @@ def test_dq_expectations_clean_on_empty_table(spark):
     assert got == {"k_not_null": 0, "k_unique": 0}
 
 
+def test_psi_report_matches_hand_computation(spark):
+    """psi_report vs a hand-rolled PSI on a tiny known distribution,
+    including a bucket present on only one side (smoothing path)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_s3_to_redshift_spark.operators.quality import psi_report
+
+    ref = spark.createDataFrame([(0,)] * 6 + [(1,)] * 4, "b int")
+    cur = spark.createDataFrame([(0,)] * 3 + [(1,)] * 5 + [(2,)] * 2, "b int")
+    rows = {r["bucket"]: r for r in psi_report(ref, cur, F.col("b")).collect()}
+    assert set(rows) == {0, 1, 2}
+    nb, t_ref, t_cur = 3, 10, 10
+    want_total = 0.0
+    for b, n_ref, n_cur in [(0, 6, 3), (1, 4, 5), (2, 0, 2)]:
+        p_r = (n_ref + 1.0) / (t_ref + nb)
+        p_c = (n_cur + 1.0) / (t_cur + nb)
+        term = round((p_c - p_r) * math.log(p_c / p_r), 6)
+        r = rows[b]
+        assert (r["n_ref"], r["n_cur"]) == (n_ref, n_cur)
+        assert abs(r["psi_term"] - term) < 1e-9, b
+        want_total += term
+    assert abs(rows[0]["psi_total"] - round(want_total, 6)) < 1e-9
+    assert len({r["psi_total"] for r in rows.values()}) == 1
+
+
 def test_dq_expectations_empty_rule_list_and_hostile_names(spark):
     """ADVICE r4: no rules -> empty stable-schema report (not IndexError);
     rule names are data, so quotes/spaces/dots can't break the plan."""
