@@ -169,6 +169,8 @@ DATA_BOUND = [
     "basket_association_rules",
     "supplier_pareto_revenue",
     "hist_equidepth_deciles",
+    "dq_drift_psi",
+    "text_bpe_tokenize",
 ]
 
 
