@@ -71,6 +71,11 @@ def connected_components(
     # shuffles. Past the threshold (web-scale vertex sets) the rounds
     # fall back to hash-shuffle joins, which is the correct plan there.
     n_vertices = labels.count()
+    if n_vertices == 0:
+        # Empty graph: the decimal-sum convergence check below would see
+        # NULL == NULL every round (sum over zero rows) and never detect
+        # the (trivial) fixpoint — return the empty labeling immediately.
+        return labels
     bcast = n_vertices <= broadcast_vertices_max
 
     def maybe_b(df: DataFrame) -> DataFrame:

@@ -79,6 +79,15 @@ def ranked_running(
     ranged = df.repartitionByRange(n_parts, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
+    # Both passes below re-read ``ranged``; correctness requires they see
+    # the SAME range boundaries. Exchange reuse normally guarantees that,
+    # but repartitionByRange samples boundaries with a per-RDD seed, so if
+    # reuse is disabled (spark.sql.exchange.reuse=false) or AQE replans
+    # one branch, the two passes could get DIFFERENT boundaries and the
+    # broadcast offsets would silently misalign with the local ranks.
+    # Pin one materialized partitioning (same pattern as components.py /
+    # bpe.py lineage cuts).
+    ranged = ranged.localCheckpoint(eager=True)
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local_cols = [F.row_number().over(w_local).cast("long").alias("__lrk")]
     if value_col is not None:

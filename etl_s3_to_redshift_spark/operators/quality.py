@@ -163,11 +163,14 @@ def psi_report(
         F.sum((F.col("__side") == "ref").cast("long")).alias("n_ref"),
         F.sum((F.col("__side") == "cur").cast("long")).alias("n_cur"),
     )
-    # bounded bucket frame: explicit constant partition key (pmod — non-
-    # foldable) keeps WindowExec quiet, same device as operators/prefix
+    # bounded bucket frame: explicit constant partition key (pmod of a
+    # hash — non-foldable AND type-agnostic: hash() accepts string /
+    # numeric / NULL buckets alike, where pmod(bucket, 1) would need an
+    # implicit numeric cast that breaks under ANSI mode for string
+    # buckets) keeps WindowExec quiet, same device as operators/prefix
     from pyspark.sql import Window
 
-    w_all = Window.partitionBy(F.pmod(F.coalesce(F.col("bucket"), F.lit(0)), F.lit(1))).rowsBetween(
+    w_all = Window.partitionBy(F.pmod(F.hash(F.col("bucket")), F.lit(1))).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     t_ref = F.sum("n_ref").over(w_all)
@@ -184,7 +187,7 @@ def psi_report(
         F.round(p_cur, round_to).alias("p_cur"),
         F.round(term, round_to).alias("psi_term"),
     )
-    w2 = Window.partitionBy(F.pmod(F.coalesce(F.col("bucket"), F.lit(0)), F.lit(1))).rowsBetween(
+    w2 = Window.partitionBy(F.pmod(F.hash(F.col("bucket")), F.lit(1))).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     return with_term.select(

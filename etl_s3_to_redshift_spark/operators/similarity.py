@@ -248,14 +248,28 @@ def _signature_udf(planes: list[list[float]]):
 
     @pandas_udf("string")
     def sig(v: pd.Series) -> pd.Series:
-        M = np.vstack(v.to_numpy()).astype(np.float64)  # (n, D)
-        n = M.shape[0]
         P, D = W.shape
-        acc = np.zeros((n, P), dtype=np.float64)
-        for i in range(D):  # sequential index order == the fold order
-            acc += M[:, [i]] * W[:, i]
-        codes = ((acc > 0).astype(np.uint8) + 48).tobytes()  # '0'/'1'
-        return pd.Series([codes[r * P : (r + 1) * P].decode("ascii") for r in range(n)])
+        vals = v.to_numpy()
+        # NULL / wrong-length embeddings would crash np.vstack; mimic the
+        # impl='jvm' fold instead, where a NULL vector aggregates to dot
+        # product 0 on every plane → all-'0' signature (0 > 0 is false).
+        # Keeps the two impls behavior-identical on dirty data.
+        ok = np.array(
+            [x is not None and len(x) == D for x in vals], dtype=bool
+        )
+        n = len(vals)
+        out = np.full(n, "0" * P, dtype=object)
+        if ok.any():
+            M = np.vstack(vals[ok]).astype(np.float64)  # (n_ok, D)
+            acc = np.zeros((M.shape[0], P), dtype=np.float64)
+            for i in range(D):  # sequential index order == the fold order
+                acc += M[:, [i]] * W[:, i]
+            codes = ((acc > 0).astype(np.uint8) + 48).tobytes()  # '0'/'1'
+            out[ok] = [
+                codes[r * P : (r + 1) * P].decode("ascii")
+                for r in range(M.shape[0])
+            ]
+        return pd.Series(out)
 
     return sig
 

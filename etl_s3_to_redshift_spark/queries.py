@@ -948,63 +948,56 @@ def _load_extensions() -> None:
 
 
 # The external driver verifies at most the first 50 ``queries()`` entries
-# per round.  Cumulative r1∪…∪r4 coverage is 148 of the 159 registered
-# queries, every checked row green (or rows-only by design).  The
-# 50-per-round cap means driver rows go stale, so each round rotates the
-# slate: lead with queries that have NO driver row yet, then queries
-# whose oracle changed this round, then the cohort whose newest driver
-# row is oldest.  Round-5 slate: the 11 round-4 additions the driver
-# never reached (judge-verified locally in round 4), the five queries
-# that graduated from rows-only to exact/committed oracles this round
-# (BPE merges, recall report, IVF/PQ/IVF-PQ), then 34 of the 48-query
-# round-2 cohort (the rest lead round 6).  Every query stays verifiable
-# locally via tools/check_oracle.py (no cap).
+# per round.  Cumulative r1∪…∪r5 coverage is 161/161 registered queries,
+# every checked row a triple match.  The 50-per-round cap means driver
+# rows go stale, so each round rotates the slate by freshness: lead with
+# the cohort whose newest driver row is OLDEST.  After round 5 the
+# per-round freshness census (CORRECTNESS_r0*.json keys) is r2:15,
+# r3:49, r4:47, r5:50 — so the round-6 slate is the 15 r2-stale queries
+# (closing VERDICT r5 item 1) followed by 35 of the r3 cohort; the r3
+# remainder and the r4 cohort lead round 7.  Every query stays
+# verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
-    # never driver-checked (round-4 additions past the 50-cap)
-    "ts_inflight_shipments_daily",
-    "entity_groups_fuzzy",
-    "dq_orders_expectations",
-    "text_bigram_logprob",
-    "data_group_aware_split",
-    "events_top_paths",
-    "basket_association_rules",
-    "delta_change_feed",
-    "ts_seasonal_anomalies",
-    "orders_yoy_growth",
-    "supplier_pareto_revenue",
-    # oracle graduated this round (rows-only -> exact/committed values):
-    # the driver row must prove the new compare, not the old rows-count
-    "text_bpe_merges",
-    "sim_ann_recall_report",
-    "sim_ann_ivf",
-    "sim_ann_ivfpq",
-    # round-5 additions (new queries, no driver row yet)
-    "text_bpe_tokenize",
-    "dq_drift_psi",
-    # r2 cohort: newest driver row is from round 2 — oldest, re-check now
-    "r2_broadcast_enrich", "r2_multikey_left_join", "r4_distinct_projection",
-    "r5_notnull_filter", "r6_time_dim",
-    "q7_nation_trade_volume", "q8_market_share", "q9_product_profit",
-    "q11_important_part_value", "q12_late_shipment_priority",
-    "q13_order_count_distribution", "q15_top_revenue_supplier",
-    "q16_supplier_part_count", "q17_small_quantity_revenue",
-    "q19_bracketed_revenue", "q20_prolific_part_suppliers",
-    "q21_waiting_supplier", "q22_dormant_value_customers",
-    "agg_argminmax", "agg_collect_ordered", "agg_exact_moments",
-    "cube_order_stats", "pivot_event_counts", "unpivot_lineitem_measures",
-    "lateral_posexplode", "percentile_order_value", "hist_order_values",
-    "w3_window_shapes", "skew_salted_event_agg", "stream_interval_join",
-    "fuzzy_customer_match", "sim_ann_pq",
-    "scalar_string_suite", "scalar_math_conditional",
-    "scalar_datetime_suite", "regex_suite",
-    "udf_minmax_normalize", "ts_gapfill_hourly",
-    # ---- 50-cap falls here: everything below leads the round-6 slate
-    # (r2-cohort remainder; approx_sketches carries a committed
-    # expectation since r5 — its round-6 row proves the new compare)
-    "data_hash_split", "data_pack_sequences", "data_stratified_sample",
-    "data_training_order", "dedup_repeated_chunks", "emb_label_centroids",
-    "mm_resize_thumbs", "text_decontaminate", "text_repetition",
+    # r2 cohort: the 15 queries whose newest driver row is ROUND 2 —
+    # the only stale evidence left (incl. approx_sketches, whose
+    # committed-expectation oracle has never been externally checked).
+    # All 15 fit the 50-cap head, so round 6 makes cumulative driver
+    # evidence fresh (<=3 rounds old) for every one of them.
+    "data_hash_split",
+    "data_stratified_sample",
+    "data_pack_sequences",
+    "text_repetition",
+    "text_decontaminate",
+    "ts_gapfill_hourly",
+    "emb_label_centroids",
+    "data_training_order",
+    "dedup_repeated_chunks",
+    "mm_resize_thumbs",
     "approx_sketches",
+    "regex_suite",
+    "udf_minmax_normalize",
+    "scalar_math_conditional",
+    "scalar_datetime_suite",
+    # r3 cohort (newest driver row round 3): 35 of 49 fit the cap;
+    # the remaining 14 (below) plus the r4 cohort lead round 7.
+    "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
+    "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
+    "w4_value_range_frames", "grouping_sets_orders", "rollup_incremental_merge",
+    "dedup_groups_incremental", "agg_bool_bit_suite", "scalar_try_safe_suite",
+    "null_safe_join_events", "skew_key_profile", "hist_equidepth_deciles",
+    "dedup_keep_best_quality", "asof_next_purchase", "data_source_mixture",
+    "funnel_user_conversion", "cohort_retention_weekly", "event_transition_matrix",
+    "text_vocab_topk", "scd2_customer_history", "merge_upsert_snapshot",
+    "text_unigram_logprob", "profile_orders_columns", "text_quality_calibrate",
+    "w5_trailing_hour_window", "seq_pattern_users", "snapshot_diff_customers",
+    "interval_join_shipments", "text_pii_scrub", "ts_interpolate_linear",
+    "data_weighted_sample", "text_bigram_topk",
+    # ---- 50-cap falls here: r3-cohort remainder leads round 7
+    "privacy_k_anonymity", "scale_winsorize", "emb_random_projection",
+    "ts_anomaly_zscore", "attr_multi_touch", "data_split_leakage",
+    "mm_audio_windows", "agg_mode_median", "w6_topk_with_ties",
+    "dedup_containment", "w7_sliding_distinct_users", "w8_moving_median",
+    "events_heatmap_dow_hour", "array_map_suite",
 ]
 
 

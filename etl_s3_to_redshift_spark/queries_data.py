@@ -525,7 +525,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ann_ivf",
-    # Committed-expectation oracle (tools/gen_committed_oracle.py):
+    # Committed-expectation oracle (tools/gen_committed_oracle.py;
+    # REGRESSION PIN generated under Spark 4.1.2 — partial-merge
+    # results are not contractually stable across Spark versions,
+    # so a red gate after an engine upgrade may be a version flake,
+    # not a regression; regenerate the pin in that case):
     # seeded k-means training is not SQL-expressible, but the full
     # output is deterministic (verified bit-identical across plain
     # local[5/8/32] driver-style sessions, round 5), so the exact

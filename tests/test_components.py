@@ -139,3 +139,15 @@ def test_incremental_components_untouched_skip_iteration(spark):
         (10, 10), (11, 10), (20, 10), (21, 10),
         (30, 30), (31, 30),
     }
+
+
+def test_components_empty_pair_list(spark):
+    """Zero edges must return an empty labeling immediately, not burn
+    max_iter rounds and raise (the decimal-sum convergence check sees
+    NULL == NULL forever on an empty frame — ADVICE r5). Reachable from
+    dedup_groups / incremental whenever no near-dup pairs are found."""
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).count() == 0
+    groups = dedup_groups(empty)
+    assert groups.count() == 0
+    assert set(groups.columns) == {"component", "member", "is_keeper"}

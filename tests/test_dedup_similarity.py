@@ -183,3 +183,31 @@ def test_lsh_signature_arrow_matches_jvm_fold_exactly(emb):
             emb.select("vec_id", "embedding"), 64, n_planes, bands, impl="jvm"
         ).select("vec_id", "band", "bucket")
         assert a.exceptAll(j).count() == 0 and j.exceptAll(a).count() == 0
+
+
+def test_lsh_signature_arrow_null_and_ragged_rows(spark):
+    """Dirty-data contract (ADVICE r5): a NULL or wrong-length embedding
+    must not crash the Arrow kernel — it gets the same all-'0' signature
+    the JVM fold produces for NULL (every dot product aggregates to 0,
+    0 > 0 is false), keeping the two impls behavior-identical."""
+    rows = [
+        (1, [1.0, -2.0, 0.5, 3.0]),
+        (2, None),
+        (3, [1.0, 2.0]),  # ragged: wrong dimensionality
+        (4, [-1.0, 2.0, -0.5, -3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = S.lsh_bucketize(df, dim=4, n_planes=8, bands=2, impl="arrow")
+    sigs = {
+        r["vec_id"]: "".join(b["bucket"] for b in sorted(
+            (x.asDict() for x in out.filter(F.col("vec_id") == r["vec_id"])
+             .select(F.struct("band", "bucket").alias("s")).collect()
+             for x in [x["s"]]), key=lambda d: d["band"]))
+        for r in df.collect()
+    }
+    assert sigs[2] == "0" * 8 and sigs[3] == "0" * 8
+    # clean rows agree with the JVM fold
+    clean = df.filter(F.col("vec_id").isin(1, 4))
+    a = S.lsh_bucketize(clean, 4, 8, 2, impl="arrow").select("vec_id", "band", "bucket")
+    j = S.lsh_bucketize(clean, 4, 8, 2, impl="jvm").select("vec_id", "band", "bucket")
+    assert a.exceptAll(j).count() == 0 and j.exceptAll(a).count() == 0

@@ -532,3 +532,30 @@ def test_yoy_growth_null_only_without_prior_year(spark):
         else:
             assert r["revenue"] > 0
     assert len(months) == len(rows)
+
+
+def test_psi_report_string_buckets(spark):
+    """psi_report must accept CATEGORY-CODE (string) buckets — the window
+    partition key is pmod(hash(bucket), 1), type-agnostic, so no implicit
+    string->double cast that would break under ANSI mode (ADVICE r5)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from etl_s3_to_redshift_spark.operators.quality import psi_report
+
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        ref = spark.createDataFrame([("a",)] * 6 + [("b",)] * 4, "b string")
+        cur = spark.createDataFrame([("a",)] * 3 + [("b",)] * 7, "b string")
+        rows = {r["bucket"]: r for r in psi_report(ref, cur, F.col("b")).collect()}
+    finally:
+        spark.conf.unset("spark.sql.ansi.enabled")
+    assert set(rows) == {"a", "b"}
+    nb = 2
+    want = sum(
+        round(((nc + 1.0) / 12 - (nr + 1.0) / 12)
+              * math.log(((nc + 1.0) / 12) / ((nr + 1.0) / 12)), 6)
+        for nr, nc in [(6, 3), (4, 7)]
+    )
+    assert abs(rows["a"]["psi_total"] - round(want, 6)) < 1e-9

@@ -333,3 +333,83 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     # and the pruned read is still correct
     want = ev.filter(F.col("event_type") == "purchase").count()
     assert joined.count() == want and want > 0
+
+
+def _top_bracket_groups(s: str) -> list[str]:
+    """Top-level [...] groups of a plan line (nested brackets stay inside)."""
+    groups, depth, cur = [], 0, None
+    for ch in s:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+            else:
+                cur += ch
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                cur = None
+            else:
+                cur += ch
+        elif depth >= 1:
+            cur += ch
+    return groups
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Window nodes with NO partition spec — the whole input funnels
+    through ONE task (Exchange SinglePartition). toString format:
+    ``Window [exprs], [partSpec], [orderSpec]``; with no ordering the
+    orderSpec group is dropped, with no partitioning the partSpec group
+    is dropped — so 2 groups is ambiguous and the sort-direction tokens
+    (NULLS FIRST/LAST) identify the second group as an ORDER spec."""
+    hits = []
+    for line in plan.splitlines():
+        t = line.strip().lstrip("+-: *").strip()
+        if not t.startswith("Window "):
+            continue
+        g = _top_bracket_groups(t)
+        unpart = len(g) == 1 or (len(g) == 2 and " NULLS " in g[1])
+        if unpart:
+            hits.append(t[:120])
+    return hits
+
+
+def test_no_unpartitioned_windows_outside_allowlist(spark):
+    """Mechanized bounded-window audit (VERDICT r5 item 8): an
+    unpartitioned ``Window.orderBy`` is the classic scale-killer — the
+    FULL input crosses one Exchange SinglePartition into one task. The
+    BNLJ audit's twin: every registered query's physical plan is walked,
+    and a global Window is allowed ONLY for queries on this explicit
+    allowlist, where the window's input is a POST-AGGREGATION frame whose
+    row count is bounded by a dimension of the data (bucket counts, group
+    counts, top-k limits), never by the row count. A future query adding
+    an unbounded global window fails here by name."""
+    allowed_global_window = {
+        # window over per-source quota frame (≤ #distinct sources rows)
+        "data_source_mixture",
+        # totals over the group-count frame (≤ #distinct keys rows)
+        "skew_key_profile",
+        # corpus-vocabulary totals (≤ |vocab| rows, post-aggregation)
+        "text_unigram_logprob",
+        # top-1000 vocab via TakeOrderedAndProject feeds the window
+        "text_zipf_fit",
+        # hour-bucket frames (≤ 24·#days rows post-aggregation)
+        "ts_decompose_hourly",
+        "ts_seasonal_anomalies",
+        # day-bucket running net (≤ #days rows post-aggregation)
+        "ts_inflight_shipments_daily",
+        # year×month frame (≤ 12·#years rows post-aggregation)
+        "orders_yoy_growth",
+    }
+    flagged = {}
+    for name, spec in REGISTRY.items():
+        plan = plan_of(spec.spark(spark, SF_SMOKE))
+        hits = _global_windows(plan)
+        if hits and name not in allowed_global_window:
+            flagged[name] = hits
+    assert not flagged, (
+        "unpartitioned global Window outside the bounded-frame allowlist "
+        f"(single-task funnel at scale): {flagged}"
+    )

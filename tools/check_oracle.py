@@ -100,6 +100,12 @@ def main() -> int:
                 only_s = [r for r in srows[:2000] if r not in set(orows[:2000])][:2]
                 problems.append(f"values differ; first pairwise diffs={diff} spark-only-sample={only_s}")
         status = "PASS" if not problems else "FAIL"
+        # A committed-expectation oracle (VALUES pin, spec.oracle_sf set)
+        # is a REGRESSION PIN, not a cross-engine check: a failure may be
+        # a Spark-version flake (partial-merge order), so label it so a
+        # version bump is diagnosable from the log alone.
+        if problems and spec.oracle_sf is not None:
+            status = "FAIL [committed expectation (regression pin)]"
         print(f"  {name:40s} rows={len(sdf):>8} {status} ({t_spark:.1f}s)")
         for p in problems:
             print(f"      {p}")
