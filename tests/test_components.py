@@ -38,9 +38,14 @@ def union_find(edges):
 
 def test_components_chain_and_clique(spark):
     edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
-    got = {r.vertex: r.component for r in connected_components(
-        spark.createDataFrame(edges, "id_a long, id_b long")).collect()}
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.vertex: r.component for r in connected_components(df).collect()}
     assert got == union_find(edges)
+    # the adaptive driver path and the distributed pointer-jumping loop
+    # must be result-identical (same canonical min labels)
+    dist = {r.vertex: r.component for r in connected_components(
+        df, driver_edges_max=0).collect()}
+    assert dist == got
 
 
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
@@ -49,9 +54,14 @@ def test_components_random_graphs(spark, seed):
     rng = random.Random(seed)
     n = rng.randint(2, 40)
     edges = list({tuple(sorted(rng.sample(range(n), 2))) for _ in range(rng.randint(1, 60))})
-    got = {r.vertex: r.component for r in connected_components(
-        spark.createDataFrame(edges, "id_a long, id_b long")).collect()}
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.vertex: r.component for r in connected_components(df).collect()}
     assert got == union_find(edges)
+    # the adaptive driver path and the distributed pointer-jumping loop
+    # must be result-identical (same canonical min labels)
+    dist = {r.vertex: r.component for r in connected_components(
+        df, driver_edges_max=0).collect()}
+    assert dist == got
 
 
 def test_dedup_groups_end_to_end(spark):
@@ -72,10 +82,13 @@ def test_components_raises_on_nonconvergence(spark):
     silently-truncated labeling."""
     chain = [(i, i + 1) for i in range(30)]
     df = spark.createDataFrame(chain, "id_a long, id_b long")
+    # force the distributed loop: the adaptive driver path has no
+    # iteration bound to test
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df, max_iter=3)
+        connected_components(df, max_iter=3, driver_edges_max=0)
     # and enough rounds converges fine
-    got = {r.vertex: r.component for r in connected_components(df, max_iter=40).collect()}
+    got = {r.vertex: r.component for r in connected_components(
+        df, max_iter=40, driver_edges_max=0).collect()}
     assert set(got.values()) == {0}
 
 

@@ -526,3 +526,67 @@ def test_distributed_rerank_matches_serving_path(spark):
     s = {(r.query_id, r.vec_id, r.rank) for r in iv_serving.collect()}
     b = {(r.query_id, r.vec_id, r.rank) for r in iv_batch.collect()}
     assert s == b
+
+
+def test_substitution_clique_components_equals_pair_path(spark):
+    """Clique-contraction labeling must equal CC over the verified pair
+    list (same-length, levenshtein<=1) — across strings at, below, and
+    mixing lengths <= n_segments, including the 0-length-segment case
+    (strings shorter than n_segments) where the complement is the whole
+    string and the total length must disambiguate the block key."""
+    import itertools
+
+    from etl_s3_to_redshift_spark.operators.fuzzy import (
+        substitution_clique_components,
+    )
+
+    rows = [
+        (1, "abcde"), (2, "abcdf"), (3, "xbcde"),   # chain via subs
+        (4, "qrstu"), (5, "qrstu"),                  # exact dup
+        (6, "zzzzz"),                                # singleton
+        (7, "abcd"), (8, "abce"),                    # shorter length class
+        (9, "abcdef"),                               # longer, no partner
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, name string")
+    got = {
+        (r.vertex, r.component)
+        for r in substitution_clique_components(
+            df, "rec_id", "name", n_segments=6
+        ).collect()
+    }
+    # oracle: brute-force pairs -> union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def lev_le1(a, b):
+        return len(a) == len(b) and sum(x != y for x, y in zip(a, b)) <= 1
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        if lev_le1(sa, sb):
+            ra, rb = find(ia), find(ib)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {(v, find(v)) for v in parent}
+    assert got == want
+
+
+def test_substitution_clique_components_rejects_long_strings(spark):
+    """Strings longer than n_segments get >=2-char segments whose blocks
+    are NOT cliques — the in-scan assert_true guard must fail the job
+    rather than silently over-merge."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from etl_s3_to_redshift_spark.operators.fuzzy import (
+        substitution_clique_components,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "toolongstring"), (2, "toolongstrong")], "rec_id long, name string"
+    )
+    with pytest.raises(Exception) as ei:
+        substitution_clique_components(df, "rec_id", "name", n_segments=4).collect()
+    assert "unit segments" in str(ei.value) or "assert" in str(ei.value).lower()
