@@ -39,8 +39,12 @@ from etl_s3_to_redshift_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DST = os.path.join(REPO, ".localdata", "sf1")
-REPLICAS = 10
+# usage: python tools/gen_sf1.py [target_sf]   (default 1; 10 -> 100
+# replicas of sf0.1 into .localdata/sf10, ~1.5 GB — the 100x point for
+# the data-bound scaling curves)
+TARGET_SF = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+DST = os.path.join(REPO, ".localdata", f"sf{TARGET_SF}")
+REPLICAS = 10 * TARGET_SF
 OFF = 10_000_000
 
 # table -> columns that carry entity keys (offset per replica)
@@ -93,7 +97,7 @@ def main() -> None:
         out = reps[0]
         for r in reps[1:]:
             out = out.unionByName(r)
-        out.coalesce(8).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+        out.coalesce(8 * TARGET_SF).write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
         n = spark.read.parquet(f"{DST}/{t}.parquet").count()
         print(f"{t}: {n} rows in {time.time() - t0:.1f}s")
     print(f"done -> {DST}")

@@ -72,18 +72,28 @@ SF_DIRS = {
     "sf0.01": "/root/testdata/sf0.01",
     "sf0.1": "/root/testdata/sf0.1",
     "sf1": os.path.join(_REPO, ".localdata", "sf1"),
+    "sf10": os.path.join(_REPO, ".localdata", "sf10"),
 }
 SFS = [sf for sf, d in SF_DIRS.items() if os.path.isdir(d)]
 
 
 def main() -> None:
+    # optional argv: query names to (re)probe — results MERGE into the
+    # existing SCALING_DATA.json instead of replacing it, so a targeted
+    # sf10 pass extends curves without rerunning everything
+    names = [a for a in sys.argv[1:] if a in REGISTRY] or QUERIES
     spark = get_spark("scaling_probe")
     spark.range(64).repartition(32).mapInPandas(lambda it: it, schema="id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(root, "SCALING_DATA.json")
     data: dict[str, dict[str, float]] = {}
-    for name in QUERIES:
-        data[name] = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            data = json.load(f)
+    for name in names:
+        data.setdefault(name, {})
         for sf in SFS:
             best = float("inf")
             for _ in range(2):
@@ -93,13 +103,13 @@ def main() -> None:
                 ).save()
                 best = min(best, time.time() - t0)
             data[name][sf] = round(best, 3)
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "SCALING_DATA.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(data, f, indent=2)
     print("| query | " + " | ".join(SFS) + " |")
     print("|---|" + "---|" * len(SFS))
-    for name, row in data.items():
-        print(f"| {name} | " + " | ".join(str(row[sf]) for sf in SFS) + " |")
+    for name in names:
+        row = data[name]
+        print(f"| {name} | " + " | ".join(str(row.get(sf, "-")) for sf in SFS) + " |")
 
 
 if __name__ == "__main__":
