@@ -80,6 +80,63 @@ def _merge_fold(symbols: Column, left: str, right: str) -> Column:
     )
 
 
+def _disjoint_groups(
+    merges: list[tuple[str, str]]
+) -> list[list[tuple[str, str]]]:
+    """Split an ORDERED merge list into maximal runs of symbol-disjoint
+    merges (the ``select_batch`` rule: a merge joins a run iff none of
+    {left, right, left+right} was touched earlier in the run). Within a
+    run no merge can consume or produce another's symbols, so applying
+    the whole run in ONE left-to-right pass (map lookup per adjacency)
+    is exactly equivalent to applying its members sequentially — the
+    single-pass collapse that makes deep merge lists affordable
+    (vocab-probe r6: 64 chained folds were ~60s/round at a 115k-word
+    vocabulary; one batched fold is ~1s)."""
+    groups: list[list[tuple[str, str]]] = []
+    used: set[str] = set()
+    cur: list[tuple[str, str]] = []
+    for left, right in merges:
+        if {left, right, left + right} & used and cur:
+            groups.append(cur)
+            cur, used = [], set()
+        cur.append((left, right))
+        used |= {left, right, left + right}
+    if cur:
+        groups.append(cur)
+    return groups
+
+
+def _merge_fold_batch(symbols: Column, batch: list[tuple[str, str]]) -> Column:
+    """Apply a SYMBOL-DISJOINT merge batch in one fold pass. The merge
+    table is a nested literal map left -> (right -> merged) — two exact
+    lookups per adjacency, no separator-ambiguous string keys. Exactness:
+    disjointness means an element can match at most one (left, right)
+    rule and a produced symbol can never be a rule's left/right, so the
+    greedy left-to-right scan makes exactly the fusions the sequential
+    per-merge folds would."""
+    if len(batch) == 1:
+        return _merge_fold(symbols, batch[0][0], batch[0][1])
+    by_left: dict[str, dict[str, str]] = {}
+    for left, right in batch:
+        by_left.setdefault(left, {})[right] = left + right
+    entries = []
+    for left, rights in by_left.items():
+        inner = []
+        for right, merged in rights.items():
+            inner += [F.lit(right), F.lit(merged)]
+        entries += [F.lit(left), F.create_map(*inner)]
+    M = F.create_map(*entries)
+
+    def step(acc: Column, x: Column) -> Column:
+        hit = F.element_at(F.element_at(M, F.element_at(acc, -1)), x)
+        return F.when(
+            (F.size(acc) > 0) & hit.isNotNull(),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(hit)),
+        ).otherwise(F.concat(acc, F.array(x)))
+
+    return F.aggregate(symbols, F.array().cast("array<string>"), step)
+
+
 def _pair_counts(vocab: DataFrame) -> DataFrame:
     """Weighted adjacent-pair counts over the symbolized vocab: explode
     positions 1..len-1, pair (sym[i], sym[i+1]), weight by word count."""
@@ -247,10 +304,15 @@ def train_bpe(
             break
         for left, right, cnt in batch:
             merges.append((len(merges), left, right, left + right, cnt))
-        syms = F.col("syms")
-        for left, right, _ in batch:
-            syms = _merge_fold(syms, left, right)
-        vocab = vocab.select(syms.alias("syms"), "n")
+        # the batch is symbol-disjoint by construction: ONE single-pass
+        # fold applies all of it (vs m chained folds — measured 63s ->
+        # ~1.5s per 64-merge round at a 115k-word vocabulary, r6 probe)
+        vocab = vocab.select(
+            _merge_fold_batch(F.col("syms"), [(l, r) for l, r, _ in batch]).alias(
+                "syms"
+            ),
+            "n",
+        )
         since_ckpt += len(batch)
         if since_ckpt >= checkpoint_every:
             vocab = vocab.localCheckpoint(eager=True)
@@ -278,8 +340,12 @@ def apply_bpe(
 
     def tokenize_word(w: Column) -> Column:
         sym = _init_symbols(w)
-        for left, right in merges:
-            sym = _merge_fold(sym, left, right)
+        # collapse the ordered merge list into maximal symbol-disjoint
+        # runs, each applied as ONE single-pass fold (exact — see
+        # _disjoint_groups); a batched-greedy-trained list regroups into
+        # ~n_merges/batch_size passes instead of n_merges
+        for group in _disjoint_groups(merges):
+            sym = _merge_fold_batch(sym, group)
         return sym
 
     return docs.withColumn(
@@ -313,8 +379,8 @@ def apply_bpe_vocab(
 
     def tokenize_word(w: Column) -> Column:
         sym = _init_symbols(w)
-        for left, right in merges:
-            sym = _merge_fold(sym, left, right)
+        for group in _disjoint_groups(merges):  # see apply_bpe
+            sym = _merge_fold_batch(sym, group)
         return sym
 
     pos_words = docs.select(

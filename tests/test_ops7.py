@@ -559,3 +559,45 @@ def test_psi_report_string_buckets(spark):
         for nr, nc in [(6, 3), (4, 7)]
     )
     assert abs(rows["a"]["psi_total"] - round(want, 6)) < 1e-9
+
+
+def test_bpe_batched_fold_equals_sequential_folds(spark):
+    """_merge_fold_batch over a symbol-disjoint run must equal the
+    sequential per-merge folds bit-for-bit, and _disjoint_groups must
+    split interacting merges (chained/overlapping symbols) into separate
+    runs so group-wise application preserves learned-order semantics."""
+    from pyspark.sql import functions as F
+
+    from etl_s3_to_redshift_spark.operators.bpe import (
+        _disjoint_groups,
+        _init_symbols,
+        _merge_fold,
+        _merge_fold_batch,
+    )
+
+    # chained merges: (a,b) then (ab,c) then (abc,d) — every one consumes
+    # the previous output, so each is its own group
+    chained = [("a", "b"), ("ab", "c"), ("abc", "d")]
+    assert _disjoint_groups(chained) == [[m] for m in chained]
+    # disjoint run + one conflicting tail
+    mixed = [("a", "b"), ("c", "d"), ("x", "y"), ("ab", "cd")]
+    assert _disjoint_groups(mixed) == [mixed[:3], [("ab", "cd")]]
+
+    words_df = spark.createDataFrame(
+        [("abcd",), ("aabb",), ("cdxy",), ("xyxy",), ("dcba",), ("abab",)],
+        "w string",
+    )
+    run = [("a", "b"), ("c", "d"), ("x", "y")]
+    seq = _init_symbols(F.col("w"))
+    for left, right in run:
+        seq = _merge_fold(seq, left, right)
+    both = words_df.select(
+        "w",
+        seq.alias("seq"),
+        _merge_fold_batch(_init_symbols(F.col("w")), run).alias("bat"),
+    )
+    assert both.filter(F.col("seq") != F.col("bat")).count() == 0
+    # sanity on one row: greedy left-to-right non-overlap preserved
+    row = {r["w"]: r["bat"] for r in both.collect()}
+    assert row["abab"] == ["ab", "ab", "</w>"]
+    assert row["aabb"] == ["a", "ab", "b", "</w>"]
