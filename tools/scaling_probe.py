@@ -65,6 +65,8 @@ QUERIES = [
     "supplier_pareto_revenue",
     "hist_equidepth_deciles",
     "text_bpe_tokenize",
+    # round-6: end-to-end ER (clique-contraction blocking + adaptive CC)
+    "entity_groups_fuzzy",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
