@@ -181,6 +181,7 @@ def incremental_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
+    driver_edges_max: int = 2_000_000,
 ) -> DataFrame:
     """Maintain a (vertex, component) labeling as NEW edges arrive,
     without re-running connected components over the full edge history —
@@ -218,7 +219,11 @@ def incremental_components(
         F.col("vertex").alias(src), F.col("component").alias(dst)
     )
     sub = connected_components(
-        new_pairs.select(src, dst).unionByName(star), src, dst, max_iter
+        new_pairs.select(src, dst).unionByName(star),
+        src,
+        dst,
+        max_iter,
+        driver_edges_max=driver_edges_max,
     )
     untouched = labeling.join(touched_comps, "component", "left_anti")
     return untouched.select("vertex", "component").unionByName(
@@ -230,11 +235,12 @@ def dedup_groups(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    driver_edges_max: int = 2_000_000,
 ) -> DataFrame:
     """Near-dup groups from a pair list: (component, member, is_keeper) —
     keeper = the minimum id of the component (matching exact_dedup's
     keep-lowest-id convention)."""
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(pairs, src, dst, driver_edges_max=driver_edges_max)
     return cc.select(
         F.col("component"),
         F.col("vertex").alias("member"),

@@ -164,3 +164,34 @@ def test_components_empty_pair_list(spark):
     groups = dedup_groups(empty)
     assert groups.count() == 0
     assert set(groups.columns) == {"component", "member", "is_keeper"}
+
+
+def test_incremental_components_distributed_path_parity(spark):
+    """The incremental merge must be exact when the recomputation runs
+    the DISTRIBUTED pointer-jumping loop (driver_edges_max=0), not just
+    the driver union-find fast path."""
+    from etl_s3_to_redshift_spark.operators.components import (
+        incremental_components,
+    )
+
+    base = [(1, 2), (2, 3), (10, 11), (20, 21)]
+    newe = [(3, 10), (30, 31)]
+    e1 = spark.createDataFrame(base, "id_a long, id_b long")
+    e2 = spark.createDataFrame(newe, "id_a long, id_b long")
+    full = {
+        (r.vertex, r.component)
+        for r in connected_components(
+            spark.createDataFrame(base + newe, "id_a long, id_b long"),
+            driver_edges_max=0,
+        ).collect()
+    }
+    inc = {
+        (r.vertex, r.component)
+        for r in incremental_components(
+            connected_components(e1, driver_edges_max=0),
+            e2,
+            driver_edges_max=0,
+        ).collect()
+    }
+    want = set(union_find(base + newe).items())
+    assert full == want and inc == want
