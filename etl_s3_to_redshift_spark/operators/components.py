@@ -131,6 +131,16 @@ def connected_components(
     def maybe_b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df
 
+    # Convergence check: for NUMERIC ids the exact decimal label sum is
+    # strictly decreasing until the fixpoint (labels are monotone
+    # non-increasing per vertex), so a scalar aggregate detects it. For
+    # non-numeric ids (string/binary content hashes) no such monotone
+    # scalar exists — a hash-sum could collide — so fall back to an
+    # exact changed-row count join per round (r6: the decimal cast threw
+    # under ANSI for string ids; pinned by the string-id test).
+    numeric_ids = labels.schema["vertex"].dataType.typeName() in (
+        "byte", "short", "integer", "long", "decimal",
+    )
     prev_sum = None
     for _ in range(max_iter):
         # neighbor labels: for each edge u->v, v's current label
@@ -158,16 +168,30 @@ def connected_components(
             .agg(F.min("component").alias("component"))
         )
         new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
-        # labels are monotone non-increasing per vertex, so the exact
-        # decimal label sum is strictly decreasing until the fixpoint:
-        # one scalar aggregate replaces a join-based change check
-        cur_sum = new_labels.agg(
-            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
+        if numeric_ids:
+            cur_sum = new_labels.agg(
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]["s"]
+            converged = prev_sum is not None and cur_sum == prev_sum
+            prev_sum = cur_sum
+        else:
+            changed = (
+                new_labels.alias("n")
+                .join(
+                    maybe_b(labels.select(
+                        F.col("vertex").alias("__v"),
+                        F.col("component").alias("__c"),
+                    )),
+                    F.col("n.vertex") == F.col("__v"),
+                )
+                .filter(F.col("n.component") != F.col("__c"))
+                .limit(1)
+                .count()
+            )
+            converged = changed == 0
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+        if converged:
             return labels
-        prev_sum = cur_sum
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds "
         "(component diameter exceeds max_iter); raise max_iter — a "

@@ -195,3 +195,17 @@ def test_incremental_components_distributed_path_parity(spark):
     }
     want = set(union_find(base + newe).items())
     assert full == want and inc == want
+
+
+def test_components_string_vertex_ids(spark):
+    """Both CC paths must handle non-numeric vertex ids (dedup keys are
+    sometimes content hashes/URIs): min-label = lexicographic min."""
+    edges = [("b", "a"), ("b", "c"), ("x", "y")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    want = {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    fast = {r.vertex: r.component for r in connected_components(df).collect()}
+    dist = {
+        r.vertex: r.component
+        for r in connected_components(df, driver_edges_max=0).collect()
+    }
+    assert fast == dist == want
