@@ -93,3 +93,48 @@ def test_gapfill_conserves_events_and_totals(spark, seed):
         buckets.sort()
         for a, b in zip(buckets, buckets[1:]):
             assert (b - a) == timedelta(hours=1)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(seed=st.integers(0, 10_000))
+def test_clique_components_equal_bruteforce_on_random_strings(spark, seed):
+    """substitution_clique_components == brute-force (same-length ∧
+    Hamming ≤ 1) pairs → union-find, on random corpora mixing lengths,
+    duplicates, and near-collisions (small alphabet maximizes block
+    sharing — the adversarial regime for the clique argument)."""
+    import itertools
+    import random
+
+    from etl_s3_to_redshift_spark.operators.fuzzy import (
+        substitution_clique_components,
+    )
+
+    rng = random.Random(seed)
+    n_seg = rng.choice([4, 6, 8])
+    rows = [
+        (i, "".join(rng.choice("ab") for _ in range(rng.randint(1, n_seg))))
+        for i in range(rng.randint(2, 40))
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, name string")
+    got = {
+        (r.vertex, r.component)
+        for r in substitution_clique_components(
+            df, "rec_id", "name", n_segments=n_seg
+        ).collect()
+    }
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        if len(sa) == len(sb) and sum(x != y for x, y in zip(sa, sb)) <= 1:
+            ra, rb = find(ia), find(ib)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    want = {(v, find(v)) for v in parent}
+    assert got == want
