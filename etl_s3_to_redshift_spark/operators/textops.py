@@ -251,30 +251,36 @@ def unigram_logprob_scores(
     low surprisal; gibberish and OOV-heavy text score high). Tokens are
     the same lowercase-alpha split as ``vocab_top_terms``.
 
-    Scale shape: ONE corpus tokenization — the per-(doc, token) tf
-    aggregate — then windows derive the model from it: n_w = sum(tf)
-    over the token key (tf-frame-sized shuffle, not corpus-sized) and
-    the total-count scalar over the vocab. A separate model groupBy +
-    join back would re-derive the tokenize subtree (the two-scan trap
-    measured and removed in ``tfidf_top_terms``), and a pinned broadcast
-    of the model would OOM on web-scale vocabularies (typos/urls grow
-    without bound) — this form has neither. No UDFs. The per-doc mean
-    is sum(tf * neglogp) / sum(tf), rounded 6 dp: ``ln`` differs across
-    libms at ~1e-16/token, 10 orders below the rounding grain.
+    Scale shape: ONE corpus tokenization into the per-(doc, token) tf
+    aggregate, materialized once (localCheckpoint — it is the frame the
+    token shuffle moves anyway; at lake scale stage it to parquet like
+    ``stage_minhash``). The model derives from it twice over WITHOUT
+    re-deriving the tokenize subtree: n_w = sum(tf) over the token key
+    (hash-distributed window) and n_total as a 1-row scalar aggregate
+    (bounded driver read, the scalar-subquery pattern of q11/q22). The
+    r6 vocab probe caught the previous form computing n_total with a
+    ``Window.partitionBy()`` over the tf frame — a single-task funnel of
+    CORPUS-sized data (the exact shape the plan audit exists to forbid);
+    this form has no global window at all. A pinned broadcast of the
+    model would OOM on web-scale vocabularies (typos/urls grow without
+    bound) — the window form keeps the model implicit. No UDFs. The
+    per-doc mean is sum(tf * neglogp) / sum(tf), rounded 6 dp: ``ln``
+    differs across libms at ~1e-16/token, 10 orders below the rounding
+    grain.
     """
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("token"),
     ).filter(F.length("token") >= 1)
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=True)
+    n_total = tf.agg(F.sum("tf").alias("s")).collect()[0]["s"]
     wtok = Window.partitionBy("token")
-    wall = Window.partitionBy()
     scored = (
         tf.withColumn("n_w", F.sum("tf").over(wtok))
-        .withColumn("n_total", F.sum("tf").over(wall))
         .withColumn(
             "neglogp",
-            -F.log(F.col("n_w").cast("double") / F.col("n_total").cast("double")),
+            -F.log(F.col("n_w").cast("double") / F.lit(float(n_total))),
         )
     )
     return scored.groupBy(id_col).agg(

@@ -391,8 +391,6 @@ def test_no_unpartitioned_windows_outside_allowlist(spark):
         "data_source_mixture",
         # totals over the group-count frame (≤ #distinct keys rows)
         "skew_key_profile",
-        # corpus-vocabulary totals (≤ |vocab| rows, post-aggregation)
-        "text_unigram_logprob",
         # top-1000 vocab via TakeOrderedAndProject feeds the window
         "text_zipf_fit",
         # hour-bucket frames (≤ 24·#days rows post-aggregation)
