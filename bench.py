@@ -171,6 +171,8 @@ DATA_BOUND = [
     "hist_equidepth_deciles",
     "dq_drift_psi",
     "text_bpe_tokenize",
+    # round-6: end-to-end ER via clique-contraction blocking + CC
+    "entity_groups_fuzzy",
 ]
 
 
