@@ -41,7 +41,15 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{n}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(n))
+        # Defaults to cores for the local lakes; a data-bound run sizes it
+        # to the data instead (the sf100 probe sets 256 so a 600M-row
+        # shuffle partition stays ~100MB — the same knob a real cluster
+        # deployment turns, per the module docstring). AQE coalesces the
+        # excess back down for the small-SF queries.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(n)),
+        )
         .config("spark.default.parallelism", str(n))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -69,6 +69,39 @@ def main() -> None:
     for t, keys in KEYED.items():
         t0 = time.time()
         src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if REPLICAS > 100:
+            # Past ~100 replicas the union-of-branches plan below is a
+            # Catalyst stress test (1000-way union, 1000 withColumn
+            # chains), so replicate with ONE narrow op instead: explode a
+            # replica-index sequence per row and derive the offsets /
+            # per-replica transforms from the index column. Row-for-row
+            # the same lake semantics; only file order differs.
+            r = src.repartition(8 * TARGET_SF).select(
+                "*", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("__rep")
+            )
+            for kcol in keys:
+                r = r.withColumn(kcol, F.col(kcol) + F.col("__rep").cast("long") * OFF)
+            if t == "customer":
+                r = r.withColumn("c_name", F.format_string("Customer#%09d", "c_custkey"))
+            elif t == "supplier":
+                r = r.withColumn("s_name", F.format_string("Supplier#%09d", "s_suppkey"))
+            if t == "documents":
+                prefixed = F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda w: F.concat(
+                            F.lit("r"), F.col("__rep").cast("string"), F.lit("_"), w
+                        ),
+                    ),
+                    " ",
+                )
+                r = r.withColumn(
+                    "text", F.when(F.col("__rep") > 0, prefixed).otherwise(F.col("text"))
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            r.drop("__rep").write.mode("overwrite").parquet(f"{DST}/{t}.parquet")
+            n = spark.read.parquet(f"{DST}/{t}.parquet").count()
+            print(f"{t}: {n} rows in {time.time() - t0:.1f}s")
+            continue
         reps = []
         for i in range(REPLICAS):
             r = src

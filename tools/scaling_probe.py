@@ -75,6 +75,7 @@ SF_DIRS = {
     "sf0.1": "/root/testdata/sf0.1",
     "sf1": os.path.join(_REPO, ".localdata", "sf1"),
     "sf10": os.path.join(_REPO, ".localdata", "sf10"),
+    "sf100": os.path.join(_REPO, ".localdata", "sf100"),
 }
 SFS = [sf for sf, d in SF_DIRS.items() if os.path.isdir(d)]
 
@@ -82,8 +83,23 @@ SFS = [sf for sf, d in SF_DIRS.items() if os.path.isdir(d)]
 def main() -> None:
     # optional argv: query names to (re)probe — results MERGE into the
     # existing SCALING_DATA.json instead of replacing it, so a targeted
-    # sf10 pass extends curves without rerunning everything
-    names = [a for a in sys.argv[1:] if a in REGISTRY] or QUERIES
+    # sf10 pass extends curves without rerunning everything.
+    # --sfs sf1,sf100 restricts the probed scale factors (a new decade
+    # point shouldn't re-pay the whole curve); --reps N overrides the
+    # best-of-2 default (1 is plenty for multi-minute sf100 runs).
+    argv = sys.argv[1:]
+    sfs = SFS
+    reps = 2
+    if "--sfs" in argv:
+        i = argv.index("--sfs")
+        want = argv[i + 1].split(",")
+        sfs = [sf for sf in SFS if sf in want]
+        argv = argv[:i] + argv[i + 2 :]
+    if "--reps" in argv:
+        i = argv.index("--reps")
+        reps = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    names = [a for a in argv if a in REGISTRY] or QUERIES
     spark = get_spark("scaling_probe")
     spark.range(64).repartition(32).mapInPandas(lambda it: it, schema="id long").write.format(
         "noop"
@@ -96,9 +112,9 @@ def main() -> None:
             data = json.load(f)
     for name in names:
         data.setdefault(name, {})
-        for sf in SFS:
+        for sf in sfs:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.time()
                 REGISTRY[name].spark(spark, SF_DIRS[sf]).write.format("noop").mode(
                     "overwrite"
