@@ -901,9 +901,13 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(map-side partial agg, then HAVING shrinks it to the few "
         "qualifying orders) and only that residue joins orders — "
         "equivalent to the grouped fact-fact join because o_orderkey is "
-        "unique in orders. No broadcast hint on either fact: AQE sees the "
-        "post-HAVING size at runtime and picks broadcast when it fits, "
-        "sort-merge when it doesn't."
+        "unique in orders. The aggregated residue carries a SHUFFLE_HASH "
+        "hint: AQE still upgrades it to broadcast when the HAVING output "
+        "is small, but when it is not (sf100: 29M qualifying orders) the "
+        "hint avoids sort-merge's full sort of the orders fact — the "
+        "build side per reduce partition is residue/numShufflePartitions, "
+        "bounded on a real cluster where partitions scale with data "
+        "(measured sf100 local[32]: 142.6s SMJ -> 74.6s SHJ)."
     ),
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -914,7 +918,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__qty"))
         .filter(F.col("__qty") > 150)
     )
-    joined = o.join(qty, o["o_orderkey"] == qty["l_orderkey"])
+    joined = o.join(qty.hint("shuffle_hash"), o["o_orderkey"] == qty["l_orderkey"])
     return (
         joined.select(
             o["o_orderkey"].alias("order_id"),
