@@ -119,7 +119,16 @@ def test_fact_joins_are_size_driven_not_pinned(spark):
         for name, n_dims in expected_dim_broadcasts.items():
             plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
             assert plan.count("BroadcastHashJoin") == n_dims, (name, plan)
-            assert "SortMergeJoin" in plan, name
+            if name == "q18_large_orders":
+                # q18's fact join deliberately hints SHUFFLE_HASH on the
+                # post-HAVING aggregated residue: the build side per reduce
+                # partition is residue/numShufflePartitions (bounded — the
+                # partition count scales with the cluster), and skipping
+                # sort-merge's full sort of orders measured 1.9× at sf100.
+                assert "ShuffledHashJoin" in plan, name
+                assert "SortMergeJoin" not in plan, name
+            else:
+                assert "SortMergeJoin" in plan, name
             assert "BroadcastNestedLoopJoin" not in plan, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
@@ -180,7 +189,11 @@ def test_q18_preaggregates_before_join(spark):
     on l_orderkey, HAVING filter applied) BEFORE the join with orders — the
     join probe side is the post-HAVING residue, not the raw 4·SF-row fact."""
     plan = plan_of(REGISTRY["q18_large_orders"].spark(spark, SF_SMOKE))
-    join_pos = min(plan.find("SortMergeJoin") % (1 << 30), plan.find("BroadcastHashJoin") % (1 << 30))
+    join_pos = min(
+        plan.find("SortMergeJoin") % (1 << 30),
+        plan.find("BroadcastHashJoin") % (1 << 30),
+        plan.find("ShuffledHashJoin") % (1 << 30),
+    )
     agg_pos = plan.find("HashAggregate")
     assert agg_pos != -1 and join_pos < (1 << 30)
     # aggregate appears below (after, in toString order) the join operator
