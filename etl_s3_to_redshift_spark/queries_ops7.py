@@ -1022,13 +1022,17 @@ def entity_groups_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("name"),
         )
     )
-    # n_segments=18 = the name length → unit segments, so the pair list
-    # never materializes: each complement block is an exact clique and a
-    # per-block star feeds connected components directly (one shuffle
-    # replaces block self-join + pair dedup + levenshtein — see
+    # n_segments = observed max name length → unit segments, so the pair
+    # list never materializes: each complement block is an exact clique
+    # and a per-block star feeds connected components directly (one
+    # shuffle replaces block self-join + pair dedup + levenshtein — see
     # operators/fuzzy.substitution_clique_components; r6 perf task).
+    # Derived from the data (1-row scalar aggregate, one linear scan)
+    # rather than hardcoded: the 18-char `Customer#%09d` assumption broke
+    # at sf100, where 10-digit offset keys widen names to 19 chars.
+    n_seg = records.agg(F.max(F.length("name"))).first()[0]
     comp = substitution_clique_components(
-        records, id_col="rec_id", s_col="name", n_segments=18
+        records, id_col="rec_id", s_col="name", n_segments=int(n_seg)
     )
     out = records.join(
         comp.withColumnRenamed("vertex", "rec_id"), "rec_id", "left"
