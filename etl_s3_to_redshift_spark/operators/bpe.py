@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_s3_to_redshift_spark.functions.text import words
 
@@ -262,7 +263,12 @@ def train_bpe(
     20-merge sequential wall (~7× fewer driver round-trips per merge);
     the local fast path closes the same 16-merge training in ~1s."""
     spark = docs.sparkSession
-    wf = word_freq_table(docs, text_col).localCheckpoint(eager=True)
+    # DISK_ONLY lineage cuts throughout: an evicted memory-resident
+    # localCheckpoint block is unrecoverable (see components.py), and at
+    # web scale the word/vocab frames are vocabulary-sized, not constant.
+    wf = word_freq_table(docs, text_col).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     n_words = wf.count()
     if n_words <= local_vocab_max:
         rows = _train_bpe_rows(
@@ -276,7 +282,9 @@ def train_bpe(
     # empty tasks — the driver loop is job-latency-bound; a web-scale
     # vocab still spreads across the cluster)
     n_parts = max(1, min(int(spark.sparkContext.defaultParallelism), n_words // 50_000 + 1))
-    vocab = vocab.coalesce(n_parts).localCheckpoint(eager=True)
+    vocab = vocab.coalesce(n_parts).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
 
     merges: list[tuple[int, str, str, str, int]] = []
     since_ckpt = 0
@@ -315,7 +323,9 @@ def train_bpe(
         )
         since_ckpt += len(batch)
         if since_ckpt >= checkpoint_every:
-            vocab = vocab.localCheckpoint(eager=True)
+            vocab = vocab.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY
+            )
             since_ckpt = 0
 
     return spark.createDataFrame(

@@ -29,6 +29,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Lineage-truncation storage: DISK_ONLY, never the MEMORY_AND_DISK
+# default. localCheckpoint truncates lineage, so an evicted block is
+# UNRECOVERABLE ("Block rdd_N_M does not exist") — and memory-resident
+# edge-sized blocks are exactly what gets evicted under pressure
+# (observed at sf100: the ~340M-row star edge list OOMed a 16g heap,
+# then the loop died on lost blocks). Local disk is sequential-scan
+# fast; the frames here are re-read a handful of times (log-diameter
+# rounds), so trading resident memory for disk reads is the 100 TB-safe
+# default.
+_CKPT = StorageLevel.DISK_ONLY
 
 
 def _driver_union_find(edge_rows, spark, schema) -> DataFrame:
@@ -79,7 +91,7 @@ def connected_components(
     # sf0.1 fuzzy entity graph). The pair list is match-sized, so
     # materializing it is the cheap side.
     raw = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    raw = raw.localCheckpoint(eager=True)
+    raw = raw.localCheckpoint(eager=True, storageLevel=_CKPT)
     # Adaptive small-graph path (same device as bpe.py's driver-local
     # vocabulary fast path, pinned result-equal in tests): when the pair
     # list fits the same memory class the label-table broadcast below
@@ -107,7 +119,7 @@ def connected_components(
     )
     # the symmetrized edge list is re-joined every iteration: truncate its
     # lineage too so rounds re-read a materialized frame
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True, storageLevel=_CKPT)
     labels = (
         edges.select(F.col("u").alias("vertex"))
         .distinct()
@@ -167,7 +179,9 @@ def connected_components(
             .groupBy("vertex")
             .agg(F.min("component").alias("component"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage growth
+        new_labels = new_labels.localCheckpoint(  # cut lineage growth
+            eager=True, storageLevel=_CKPT
+        )
         if numeric_ids:
             cur_sum = new_labels.agg(
                 F.sum(F.col("component").cast("decimal(38,0)")).alias("s")

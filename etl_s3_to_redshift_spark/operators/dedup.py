@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_s3_to_redshift_spark.functions.text import normalize_text, shingles, words
 from etl_s3_to_redshift_spark.operators.blocking import pairs_within_buckets
@@ -578,7 +579,9 @@ def minhash_append_pairs(
     # frame would be empty and the batch's pairs silently lost even though
     # the rows appended. localCheckpoint materializes the ids eagerly,
     # cutting the lineage to the pre-append listing.
-    new_ids = fresh.select(F.col(id_col)).localCheckpoint()
+    new_ids = fresh.select(F.col(id_col)).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     new_sigs = _shingle_sets(fresh, text_col, id_col, k).select(
         F.col(id_col), F.col("sh"), *_sig_cols(num_hashes)
     )

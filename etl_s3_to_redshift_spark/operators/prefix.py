@@ -40,6 +40,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 __all__ = ["ranked_running"]
 
@@ -86,8 +87,11 @@ def ranked_running(
     # one branch, the two passes could get DIFFERENT boundaries and the
     # broadcast offsets would silently misalign with the local ranks.
     # Pin one materialized partitioning (same pattern as components.py /
-    # bpe.py lineage cuts).
-    ranged = ranged.localCheckpoint(eager=True)
+    # bpe.py lineage cuts). DISK_ONLY: this frame is FACT-sized, and a
+    # memory-resident localCheckpoint block that gets evicted under
+    # pressure is unrecoverable (lineage is gone) — observed as OOM +
+    # "Block does not exist" on 600M-row inputs at sf100.
+    ranged = ranged.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     w_local = Window.partitionBy("__pid").orderBy(*order_cols)
     local_cols = [F.row_number().over(w_local).cast("long").alias("__lrk")]
     if value_col is not None:

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_s3_to_redshift_spark.functions.text import (
     md5_fingerprint,
@@ -273,7 +274,9 @@ def unigram_logprob_scores(
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("token"),
     ).filter(F.length("token") >= 1)
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    tf = tf.localCheckpoint(eager=True)
+    # DISK_ONLY: tf is CORPUS-sized; a memory-resident truncated-lineage
+    # block evicted under pressure is unrecoverable (see components.py)
+    tf = tf.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     n_total = tf.agg(F.sum("tf").alias("s")).collect()[0]["s"]
     wtok = Window.partitionBy("token")
     scored = (

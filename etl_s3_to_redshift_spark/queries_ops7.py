@@ -13,6 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from etl_s3_to_redshift_spark.queries import _t, register
 from etl_s3_to_redshift_spark.queries_data import SQL_WORDS
@@ -556,7 +557,7 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list is node^2-sized (<=625 rows), so localCheckpoint materializes
     # it once and the iterations reuse the tiny frame (3.45s -> ~1s at
     # sf0.1; same pattern as dedup_groups_incremental).
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     probs = edges.join(outw, "src").select(
         "src", "dst", (F.col("w").cast("double") / F.col("out_w").cast("double")).alias("p")
@@ -568,7 +569,9 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # each iteration references ranks twice (contribution + dangling)
         # — checkpoint keeps the lineage linear instead of doubling per
         # round, and the frame is |V| rows
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
         contrib = (
             ranks.join(probs, ranks["node"] == probs["src"])
             .groupBy(F.col("dst").alias("node"))
