@@ -556,8 +556,13 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run the fact-sized join pipeline for every reference. The edge
     # list is node^2-sized (<=625 rows), so localCheckpoint materializes
     # it once and the iterations reuse the tiny frame (3.45s -> ~1s at
-    # sf0.1; same pattern as dedup_groups_incremental).
-    edges = edges.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    # sf0.1; same pattern as dedup_groups_incremental). MEMORY_AND_DISK,
+    # not DISK_ONLY: eviction spills (never drops) under this level, and
+    # a <=625-row block is not worth a per-reference disk read — the
+    # DISK_ONLY rule is for fact/corpus-sized truncated frames only.
+    edges = edges.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     probs = edges.join(outw, "src").select(
         "src", "dst", (F.col("w").cast("double") / F.col("out_w").cast("double")).alias("p")
@@ -568,9 +573,9 @@ def graph_pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PR_ITERS):
         # each iteration references ranks twice (contribution + dangling)
         # — checkpoint keeps the lineage linear instead of doubling per
-        # round, and the frame is |V| rows
+        # round, and the frame is |V| rows (25) so it stays memory-level
         ranks = ranks.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
         )
         contrib = (
             ranks.join(probs, ranks["node"] == probs["src"])
