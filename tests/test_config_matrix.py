@@ -1,0 +1,97 @@
+"""Config-robustness matrix over the registered queries whose machinery
+has config-sensitive history.
+
+Each query must produce IDENTICAL canonical results under three
+adversarial SQL configs, compared against the same session's default
+run:
+
+- ``spark.sql.exchange.reuse=false`` — the two-pass prefix operator
+  (supplier_pareto_revenue, hist_equidepth_deciles) originally relied
+  on the range Exchange being reused between its local-rank and
+  offset branches; without reuse the branches could sample DIFFERENT
+  range boundaries and silently misalign (ADVICE r5). The fix pins the
+  ranged frame with an eager localCheckpoint; this matrix keeps that
+  class of bug from shipping again in ANY query.
+- ``spark.sql.adaptive.enabled=false`` — AQE rewrites join strategies
+  and coalesces partitions at runtime; results must not depend on it
+  (q18's SHUFFLE_HASH hint must hold with AQE off too).
+- ``spark.sql.ansi.enabled=true`` — implicit-cast laxness must not be
+  load-bearing (the PSI string-bucket bug class, ADVICE r5).
+
+Comparison uses the same exact string canonicalization as
+tools/check_oracle.py (order-insensitive, trailing-zero-normalized
+decimals), so "identical" means driver-gate identical, not approx.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_SMOKE
+
+from etl_s3_to_redshift_spark.queries import REGISTRY, _load_extensions
+
+_load_extensions()
+
+# The config-sensitive machinery each query pins:
+#   two-pass prefix (ranged-exchange pin), iterative CC + clique
+#   contraction, banded LSH bucket join, BPE train->apply with
+#   checkpoint cuts, per-iteration checkpointed PageRank, the q18
+#   SHUFFLE_HASH hint, and a plain agg baseline.
+MATRIX_QUERIES = [
+    "q1_pricing_summary",
+    "q18_large_orders",
+    "supplier_pareto_revenue",
+    "hist_equidepth_deciles",
+    "graph_pagerank_nations",
+    "entity_groups_fuzzy",
+    "dedup_minhash_lsh",
+    "text_bpe_tokenize",
+]
+
+VARIANTS = {
+    "exchange_reuse_off": {"spark.sql.exchange.reuse": "false"},
+    "aqe_off": {"spark.sql.adaptive.enabled": "false"},
+    "ansi_on": {"spark.sql.ansi.enabled": "true"},
+}
+
+
+def _canon_rows(df):
+    from tools.check_oracle import canon_df
+
+    return canon_df(df.toPandas())
+
+
+def _run(spark, name):
+    return _canon_rows(REGISTRY[name].spark(spark, SF_SMOKE))
+
+
+@pytest.fixture(scope="module")
+def baselines(spark):
+    return {name: _run(spark, name) for name in MATRIX_QUERIES}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+@pytest.mark.parametrize("name", MATRIX_QUERIES)
+def test_query_invariant_under_config(spark, baselines, name, variant):
+    confs = VARIANTS[variant]
+    olds = {}
+    for k, v in confs.items():
+        try:
+            olds[k] = spark.conf.get(k)
+        except Exception:
+            olds[k] = None
+        spark.conf.set(k, v)
+    try:
+        got = _run(spark, name)
+    finally:
+        for k, old in olds.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+    want = baselines[name]
+    assert len(got) == len(want), (
+        f"{name} under {variant}: {len(got)} rows vs {len(want)} baseline"
+    )
+    assert got == want, f"{name} result changed under {variant}"
