@@ -144,6 +144,73 @@ def brute_force_topk_np(
     )
 
 
+def contrastive_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    round_to: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the ``k`` nearest-by-cosine corpus vectors whose ``label``
+    DIFFERS from the query's — the "looks similar, means different"
+    pairs a contrastive embedding model learns the most from.
+
+    ``queries`` carries (query_id, vec, label); ``corpus`` carries
+    (id, vec, label). Self-matches are excluded independently of the
+    label predicate. ``round_to`` rounds the score BEFORE ranking so
+    the ordering (and the k-boundary) is cross-engine exact; id breaks
+    residual ties — same determinism contract as ``brute_force_topk``.
+
+    Scale shape: identical to the exact-topk baseline — the query set
+    (queries ≪ corpus, the mining batch) broadcasts and the corpus
+    streams through a broadcast-nested-loop with per-row norms computed
+    once; the shuffle carries only the per-query candidate heap into
+    the window rank. At lake scale swap the scan for ``lsh_topk``
+    buckets and apply the same label-mismatch predicate to bucket
+    mates. North-star extension (no reference counterpart —
+    /root/reference/sql_queries.py has no similarity surface).
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(label_col).alias("__qlabel"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qnorm"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(label_col).alias("__clabel"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cnorm"),
+    )
+    d = dot(F.col("__cvec"), F.col("__qvec"))
+    sim = F.when(
+        (F.col("__cnorm") > 0) & (F.col("__qnorm") > 0),
+        d / (F.col("__cnorm") * F.col("__qnorm")),
+    )
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("__clabel") != F.col("__qlabel"))
+            & (F.col(query_id_col) != F.col(id_col))
+        )
+        .select(F.col(query_id_col), F.col(id_col), sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
 def cosine_pairs(
     corpus: DataFrame,
     threshold: float,

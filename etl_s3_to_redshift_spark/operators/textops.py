@@ -343,6 +343,125 @@ def pii_scrub(
     return res.withColumnRenamed("__pii_s", out_col)
 
 
+def dsir_logratio_weights(
+    df: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by the average per-token log-ratio between a TARGET
+    unigram model (documents where ``target`` is true — the
+    high-quality / in-domain exemplar set) and the model of the whole
+    raw pool. Documents whose token mix resembles the target score
+    high; importance-resampling by this weight tilts a raw crawl
+    toward the target domain without a trained classifier.
+
+    Both models are add-1 smoothed over the SHARED corpus vocabulary V:
+    p_t(w) = (c_t(w)+1)/(N_t+V), q(w) = (c(w)+1)/(N+V); the per-doc
+    score is Σ_w tf_wd · ln(p_t(w)/q(w)) / Σ_w tf_wd, rounded 6 dp
+    (log args are exact integer ratios on both engines; libm drift is
+    ~1e-16/token, 10 orders below the grain). Tokens are the
+    lowercase-alpha split shared with ``vocab_top_terms``.
+
+    Scale shape: the plan is the unigram-surprisal scorer's with one
+    extra windowed sum — ONE corpus tokenization into the per-(doc,
+    token) tf aggregate (localCheckpointed DISK_ONLY: it is re-read by
+    the scalar aggregate and the scoring pass), target/raw model
+    counts as two sums over the token-key window (vocabulary-sized
+    shuffle, model never broadcast — web-scale vocabularies grow
+    without bound), and the three scalars (N_t, N, V) as one bounded
+    1-row driver read. No UDFs, no corpus rescan.
+    """
+    toks = df.select(
+        F.col(id_col),
+        target.cast("long").alias("__tgt"),
+        F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("token"),
+    ).filter(F.length("token") >= 1)
+    # __tgt is functionally dependent on the doc id — keying on it adds
+    # no groups, it just rides the aggregate so the scoring pass needs
+    # no join back to the document table.
+    tf = toks.groupBy(id_col, "__tgt", "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    s = tf.agg(
+        F.sum(F.col("tf") * F.col("__tgt")).alias("nt"),
+        F.sum("tf").alias("na"),
+        F.count_distinct(F.col("token")).alias("v"),
+    ).collect()[0]
+    n_t, n_all, vocab = int(s["nt"]), int(s["na"]), int(s["v"])
+    wtok = Window.partitionBy("token")
+    logratio = F.log(
+        (F.sum(F.col("tf") * F.col("__tgt")).over(wtok) + 1).cast("double")
+        / F.lit(float(n_t + vocab))
+    ) - F.log(
+        (F.sum("tf").over(wtok) + 1).cast("double") / F.lit(float(n_all + vocab))
+    )
+    scored = tf.withColumn("__lr", logratio)
+    # + 0.0 normalizes IEEE negative zero: a doc whose average rounds to
+    # zero from below yields -0.0, and engines disagree on the sign bit
+    return scored.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tokens"),
+        (F.round(F.sum(F.col("tf") * F.col("__lr")) / F.sum("tf"), 6) + 0.0).alias(
+            "avg_logratio"
+        ),
+    )
+
+
+def ngram_novelty_scores(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document novelty under first-occurrence attribution: the
+    fraction of a document's DISTINCT word n-grams (default trigrams)
+    whose corpus-wide first occurrence (minimum doc id) is this
+    document. Freshly-crawled boilerplate and quoted/copied spans score
+    near 0, genuinely new text near 1 — the incremental-crawl signal
+    for "does this batch add anything", complementing exact/fuzzy dedup
+    (which answer "is this WHOLE document a copy").
+
+    Documents with fewer than ``n`` tokens contribute no n-grams and do
+    not appear in the output. Rate is an exact small-integer ratio
+    rounded 6 dp; min-id attribution is deterministic cross-engine.
+
+    Scale shape: n-grams are built inside the token array (the chained
+    zip of shifted slices shared with ``ngram_top_terms`` — no
+    posexplode self-join); the wide ops are the (doc, gram) distinct
+    (corpus-sized, hash-partitioned) and the min-over-gram window
+    (gram-key partitions, no global window). At lake scale the gram key
+    is where skew lives — hot boilerplate grams concentrate — but the
+    window carries only (doc, gram, min) triples, not text.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda t: F.length(t) >= 1
+    )
+    toks_df = df.select(F.col(id_col), toks.alias("__toks"))
+    t = F.col("__toks")
+    m = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.slice(t, 1, m)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, i + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    g = (
+        toks_df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .groupBy(id_col, "gram")
+        .agg(F.lit(1).alias("__one"))
+    )
+    wg = Window.partitionBy("gram")
+    scored = g.withColumn("__first", F.min(id_col).over(wg))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.round(
+            F.sum((F.col("__first") == F.col(id_col)).cast("int"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("novelty_rate"),
+    )
+
+
 def ngram_top_terms(
     df: DataFrame,
     k: int = 50,

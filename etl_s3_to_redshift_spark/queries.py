@@ -946,6 +946,7 @@ def _load_extensions() -> None:
         queries_ops5,
         queries_ops6,
         queries_ops7,
+        queries_ops8,
         queries_scalar,
         queries_tpch2,
     )
@@ -958,7 +959,8 @@ def _load_extensions() -> None:
 # the cohort whose newest driver row is OLDEST.  After round 5 the
 # per-round freshness census (CORRECTNESS_r0*.json keys) is r2:15,
 # r3:49, r4:47, r5:50 — so the round-6 slate is the 15 r2-stale queries
-# (closing VERDICT r5 item 1) followed by 35 of the r3 cohort; the r3
+# (closing VERDICT r5 item 1), then the 3 queries REGISTERED this round
+# (no driver evidence at all yet), then 32 of the r3 cohort; the r3
 # remainder and the r4 cohort lead round 7.  Every query stays
 # verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
@@ -982,8 +984,14 @@ _DRIVER_FIRST = [
     "udf_minmax_normalize",
     "scalar_math_conditional",
     "scalar_datetime_suite",
-    # r3 cohort (newest driver row round 3): 35 of 49 fit the cap;
-    # the remaining 14 (below) plus the r4 cohort lead round 7.
+    # Registered this round (zero driver evidence yet — outrank every
+    # refresh): DSIR importance weights, contrastive hard negatives,
+    # n-gram novelty.
+    "data_dsir_weights",
+    "emb_hard_negatives",
+    "text_ngram_novelty",
+    # r3 cohort (newest driver row round 3): 32 of 49 fit the cap;
+    # the remaining 17 (below) plus the r4 cohort lead round 7.
     "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
     "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
     "w4_value_range_frames", "grouping_sets_orders", "rollup_incremental_merge",
@@ -994,9 +1002,9 @@ _DRIVER_FIRST = [
     "text_vocab_topk", "scd2_customer_history", "merge_upsert_snapshot",
     "text_unigram_logprob", "profile_orders_columns", "text_quality_calibrate",
     "w5_trailing_hour_window", "seq_pattern_users", "snapshot_diff_customers",
-    "interval_join_shipments", "text_pii_scrub", "ts_interpolate_linear",
-    "data_weighted_sample", "text_bigram_topk",
+    "interval_join_shipments", "text_pii_scrub",
     # ---- 50-cap falls here: r3-cohort remainder leads round 7
+    "ts_interpolate_linear", "data_weighted_sample", "text_bigram_topk",
     "privacy_k_anonymity", "scale_winsorize", "emb_random_projection",
     "ts_anomaly_zscore", "attr_multi_touch", "data_split_leakage",
     "mm_audio_windows", "agg_mode_median", "w6_topk_with_ties",

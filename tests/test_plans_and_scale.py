@@ -79,6 +79,8 @@ def test_no_cartesian_products_anywhere(spark):
     allowed_bnl = {
         "sim_topk_cosine",
         "sim_topk_cosine_fast",
+        "emb_hard_negatives",  # deliberate broadcast-streamed similarity scan
+
         "cross_join_region_nation",  # deliberate bounded×bounded cross join
         "q22_dormant_value_customers",  # 1-row global-average broadcast (scalar subquery)
         "q11_important_part_value",  # 1-row global-threshold broadcast (scalar subquery)
