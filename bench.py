@@ -129,6 +129,11 @@ HEADLINE = [
     "hist_equidepth_deciles",
     "text_bpe_tokenize",  # train->apply tokenizer loop (vocab-memoized)
     "dq_drift_psi",  # PSI snapshot-drift audit (bucket-frame-bounded)
+    # round-6 additions (this session): DSIR importance weights,
+    # contrastive hard negatives, trigram first-occurrence novelty
+    "data_dsir_weights",
+    "emb_hard_negatives",
+    "text_ngram_novelty",
 ]
 
 
@@ -173,6 +178,11 @@ DATA_BOUND = [
     "text_bpe_tokenize",
     # round-6: end-to-end ER via clique-contraction blocking + CC
     "entity_groups_fuzzy",
+    # round-6 additions: DSIR weights and trigram novelty are corpus-
+    # scan text ops; hard-negative mining streams the corpus per query
+    "data_dsir_weights",
+    "emb_hard_negatives",
+    "text_ngram_novelty",
 ]
 
 
