@@ -130,10 +130,12 @@ HEADLINE = [
     "text_bpe_tokenize",  # train->apply tokenizer loop (vocab-memoized)
     "dq_drift_psi",  # PSI snapshot-drift audit (bucket-frame-bounded)
     # round-6 additions (this session): DSIR importance weights,
-    # contrastive hard negatives, trigram first-occurrence novelty
+    # contrastive hard negatives, trigram first-occurrence novelty,
+    # SemDeDup cluster-then-prune
     "data_dsir_weights",
     "emb_hard_negatives",
     "text_ngram_novelty",
+    "dedup_semantic_clusters",
 ]
 
 
@@ -179,10 +181,12 @@ DATA_BOUND = [
     # round-6: end-to-end ER via clique-contraction blocking + CC
     "entity_groups_fuzzy",
     # round-6 additions: DSIR weights and trigram novelty are corpus-
-    # scan text ops; hard-negative mining streams the corpus per query
+    # scan text ops; hard-negative mining streams the corpus per query;
+    # SemDeDup shuffles the corpus once into per-cluster gram kernels
     "data_dsir_weights",
     "emb_hard_negatives",
     "text_ngram_novelty",
+    "dedup_semantic_clusters",
 ]
 
 

@@ -959,8 +959,8 @@ def _load_extensions() -> None:
 # the cohort whose newest driver row is OLDEST.  After round 5 the
 # per-round freshness census (CORRECTNESS_r0*.json keys) is r2:15,
 # r3:49, r4:47, r5:50 — so the round-6 slate is the 15 r2-stale queries
-# (closing VERDICT r5 item 1), then the 3 queries REGISTERED this round
-# (no driver evidence at all yet), then 32 of the r3 cohort; the r3
+# (closing VERDICT r5 item 1), then the 4 queries REGISTERED this round
+# (no driver evidence at all yet), then 31 of the r3 cohort; the r3
 # remainder and the r4 cohort lead round 7.  Every query stays
 # verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
@@ -990,8 +990,9 @@ _DRIVER_FIRST = [
     "data_dsir_weights",
     "emb_hard_negatives",
     "text_ngram_novelty",
-    # r3 cohort (newest driver row round 3): 32 of 49 fit the cap;
-    # the remaining 17 (below) plus the r4 cohort lead round 7.
+    "dedup_semantic_clusters",
+    # r3 cohort (newest driver row round 3): 31 of 49 fit the cap;
+    # the remaining 18 (below) plus the r4 cohort lead round 7.
     "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
     "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
     "w4_value_range_frames", "grouping_sets_orders", "rollup_incremental_merge",
@@ -1002,9 +1003,10 @@ _DRIVER_FIRST = [
     "text_vocab_topk", "scd2_customer_history", "merge_upsert_snapshot",
     "text_unigram_logprob", "profile_orders_columns", "text_quality_calibrate",
     "w5_trailing_hour_window", "seq_pattern_users", "snapshot_diff_customers",
-    "interval_join_shipments", "text_pii_scrub",
+    "interval_join_shipments",
     # ---- 50-cap falls here: r3-cohort remainder leads round 7
-    "ts_interpolate_linear", "data_weighted_sample", "text_bigram_topk",
+    "text_pii_scrub", "ts_interpolate_linear", "data_weighted_sample",
+    "text_bigram_topk",
     "privacy_k_anonymity", "scale_winsorize", "emb_random_projection",
     "ts_anomaly_zscore", "attr_multi_touch", "data_split_leakage",
     "mm_audio_windows", "agg_mode_median", "w6_topk_with_ties",

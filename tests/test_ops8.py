@@ -126,6 +126,56 @@ def test_hard_negatives_equal_brute_force_with_label_filter(spark):
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_decisions_match_brute_force(spark):
+    """Every drop/keep decision re-derived by brute force: a vector is
+    dropped iff some smaller-id vector in its cluster sits at rounded
+    cosine >= threshold."""
+    import math
+
+    from etl_s3_to_redshift_spark.sources.tables import load_table
+
+    out = REGISTRY["dedup_semantic_clusters"].spark(spark, SF_SMOKE).collect()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, SF_SMOKE, "embeddings").collect()
+    }
+    by_cluster: dict[int, list[int]] = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r["vec_id"])
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    assert len(kept) == len(emb)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    n_dropped = 0
+    for cluster, ids in by_cluster.items():
+        ids.sort()
+        for i, v in enumerate(ids):
+            has_neighbor = any(cos(emb[u], emb[v]) >= 0.3 for u in ids[:i])
+            assert kept[v] == (not has_neighbor), (cluster, v)
+            n_dropped += int(has_neighbor)
+    assert n_dropped > 0, "threshold chose no drops — query is degenerate"
+
+
+def test_semantic_dedup_no_bnlj(spark):
+    """The within-cluster self-join must be a cell-key equi-join, never
+    a corpus-wide nested loop."""
+    from tests.test_plans_and_scale import plan_of
+
+    plan = plan_of(REGISTRY["dedup_semantic_clusters"].spark(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
 # N-gram novelty
 # ---------------------------------------------------------------------------
 
