@@ -544,7 +544,10 @@ def _kmeans_lloyd_local(mat: "np.ndarray", k: int, iters: int) -> list[list[floa
         raise ValueError("empty k-means training slice")
     centroids = mat[np.linspace(0, n - 1, num=min(k, n), dtype=np.int64)].copy()
     for _ in range(iters):
-        d2 = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # ||a-c||² = |a|² + |c|² - 2a·c via one matmul: (n,k) floats,
+        # never the (n,k,dim) broadcast cube (2.5 GB at a 50k×100×64
+        # slice). |a|² is constant per row — irrelevant to the argmin.
+        d2 = (centroids**2).sum(axis=1)[None, :] - 2.0 * (mat @ centroids.T)
         assign = d2.argmin(axis=1)
         for j in range(centroids.shape[0]):
             members = mat[assign == j]
@@ -556,10 +559,11 @@ def _kmeans_lloyd_local(mat: "np.ndarray", k: int, iters: int) -> list[list[floa
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    target_cluster_rows: int = 2000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -577,15 +581,23 @@ def semantic_dedup(
     cross-engine/partition-order stable.
 
     Scale shape: clustering bounds the quadratic term — candidate
-    pairs are Σ cluster_size², never corpus²; at lake scale grow
-    ``n_clusters`` ∝ corpus so cluster sizes stay bounded (the paper
-    runs K≈10⁵ on web scale), train the quantizer on a bounded id-hash
-    slice, and the self-join is a
-    cell-key equi-join — hash-partitioned, no broadcast of the corpus.
-    The synthetic testdata embeddings are near-uniform (max
-    within-cluster cosine ≈0.51 at sf0.01), so the registered query
-    uses τ=0.3 to exercise the prune path; on real data τ≈0.95.
+    pairs are Σ cluster_size², never corpus². ``n_clusters`` defaults
+    to ``max(16, n / target_cluster_rows)`` so the per-cluster gram
+    matrix stays ~``target_cluster_rows``² (32 MB of doubles at the
+    2000-row default) no matter the corpus: K grows with the data,
+    exactly the paper's regime (K≈10⁵ at web scale). The quantizer
+    trains on a bounded id-hash slice; the corpus-wide work is one
+    shuffle into cluster-keyed kernel groups — no broadcast, no
+    corpus×corpus join. The synthetic testdata embeddings are
+    near-uniform (max within-cluster cosine ≈0.51 at sf0.01), so the
+    registered query uses τ=0.3 to exercise the prune path; on real
+    data τ≈0.95.
     """
+    if n_clusters is None:
+        # one cheap count to size K — the id-sorted train collect below
+        # depends on corpus size anyway; max(16,...) keeps the sf0.01
+        # committed pin byte-stable (500 rows → 16 clusters)
+        n_clusters = max(16, int(corpus.count() // target_cluster_rows))
     # coarse clustering needs neither converged centroids nor the full
     # corpus as a training set: train driver-side on the 1-in-4 id-hash
     # slice (a pure row predicate — partition-layout-independent, unlike
@@ -594,10 +606,16 @@ def semantic_dedup(
     # so the slice stays ~10⁵ rows — quantizer quality needs thousands
     # of points per centroid, not the corpus. Cell ASSIGNMENT stays a
     # distributed JVM argmin over centroid literals (nearest_cells).
+    # Bounded collect: the 1-in-4 id-hash slice, id-sorted, capped at
+    # 100k rows (the quantizer needs thousands of points per centroid,
+    # not the corpus; orderBy+limit is deterministic, and the id-prefix
+    # bias of the cap is irrelevant to a coarse quantizer). Below the
+    # cap — every committed-pin scale — the cap is a no-op.
     train_rows = (
         corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(4)) == 0)
         .select(id_col, to_double_array(F.col(vec_col)).alias("__v"))
         .orderBy(id_col)
+        .limit(100_000)
         .collect()
     )
     mat = np.array([r["__v"] for r in train_rows], dtype=np.float64)

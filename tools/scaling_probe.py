@@ -67,6 +67,13 @@ QUERIES = [
     "text_bpe_tokenize",
     # round-6: end-to-end ER (clique-contraction blocking + adaptive CC)
     "entity_groups_fuzzy",
+    # round-6 curation additions: token-window DSIR weights, broadcast-
+    # streamed hard-negative mining, gram-window novelty, per-cluster
+    # gram-kernel SemDeDup
+    "data_dsir_weights",
+    "emb_hard_negatives",
+    "text_ngram_novelty",
+    "dedup_semantic_clusters",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
