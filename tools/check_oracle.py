@@ -64,7 +64,12 @@ def main() -> int:
     spark = get_spark("check_oracle")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata is one file per table; gen_sf1.py lakes are
+        # Spark-written part-file directories — glob either shape
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     failures = []
     for name in names:
