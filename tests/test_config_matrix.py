@@ -47,6 +47,12 @@ MATRIX_QUERIES = [
     "entity_groups_fuzzy",
     "dedup_minhash_lsh",
     "text_bpe_tokenize",
+    # round-6 curation additions: DSIR rides a DISK_ONLY-checkpointed
+    # tf frame + scalar collect; SemDeDup a checkpointed cell
+    # assignment + per-group Arrow kernel — both classes this matrix
+    # exists to pin (checkpoint cuts, grouped-kernel determinism)
+    "data_dsir_weights",
+    "dedup_semantic_clusters",
 ]
 
 VARIANTS = {
