@@ -621,11 +621,34 @@ def semantic_dedup(
     mat = np.array([r["__v"] for r in train_rows], dtype=np.float64)
     centroids = _kmeans_lloyd_local(mat, k=n_clusters, iters=8)
     idx = IvfIndex(centroids, cells=None, id_col=id_col, vec_col=vec_col)
-    idx.cells = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.element_at(idx.nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
-    )
+    if n_clusters <= 64:
+        # small K: JVM literal argmin (zero Python in the scan) — the
+        # committed-pin path (sf0.01 trains 16 clusters)
+        idx.cells = corpus.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.element_at(idx.nearest_cells(F.col(vec_col), 1), 1).alias("cell"),
+        )
+    else:
+        # large K: nearest_cells builds K literal struct expressions —
+        # codegen dies long before the paper's K≈10⁵. One Arrow batch
+        # matmul against the broadcast centroid matrix instead; per-row
+        # argmin is batching-independent, ties break to the lowest cell
+        # index in both paths.
+        cmat = np.array(centroids, dtype=np.float64)
+        c2 = (cmat**2).sum(axis=1)
+
+        def assign(batches):
+            for pdf in batches:
+                m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                d2 = c2[None, :] - 2.0 * (m @ cmat.T)
+                pdf = pdf[[id_col, vec_col]].copy()
+                pdf["cell"] = d2.argmin(axis=1).astype("int32")
+                yield pdf
+
+        idx.cells = corpus.select(id_col, vec_col).mapInPandas(
+            assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
+        )
     # materialize the assignment ONCE: three consumers (both join sides
     # and the output frame) would otherwise each re-run the 16-centroid
     # argmin over the corpus. DISK_ONLY per the lineage-truncation rule
