@@ -526,6 +526,20 @@ def build_ivf_index(
     return idx
 
 
+def _dense_or_zero(vals: list) -> "np.ndarray":
+    """Dense float64 matrix from a list of embedding rows, with NULL or
+    off-length rows replaced by zero vectors (dim = the first sane
+    row's). Zero rows have zero norm, which every cosine consumer in
+    this module already excludes from matching — the uniform dirty-data
+    contract (see the signature-kernel guard)."""
+    dim = next((len(v) for v in vals if v is not None), 0)
+    mat = np.zeros((len(vals), dim), dtype=np.float64)
+    for i, v in enumerate(vals):
+        if v is not None and len(v) == dim:
+            mat[i] = v
+    return mat
+
+
 def _kmeans_lloyd_local(mat: "np.ndarray", k: int, iters: int) -> list[list[float]]:
     """Deterministic driver-local Lloyd's k-means for BOUNDED training
     slices (the coarse-quantizer shape: thousands of rows × small dim —
@@ -612,13 +626,16 @@ def semantic_dedup(
     # bias of the cap is irrelevant to a coarse quantizer). Below the
     # cap — every committed-pin scale — the cap is a no-op.
     train_rows = (
-        corpus.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(4)) == 0)
+        corpus.filter(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(4)) == 0
+        )
+        .filter(F.col(vec_col).isNotNull())
         .select(id_col, to_double_array(F.col(vec_col)).alias("__v"))
         .orderBy(id_col)
         .limit(100_000)
         .collect()
     )
-    mat = np.array([r["__v"] for r in train_rows], dtype=np.float64)
+    mat = _dense_or_zero([r["__v"] for r in train_rows])
     centroids = _kmeans_lloyd_local(mat, k=n_clusters, iters=8)
     idx = IvfIndex(centroids, cells=None, id_col=id_col, vec_col=vec_col)
     if n_clusters <= 64:
@@ -640,7 +657,11 @@ def semantic_dedup(
 
         def assign(batches):
             for pdf in batches:
-                m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                # dirty rows become zero vectors → argmin of |c|², one
+                # deterministic cell; the prune kernel then keeps them
+                m = _dense_or_zero(pdf[vec_col].tolist())
+                if m.shape[1] != cmat.shape[1]:
+                    m = np.zeros((m.shape[0], cmat.shape[1]))
                 d2 = c2[None, :] - 2.0 * (m @ cmat.T)
                 pdf = pdf[[id_col, vec_col]].copy()
                 pdf["cell"] = d2.argmin(axis=1).astype("int32")
@@ -671,7 +692,11 @@ def semantic_dedup(
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id").reset_index(drop=True)
-        mat = np.array(pdf["__vec"].tolist(), dtype=np.float64)
+        # NULL / wrong-length embeddings would crash np.array; map them
+        # to the zero vector instead — zero-norm rows are excluded from
+        # matching below, so dirty rows are always KEPT and never block
+        # a neighbor (the lsh signature-kernel guard, ADVICE r5)
+        mat = _dense_or_zero(pdf["__vec"].tolist())
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         safe = np.where(norms == 0, 1.0, norms)
         sims = np.round((mat / safe) @ (mat / safe).T, r)

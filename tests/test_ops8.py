@@ -175,6 +175,24 @@ def test_semantic_dedup_no_bnlj(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_semantic_dedup_tolerates_null_and_ragged_rows(spark):
+    """NULL and wrong-length embeddings must pass through as KEPT rows
+    (zero-norm never matches), not crash the Arrow kernels — the
+    signature-kernel dirty-data contract (ADVICE r5)."""
+    import random
+
+    from etl_s3_to_redshift_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    rows += [(100, None), (101, [1.0, 2.0]), (102, [0.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semantic_dedup(df, threshold=0.3, n_clusters=4).collect()}
+    assert len(out) == 43
+    for dirty in (100, 101, 102):
+        assert out[dirty]["kept"] is True
+
+
 # ---------------------------------------------------------------------------
 # N-gram novelty
 # ---------------------------------------------------------------------------
