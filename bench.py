@@ -136,6 +136,10 @@ HEADLINE = [
     "emb_hard_negatives",
     "text_ngram_novelty",
     "dedup_semantic_clusters",
+    # round-6 second batch: bitext margin mining (all-pairs Arrow
+    # kernel + penalty windows), Gopher rule gate (narrow scan)
+    "emb_bitext_margin",
+    "text_gopher_rules",
 ]
 
 
@@ -187,6 +191,12 @@ DATA_BOUND = [
     "emb_hard_negatives",
     "text_ngram_novelty",
     "dedup_semantic_clusters",
+    # round-6 second batch: the Gopher gate is a pure corpus scan.
+    # emb_bitext_margin is deliberately NOT here: its registered form is
+    # exact all-pairs mining (|A|x|B| quadratic — the correctness
+    # baseline); past sf0.1 the honest shape is the ANN-shortlist swap
+    # documented in bitext_margin_pairs, not a quadratic bench point.
+    "text_gopher_rules",
 ]
 
 

@@ -1311,3 +1311,161 @@ def random_projection(
             for j in range(out_dims)
         ],
     )
+
+
+def bitext_margin_pairs(
+    emb: DataFrame,
+    side: Column,
+    k: int = 4,
+    threshold: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings"): split the embedding space into two sides by the
+    boolean ``side`` expression (e.g. two languages of a multilingual
+    encoder), then for every cross-side pair score
+
+        margin(x, y) = cos(x, y) /
+            ( Σ_{z∈NNk(x)} cos(x,z)/(2k) + Σ_{z∈NNk(y)} cos(y,z)/(2k) )
+
+    — raw cosine normalized by the average similarity of each vector's
+    own k-nearest cross-side neighborhood, which cancels the hubness
+    that makes raw-cosine mining precision collapse. Emitted pairs are
+    each source vector's best-margin target at ``margin >= threshold``,
+    flagged ``mutual`` when the pair is also the target's best source
+    (the "max" strategy's intersection — the high-precision subset).
+
+    Determinism contract (cross-engine exact): cosines are scored by a
+    BLAS matmul kernel and rounded to ``round_to`` BEFORE any ranking —
+    the BLAS-vs-fold summation drift (~1e-15) is absorbed by the 5e-7
+    rounding bin, the same contract as ``brute_force_topk_np``, so the
+    oracle stays the index-order fold. The k-NN penalty sums run in
+    DECIMAL over the rounded cosines (addition order can't perturb
+    them), are converted to double once, and the margin is itself
+    rounded before the best-pair ranking; all ranks tie-break on the
+    partner id. Zero/NULL/ragged vectors score no cosine and drop from
+    both neighborhoods and candidacy.
+
+    Scale shape: the scored frame is |A|×|B| here (exact mining — the
+    oracle-matched correctness path); at lake scale the candidate frame
+    comes from an ANN shortlist (``lsh_topk`` buckets or the IVF probe
+    join) and the SAME penalty/margin/mutual pipeline applies to the
+    shortlist, since the margin only reads each vector's own top-k.
+    Window shuffles are all keyed by one side's id — no global windows.
+    North-star extension (no reference counterpart —
+    /root/reference/sql_queries.py has no similarity surface).
+    """
+    import pandas as pd
+
+    sided = emb.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        side.alias("__side"),
+    )
+    a = sided.filter(F.col("__side")).select(
+        F.col(id_col).alias("src_id"), F.col("__v")
+    )
+    b = sided.filter(~F.col("__side")).select(
+        F.col(id_col).alias("tgt_id"), F.col("__v")
+    )
+    # Target-side matrix ships in the kernel closure — the mining-batch
+    # contract (one side is the batch being mined against the other; at
+    # lake scale neither side collects: the candidate pairs come from an
+    # ANN shortlist join and this kernel scores shortlist partitions).
+    b_rows = b.collect()
+    b_ids = np.array([r[0] for r in b_rows], dtype=np.int64)
+    b_dense = _dense_or_zero([r[1] for r in b_rows])
+    dim = b_dense.shape[1]
+    b_norms = np.linalg.norm(b_dense, axis=1)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids = pdf["src_id"].to_numpy()
+            rows = pdf["__v"].tolist()
+            # B's dim is authoritative: A rows that are NULL or off-dim
+            # become zero vectors → zero norm → never match (the
+            # module-wide dirty-data contract, see _dense_or_zero).
+            c = np.zeros((len(ids), dim), dtype=np.float64)
+            for i, v in enumerate(rows):
+                if v is not None and len(v) == dim:
+                    c[i] = np.asarray(v, dtype=np.float64)
+            c_norms = np.linalg.norm(c, axis=1)
+            sims = c @ b_dense.T  # (batch, |B|) — one BLAS call
+            ok = (c_norms[:, None] > 0) & (b_norms[None, :] > 0)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = sims / (c_norms[:, None] * b_norms[None, :])
+            src_idx, tgt_idx = np.nonzero(ok)
+            yield pd.DataFrame(
+                {
+                    "src_id": ids[src_idx],
+                    "tgt_id": b_ids[tgt_idx],
+                    "cos_sim": sims[src_idx, tgt_idx],
+                }
+            )
+
+    # Spread the streamed side (small sources arrive as one file split),
+    # score all pairs in one pass, and pin the scored frame: four window
+    # passes read it below, and recomputing the kernel per pass would
+    # triple the dominant cost. BLAS-vs-fold summation drift (~1e-15) is
+    # absorbed by the round_to bin (5e-7), same contract as
+    # brute_force_topk_np — the oracle stays the index-order fold.
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    scored = (
+        a.repartition(n_part)
+        .mapInPandas(kernel, schema="src_id long, tgt_id long, cos_sim double")
+        .withColumn("cos_sim", F.round(F.col("cos_sim"), round_to))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    # k-NN neighborhood penalties: rank within each vector's cross-side
+    # candidates, sum the top-k rounded cosines in exact decimal.
+    dec = F.col("cos_sim").cast("decimal(20,6)")
+    w_src = Window.partitionBy("src_id").orderBy(
+        F.col("cos_sim").desc(), F.col("tgt_id").asc()
+    )
+    w_tgt = Window.partitionBy("tgt_id").orderBy(
+        F.col("cos_sim").desc(), F.col("src_id").asc()
+    )
+    pen_src = (
+        scored.withColumn("__r", F.row_number().over(w_src))
+        .filter(F.col("__r") <= k)
+        .groupBy("src_id")
+        .agg(F.sum(dec).alias("__pen_src"))
+    )
+    pen_tgt = (
+        scored.withColumn("__r", F.row_number().over(w_tgt))
+        .filter(F.col("__r") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum(dec).alias("__pen_tgt"))
+    )
+    denom = (F.col("__pen_src") + F.col("__pen_tgt")).cast("double") / F.lit(
+        2.0 * k
+    )
+    margin6 = F.round(F.col("cos_sim") / denom, round_to) + F.lit(0.0)
+    with_margin = (
+        scored.join(F.broadcast(pen_src), "src_id")
+        .join(F.broadcast(pen_tgt), "tgt_id")
+        .withColumn("__denom", denom)
+        .filter(F.col("__denom") > 0)
+        .withColumn("margin", margin6)
+    )
+    w_fwd = Window.partitionBy("src_id").orderBy(
+        F.col("margin").desc(), F.col("tgt_id").asc()
+    )
+    w_bwd = Window.partitionBy("tgt_id").orderBy(
+        F.col("margin").desc(), F.col("src_id").asc()
+    )
+    return (
+        with_margin.withColumn("__fwd", F.row_number().over(w_fwd))
+        .withColumn("__bwd", F.row_number().over(w_bwd))
+        .filter((F.col("__fwd") == 1) & (F.col("margin") >= threshold))
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_sim",
+            "margin",
+            (F.col("__bwd") == 1).alias("mutual"),
+        )
+    )

@@ -575,3 +575,134 @@ def bigram_logprob_scores(
             "avg_neglogp"
         ),
     )
+
+
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_required_words: int = 2,
+) -> DataFrame:
+    """The Gopher corpus-filter rule set (Rae et al. 2021, Appendix A —
+    the keep/drop gate reused verbatim by later open pipelines): a
+    document survives iff it has 50–100k words, mean word length 3–10,
+    a hash/ellipsis symbol-to-word ratio ≤ 0.1, <90% bullet-started and
+    <30% ellipsis-ended lines, ≥80% of words containing an alphabetic
+    character, and at least 2 of the 8 required English function words
+    (the/be/to/of/and/that/have/with). Emits the measured features, one
+    boolean per rule, and the conjunction ``keep`` — features kept
+    alongside the verdict so threshold sweeps don't re-scan the corpus.
+
+    Scale shape: pure narrow per-row expressions over one materialized
+    token array — runs inside the scan stage, shuffle-free, at any
+    corpus size; the output is a filter gate for the pipeline's next
+    stage, so nothing here ever widens. Rounded to 6 dp (+0.0 to
+    normalize IEEE -0.0) for cross-engine comparison.
+
+    North-star extension (no reference counterpart —
+    /root/reference/sql_queries.py has no text surface).
+    """
+    toks = words(F.col(text_col))
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != "")
+    base = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        toks.alias("__toks"),
+        lines.alias("__lines"),
+    )
+    t = F.col("__toks")
+    ln = F.col("__lines")
+    n_words = F.size(t)
+    tok_chars = F.aggregate(t, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wl = F.when(
+        n_words > 0, tok_chars.cast("double") / n_words.cast("double")
+    )
+    text = F.col(text_col)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    sym_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words.cast("double")
+    )
+    n_lines = F.size(ln)
+    n_bullet = F.size(
+        F.filter(
+            ln,
+            lambda l: F.ltrim(l).startswith("- ")
+            | F.ltrim(l).startswith("* ")
+            | F.ltrim(l).startswith("•"),
+        )
+    )
+    n_ell_end = F.size(
+        F.filter(
+            ln,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    bullet_ratio = F.when(
+        n_lines > 0, n_bullet.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    ell_ratio = F.when(
+        n_lines > 0, n_ell_end.cast("double") / n_lines.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_alpha_words = F.size(F.filter(t, lambda w: w.rlike("[A-Za-z]")))
+    alpha_ratio = F.when(
+        n_words > 0, n_alpha_words.cast("double") / n_words.cast("double")
+    )
+    lower_toks = F.transform(t, F.lower)
+    n_required = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS]),
+            lambda w: F.array_contains(lower_toks, w),
+        )
+    )
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    rule_wc = (n_words >= min_words) & (n_words <= max_words)
+    rule_mwl = (
+        mean_wl.isNotNull()
+        & (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len)
+    )
+    rule_sym = sym_ratio.isNotNull() & (sym_ratio <= max_symbol_ratio)
+    rule_bullet = bullet_ratio < max_bullet_ratio
+    rule_ell = ell_ratio < max_ellipsis_ratio
+    rule_alpha = alpha_ratio.isNotNull() & (alpha_ratio >= min_alpha_word_ratio)
+    rule_req = n_required >= min_required_words
+    return base.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        r6(mean_wl).alias("mean_word_len"),
+        r6(sym_ratio).alias("symbol_ratio"),
+        r6(bullet_ratio).alias("bullet_ratio"),
+        r6(ell_ratio).alias("ellipsis_ratio"),
+        r6(alpha_ratio).alias("alpha_word_ratio"),
+        n_required.cast("int").alias("n_required_words"),
+        rule_wc.alias("rule_word_count"),
+        rule_mwl.alias("rule_mean_word_len"),
+        rule_sym.alias("rule_symbol_ratio"),
+        rule_bullet.alias("rule_bullet_lines"),
+        rule_ell.alias("rule_ellipsis_lines"),
+        rule_alpha.alias("rule_alpha_words"),
+        rule_req.alias("rule_required_words"),
+        (
+            rule_wc
+            & rule_mwl
+            & rule_sym
+            & rule_bullet
+            & rule_ell
+            & rule_alpha
+            & rule_req
+        ).alias("keep"),
+    )

@@ -947,6 +947,7 @@ def _load_extensions() -> None:
         queries_ops6,
         queries_ops7,
         queries_ops8,
+        queries_ops9,
         queries_scalar,
         queries_tpch2,
     )
@@ -986,13 +987,16 @@ _DRIVER_FIRST = [
     "scalar_datetime_suite",
     # Registered this round (zero driver evidence yet — outrank every
     # refresh): DSIR importance weights, contrastive hard negatives,
-    # n-gram novelty.
+    # n-gram novelty, SemDeDup, bitext margin mining, Gopher rule gate.
     "data_dsir_weights",
     "emb_hard_negatives",
     "text_ngram_novelty",
     "dedup_semantic_clusters",
-    # r3 cohort (newest driver row round 3): 31 of 49 fit the cap;
-    # the remaining 18 (below) plus the r4 cohort lead round 7.
+    "emb_bitext_margin",
+    "text_gopher_rules",
+    # r3 cohort (newest driver row round 3): 29 of 49 fit the cap after
+    # the six new round-6 queries; the remaining 20 (below) plus the r4
+    # cohort lead round 7.
     "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
     "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
     "w4_value_range_frames", "grouping_sets_orders", "rollup_incremental_merge",
@@ -1002,9 +1006,9 @@ _DRIVER_FIRST = [
     "funnel_user_conversion", "cohort_retention_weekly", "event_transition_matrix",
     "text_vocab_topk", "scd2_customer_history", "merge_upsert_snapshot",
     "text_unigram_logprob", "profile_orders_columns", "text_quality_calibrate",
-    "w5_trailing_hour_window", "seq_pattern_users", "snapshot_diff_customers",
-    "interval_join_shipments",
+    "w5_trailing_hour_window", "seq_pattern_users",
     # ---- 50-cap falls here: r3-cohort remainder leads round 7
+    "snapshot_diff_customers", "interval_join_shipments",
     "text_pii_scrub", "ts_interpolate_linear", "data_weighted_sample",
     "text_bigram_topk",
     "privacy_k_anonymity", "scale_winsorize", "emb_random_projection",
