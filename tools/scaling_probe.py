@@ -74,6 +74,12 @@ QUERIES = [
     "emb_hard_negatives",
     "text_ngram_novelty",
     "dedup_semantic_clusters",
+    # round-6 second batch: the Gopher gate is a pure scan (probe the
+    # full decade ladder); bitext margin is exact all-pairs mining —
+    # quadratic by construction, so probe it only through sf0.1 and
+    # read the curve against the documented ANN-shortlist swap.
+    "text_gopher_rules",
+    "emb_bitext_margin",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
