@@ -137,8 +137,10 @@ HEADLINE = [
     "text_ngram_novelty",
     "dedup_semantic_clusters",
     # round-6 second batch: bitext margin mining (all-pairs Arrow
-    # kernel + penalty windows), Gopher rule gate (narrow scan)
+    # kernel + penalty windows), its LSH-shortlist lake-scale variant,
+    # and the Gopher rule gate (narrow scan)
     "emb_bitext_margin",
+    "emb_bitext_margin_ann",
     "text_gopher_rules",
 ]
 

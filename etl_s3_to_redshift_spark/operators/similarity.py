@@ -1419,6 +1419,20 @@ def bitext_margin_pairs(
         .withColumn("cos_sim", F.round(F.col("cos_sim"), round_to))
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
+    return _margin_from_scored(scored, k, threshold, round_to)
+
+
+def _margin_from_scored(
+    scored: DataFrame, k: int, threshold: float, round_to: int
+) -> DataFrame:
+    """The penalty/margin/mutual stage of margin-based mining, over ANY
+    (src_id, tgt_id, cos_sim-rounded) candidate frame — all-pairs from
+    the exact miner, or an ANN shortlist at lake scale. Reads only each
+    vector's own top-k within the frame, so the two feeds share one
+    pipeline. Penalty joins are plain equi-joins (one row per distinct
+    src/tgt — AQE broadcasts them when small, shuffles when the mining
+    batch is corpus-sized; a broadcast hint here would pin corpus-sized
+    frames onto every executor at scale)."""
     # k-NN neighborhood penalties: rank within each vector's cross-side
     # candidates, sum the top-k rounded cosines in exact decimal.
     dec = F.col("cos_sim").cast("decimal(20,6)")
@@ -1445,8 +1459,8 @@ def bitext_margin_pairs(
     )
     margin6 = F.round(F.col("cos_sim") / denom, round_to) + F.lit(0.0)
     with_margin = (
-        scored.join(F.broadcast(pen_src), "src_id")
-        .join(F.broadcast(pen_tgt), "tgt_id")
+        scored.join(pen_src, "src_id")
+        .join(pen_tgt, "tgt_id")
         .withColumn("__denom", denom)
         .filter(F.col("__denom") > 0)
         .withColumn("margin", margin6)
@@ -1469,3 +1483,113 @@ def bitext_margin_pairs(
             (F.col("__bwd") == 1).alias("mutual"),
         )
     )
+
+
+def bitext_margin_pairs_lsh(
+    emb: DataFrame,
+    side: Column,
+    dim: int,
+    k: int = 4,
+    threshold: float = 1.0,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """The lake-scale realization of ``bitext_margin_pairs``: candidate
+    pairs come from random-hyperplane LSH bucket collisions (Charikar
+    2002 — the same planes/bands machinery as ``lsh_topk``) instead of
+    the |A|×|B| cross product, and the identical penalty/margin/mutual
+    pipeline (``_margin_from_scored``) runs on the shortlist. Both
+    sides bucketize with the same plane literals and meet in a plain
+    (band, bucket) equi-join — NO side is collected or broadcast, which
+    is what lets both sides be corpus-sized; pair work is
+    Σ per-bucket cross products, the LSH contract.
+
+    Semantics vs the exact miner: recall < 1 by design (pairs whose
+    vectors never share a bucket are unseen), and each vector's k-NN
+    penalty is computed over its SHORTLIST neighborhood — the standard
+    shortlist formulation of the margin criterion. Determinism is still
+    cross-engine exact: bucket membership depends only on dot-product
+    SIGNS of the literal plane chains (bit-identical folds), rescoring
+    rounds to ``round_to`` before every rank, ids break ties — same
+    contract that lets lsh_topk carry an exact DuckDB oracle.
+    """
+    sided = emb.select(
+        F.col(id_col), F.col(vec_col), side.alias("__side")
+    )
+    a = lsh_bucketize(
+        sided.filter(F.col("__side")), dim, n_planes, bands, vec_col, seed
+    ).select(
+        F.col(id_col).alias("src_id"),
+        F.col(vec_col).alias("__av"),
+        "band",
+        "bucket",
+    )
+    b = lsh_bucketize(
+        sided.filter(~F.col("__side")), dim, n_planes, bands, vec_col, seed
+    ).select(
+        F.col(id_col).alias("tgt_id"),
+        F.col(vec_col).alias("__bv"),
+        "band",
+        "bucket",
+    )
+    # Dedup multi-band collisions on the ID PAIR alone, then join the
+    # vectors back — vectors must never ride the pair-distinct shuffle
+    # (64 doubles per pair vs 2 longs; at lake scale that's the
+    # difference between shuffling the shortlist and re-shuffling the
+    # corpus per band).
+    pairs = (
+        a.select("src_id", "band", "bucket")
+        .join(b.select("tgt_id", "band", "bucket"), ["band", "bucket"])
+        .select("src_id", "tgt_id")
+        .distinct()
+    )
+    pairs_v = pairs.join(a.select("src_id", "__av").distinct(), "src_id").join(
+        b.select("tgt_id", "__bv").distinct(), "tgt_id"
+    )
+
+    import pandas as pd
+
+    def pair_cos(batches):
+        for pdf in batches:
+            a_list = pdf["__av"].tolist()
+            b_list = pdf["__bv"].tolist()
+            # one dim governs the batch (first sane row across both
+            # columns); NULL/off-dim rows zero out → zero norm → dropped,
+            # the module-wide dirty-data contract (_dense_or_zero)
+            dim_b = next(
+                (len(v) for v in a_list if v is not None),
+                next((len(v) for v in b_list if v is not None), 0),
+            )
+
+            def dense(vals):
+                m = np.zeros((len(vals), dim_b), dtype=np.float64)
+                for i, v in enumerate(vals):
+                    if v is not None and len(v) == dim_b:
+                        m[i] = v
+                return m
+
+            av, bv = dense(a_list), dense(b_list)
+            dots = np.einsum("ij,ij->i", av, bv)
+            na = np.linalg.norm(av, axis=1)
+            nb = np.linalg.norm(bv, axis=1)
+            ok = (na > 0) & (nb > 0)
+            yield pd.DataFrame(
+                {
+                    "src_id": pdf["src_id"].to_numpy()[ok],
+                    "tgt_id": pdf["tgt_id"].to_numpy()[ok],
+                    "cos_sim": dots[ok] / (na[ok] * nb[ok]),
+                }
+            )
+
+    scored = (
+        pairs_v.mapInPandas(
+            pair_cos, schema="src_id long, tgt_id long, cos_sim double"
+        )
+        .withColumn("cos_sim", F.round(F.col("cos_sim"), round_to))
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    )
+    return _margin_from_scored(scored, k, threshold, round_to)

@@ -994,9 +994,10 @@ _DRIVER_FIRST = [
     "dedup_semantic_clusters",
     "emb_bitext_margin",
     "text_gopher_rules",
-    # r3 cohort (newest driver row round 3): 29 of 49 fit the cap after
-    # the six new round-6 queries; the remaining 20 (below) plus the r4
-    # cohort lead round 7.
+    "emb_bitext_margin_ann",
+    # r3 cohort (newest driver row round 3): 28 of 49 fit the cap after
+    # the seven new round-6 queries; the remaining 21 (below) plus the
+    # r4 cohort lead round 7.
     "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
     "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
     "w4_value_range_frames", "grouping_sets_orders", "rollup_incremental_merge",
@@ -1006,9 +1007,9 @@ _DRIVER_FIRST = [
     "funnel_user_conversion", "cohort_retention_weekly", "event_transition_matrix",
     "text_vocab_topk", "scd2_customer_history", "merge_upsert_snapshot",
     "text_unigram_logprob", "profile_orders_columns", "text_quality_calibrate",
-    "w5_trailing_hour_window", "seq_pattern_users",
+    "w5_trailing_hour_window",
     # ---- 50-cap falls here: r3-cohort remainder leads round 7
-    "snapshot_diff_customers", "interval_join_shipments",
+    "seq_pattern_users", "snapshot_diff_customers", "interval_join_shipments",
     "text_pii_scrub", "ts_interpolate_linear", "data_weighted_sample",
     "text_bigram_topk",
     "privacy_k_anonymity", "scale_winsorize", "emb_random_projection",

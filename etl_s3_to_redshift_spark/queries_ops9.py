@@ -192,3 +192,153 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return gopher_quality_rules(docs)
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining, lake-scale path — LSH-shortlist candidates
+# ---------------------------------------------------------------------------
+
+
+_MARGIN_TAIL_SQL = """
+    pen_s AS (
+      SELECT src_id, sum(CAST(cos_sim AS DECIMAL(20,6))) AS pen FROM (
+        SELECT src_id, cos_sim,
+               row_number() OVER (PARTITION BY src_id
+                                  ORDER BY cos_sim DESC, tgt_id) AS r
+        FROM scored
+      ) t WHERE r <= {k} GROUP BY src_id
+    ), pen_t AS (
+      SELECT tgt_id, sum(CAST(cos_sim AS DECIMAL(20,6))) AS pen FROM (
+        SELECT tgt_id, cos_sim,
+               row_number() OVER (PARTITION BY tgt_id
+                                  ORDER BY cos_sim DESC, src_id) AS r
+        FROM scored
+      ) t WHERE r <= {k} GROUP BY tgt_id
+    ), m AS (
+      SELECT s.src_id, s.tgt_id, s.cos_sim,
+             round(s.cos_sim
+                   / (CAST(ps.pen + pt.pen AS DOUBLE) / {twok}), 6) + 0.0
+               AS margin
+      FROM scored s
+      JOIN pen_s ps USING (src_id)
+      JOIN pen_t pt USING (tgt_id)
+      WHERE CAST(ps.pen + pt.pen AS DOUBLE) / {twok} > 0
+    ), ranked AS (
+      SELECT src_id, tgt_id, cos_sim, margin,
+             row_number() OVER (PARTITION BY src_id
+                                ORDER BY margin DESC, tgt_id) AS fwd,
+             row_number() OVER (PARTITION BY tgt_id
+                                ORDER BY margin DESC, src_id) AS bwd
+      FROM m
+    )
+    SELECT src_id, tgt_id, cos_sim, margin, (bwd = 1) AS mutual
+    FROM ranked WHERE fwd = 1 AND margin >= {threshold}
+"""
+
+
+def _bitext_lsh_oracle_sql(
+    dim: int = 64,
+    n_planes: int = 16,
+    bands: int = 4,
+    k: int = 4,
+    threshold: float = 1.0,
+) -> str:
+    """Exact DuckDB twin of ``bitext_margin_pairs_lsh``: the plane
+    literals are baked in (same doubles the Spark plan ships), bucket
+    bits come from the identical left-associative fold chain, the
+    rescore cosine is the same index-order list fold rounded to 6 dp,
+    and the margin tail is shared verbatim with the exact miner's
+    oracle — so even the APPROXIMATE mining path is cross-engine exact,
+    the lsh_topk precedent applied to mining."""
+    from etl_s3_to_redshift_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, 42)
+    rpb = n_planes // bands
+
+    def chain(vec: str, ws) -> str:
+        return " + ".join(
+            f"CAST({vec}[{i + 1}] AS DOUBLE) * {w!r}" for i, w in enumerate(ws)
+        )
+
+    bits = ",\n               ".join(
+        f"CASE WHEN ({chain('embedding', planes[i])}) > 0 THEN 1 ELSE 0 END AS bit{i}"
+        for i in range(n_planes)
+    )
+    band_rows = "\n        UNION ALL\n        ".join(
+        "SELECT vec_id, label, {b} AS band, {bk} AS bucket FROM sigs".format(
+            b=b,
+            bk=" || ".join(
+                f"CAST(bit{b * rpb + r} AS VARCHAR)" for r in range(rpb)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS (
+        SELECT vec_id, label,
+               {bits}
+        FROM embeddings
+    ),
+    bucketed AS (
+        {band_rows}
+    ),
+    cand AS (
+        SELECT DISTINCT sb.vec_id AS src_id, tb.vec_id AS tgt_id
+        FROM bucketed sb
+        JOIN bucketed tb USING (band, bucket)
+        WHERE sb.label % 2 = 0 AND tb.label % 2 = 1
+    ),
+    dv AS (
+        SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings
+    ),
+    scored0 AS (
+        SELECT c.src_id, c.tgt_id,
+               round(CASE WHEN sn.n > 0 AND tn.n > 0 THEN
+                 list_aggregate(list_transform(range({dim}),
+                                               i -> sv.v[i+1] * tv.v[i+1]),
+                                'sum') / (sn.n * tn.n) END, 6) AS cos_sim
+        FROM cand c
+        JOIN dv sv ON sv.vec_id = c.src_id
+        JOIN dv tv ON tv.vec_id = c.tgt_id
+        JOIN (SELECT vec_id,
+                     sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                         'sum')) AS n
+              FROM dv) sn ON sn.vec_id = c.src_id
+        JOIN (SELECT vec_id,
+                     sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                         'sum')) AS n
+              FROM dv) tn ON tn.vec_id = c.tgt_id
+    ),
+    scored AS (
+        SELECT * FROM scored0 WHERE cos_sim IS NOT NULL
+    ),""" + _MARGIN_TAIL_SQL.format(k=k, twok=float(2 * k), threshold=threshold)
+
+
+@register(
+    "emb_bitext_margin_ann",
+    _bitext_lsh_oracle_sql(dim=64, n_planes=16, bands=4, k=4, threshold=1.0),
+    doc=(
+        "Lake-scale bitext mining (operators/similarity."
+        "bitext_margin_pairs_lsh): candidate pairs from random-"
+        "hyperplane LSH bucket collisions — both sides bucketize with "
+        "the same plane literals and meet in a plain (band, bucket) "
+        "equi-join, neither side collected or broadcast — then the "
+        "identical decimal-exact penalty/margin/mutual pipeline runs "
+        "on the shortlist. Pair work is per-bucket, not |A|x|B|; "
+        "recall < 1 by design vs emb_bitext_margin (the exact "
+        "baseline it graduates from, the sim_ann_* pattern applied "
+        "to mining). Bucket membership rides dot-product signs of "
+        "literal chains and rescoring rounds before ranking, so this "
+        "approximate path still carries an exact DuckDB oracle."
+    ),
+)
+def emb_bitext_margin_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        bitext_margin_pairs_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return bitext_margin_pairs_lsh(
+        emb, side=F.col("label") % 2 == 0, dim=64, k=4, threshold=1.0
+    )

@@ -288,3 +288,71 @@ def test_gopher_rules_property(spark, ws, newline_every):
     want = _py_gopher(text)
     for k, v in want.items():
         assert got[k] == v, (k, got[k], v, text[:80])
+
+
+# ---------------------------------------------------------------------------
+# bitext margin mining — LSH-shortlist (lake-scale) variant
+# ---------------------------------------------------------------------------
+
+
+def test_bitext_ann_recall_floor_vs_exact(spark):
+    """The LSH-shortlist miner recovers a pinned fraction of the exact
+    miner's pairs on the driver testdata (random synthetic embeddings —
+    the LSH-hardest case; real multilingual encoders cluster far more).
+    Measured 0.40 at sf0.01 with 16 planes / 4 bands; floor pinned with
+    headroom."""
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        bitext_margin_pairs,
+        bitext_margin_pairs_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    side = F.col("label") % 2 == 0
+    exact = {
+        (r["src_id"], r["tgt_id"])
+        for r in bitext_margin_pairs(emb, side, k=4, threshold=1.0).collect()
+    }
+    ann_rows = bitext_margin_pairs_lsh(
+        emb, side, dim=64, k=4, threshold=1.0
+    ).collect()
+    ann = {(r["src_id"], r["tgt_id"]) for r in ann_rows}
+    assert len(exact) > 0
+    assert len(ann & exact) / len(exact) >= 0.30
+    # schema parity with the exact miner
+    assert sorted(ann_rows[0].asDict()) == [
+        "cos_sim",
+        "margin",
+        "mutual",
+        "src_id",
+        "tgt_id",
+    ]
+
+
+def test_bitext_ann_dirty_rows_never_match(spark):
+    """NULL embeddings hash to the all-'0' signature (they CAN collide in
+    buckets) but zero out in the rescoring kernel → never emitted; ragged
+    rows likewise. Clean results must be byte-identical."""
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        bitext_margin_pairs_lsh,
+    )
+
+    clean = [
+        (i, [float(j == i % 4) for j in range(4)], i % 2) for i in range(8)
+    ]
+    dirty = clean + [(20, None, 0), (21, [1.0, 1.0], 1)]
+    side = F.col("label") % 2 == 0
+    res = []
+    for data in (clean, dirty):
+        df = spark.createDataFrame(
+            data, "vec_id long, embedding array<float>, label int"
+        )
+        res.append(
+            {
+                (r["src_id"], r["tgt_id"]): (r["cos_sim"], r["margin"], r["mutual"])
+                for r in bitext_margin_pairs_lsh(
+                    df, side, dim=4, k=2, threshold=0.0
+                ).collect()
+            }
+        )
+    assert res[0] == res[1]
+    assert all(s < 20 and t < 20 for s, t in res[1])
