@@ -142,6 +142,14 @@ HEADLINE = [
     "emb_bitext_margin",
     "emb_bitext_margin_ann",
     "text_gopher_rules",
+    # round-6 third batch: C4 cleaning gate (narrow scan), overlapping
+    # exact-substring coverage (two linear shuffles), CCNet perplexity
+    # buckets (unigram model + per-lang percentile join), SSL-prototypes
+    # pruning (quantizer + broadcast-centroid cosine + cluster windows)
+    "text_c4_rules",
+    "dedup_exact_substrings",
+    "text_perplexity_buckets",
+    "emb_prototypes_prune",
 ]
 
 
@@ -199,6 +207,13 @@ DATA_BOUND = [
     # baseline); past sf0.1 the honest shape is the ANN-shortlist swap
     # documented in bitext_margin_pairs, not a quadratic bench point.
     "text_gopher_rules",
+    # round-6 third batch: all four are corpus-linear — the C4 gate and
+    # window-coverage audit scan/shuffle the corpus, perplexity buckets
+    # ride the unigram-model shuffle, prototypes the quantizer assign
+    "text_c4_rules",
+    "dedup_exact_substrings",
+    "text_perplexity_buckets",
+    "emb_prototypes_prune",
 ]
 
 

@@ -677,3 +677,115 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def duplicated_window_coverage(
+    df: DataFrame,
+    window_tokens: int = 10,
+    max_freq: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication audit at token-window granularity
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better" — EXACTSUBSTR): every OVERLAPPING ``window_tokens``-token
+    window (stride 1) whose exact text occurs more than ``max_freq``
+    times corpus-wide is duplicated; a document's duplicated-substring
+    coverage is the fraction of its token positions lying under at
+    least one duplicated window. This is the stride-1 complement of
+    ``dedup_repeated_chunks`` (non-overlapping chunks, removal): any
+    duplicated substring of >= window_tokens tokens is a union of
+    duplicated windows, so coverage here == the paper's duplicated-span
+    share at window granularity. The paper builds a corpus suffix array
+    — inherently sequential; the window-hash form is the standard
+    distributed equivalent and what a Spark cluster can shuffle.
+
+    Plan: tokenize once (staged projection — the analyzer-inlining trap
+    measured in dedup_repeated_chunks), build windows data-side
+    (sequence+transform+posexplode, no Python), count window frequency
+    by 60-bit md5-prefix hash (the shuffle moves 8-byte keys, never
+    window text), then turn each doc's duplicated window STARTS into
+    covered-token counts with one interval-union pass: starts sorted,
+    each start contributes min(window_len, gap to previous start) — a
+    per-document window function, never a per-token explode.
+
+    Scale: two linear shuffles (frequency agg by hash ~= corpus token
+    count rows of 8-byte keys; per-doc union/aggregate), window function
+    partitioned BY DOCUMENT (bounded frames). Docs shorter than the
+    window contribute one whole-doc window (the dedup_repeated_chunks
+    convention); empty docs yield zero windows and coverage 0.
+
+    Returns (id, n_tokens, n_windows, n_dup_windows, dup_coverage).
+    """
+    from pyspark.sql import Window as W
+
+    k = int(window_tokens)
+    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
+    w = F.col("__w")
+    n = F.size(w)
+    win_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
+            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = staged.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        win_arr.alias("__wins"),
+    )
+    wins = base.select(
+        id_col,
+        "n_tokens",
+        F.posexplode("__wins").alias("s", "seg"),
+    ).withColumn(
+        "__h", F.conv(F.substring(F.md5(F.col("seg")), 1, 15), 16, 10).cast("long")
+    )
+    freq = wins.groupBy("__h").agg(F.count(F.lit(1)).alias("__freq"))
+    dup = (
+        wins.join(freq, "__h")
+        .filter(F.col("__freq") > max_freq)
+        .select(id_col, "n_tokens", "s")
+    )
+    wdoc = W.partitionBy(id_col).orderBy("s")
+    wlen = F.least(F.lit(k).cast("long"), F.col("n_tokens"))
+    cov = (
+        dup.withColumn("__prev", F.lag("s").over(wdoc))
+        .withColumn(
+            "__contrib",
+            F.when(F.col("__prev").isNull(), wlen).otherwise(
+                F.least(wlen, (F.col("s") - F.col("__prev")).cast("long"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum("__contrib").alias("__covered"),
+        )
+    )
+    return (
+        base.select(id_col, "n_tokens", F.size("__wins").cast("long").alias("n_windows"))
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_windows",
+            F.coalesce(F.col("n_dup_windows"), F.lit(0).cast("long")).alias(
+                "n_dup_windows"
+            ),
+            (
+                F.round(
+                    F.when(
+                        F.col("n_tokens") > 0,
+                        F.coalesce(F.col("__covered"), F.lit(0).cast("long")).cast(
+                            "double"
+                        )
+                        / F.col("n_tokens").cast("double"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("dup_coverage"),
+        )
+    )

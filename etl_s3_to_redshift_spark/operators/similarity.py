@@ -607,6 +607,69 @@ def semantic_dedup(
     registered query uses τ=0.3 to exercise the prune path; on real
     data τ≈0.95.
     """
+    cells, _ = _deterministic_cells(
+        corpus, n_clusters, id_col, vec_col, target_cluster_rows
+    )
+    # Per-cluster Arrow kernel instead of a pair-exploding self-join:
+    # one BLAS gram matrix per cluster replaces cluster_size² zip_with
+    # folds (the sim_ann_lsh signature-kernel precedent; measured
+    # 4.2 → 2.2 s at sf0.1). Each group fits by construction — the
+    # operator's whole premise is that clustering bounds cluster_size,
+    # so the m×m similarity matrix is bounded too (grow n_clusters with
+    # the corpus). Decisions are made on cosines rounded to ``round_to``
+    # INSIDE the kernel, so the boundary is batch-shape-independent:
+    # one group is always one kernel call with a fixed row order after
+    # the id sort.
+    t = float(threshold)
+    r = int(round_to)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        # NULL / wrong-length embeddings would crash np.array; map them
+        # to the zero vector instead — zero-norm rows are excluded from
+        # matching below, so dirty rows are always KEPT and never block
+        # a neighbor (the lsh signature-kernel guard, ADVICE r5)
+        mat = _dense_or_zero(pdf["__vec"].tolist())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        safe = np.where(norms == 0, 1.0, norms)
+        sims = np.round((mat / safe) @ (mat / safe).T, r)
+        ids = pdf["__id"].to_numpy()
+        zero = (norms[:, 0] == 0)
+        # drop i iff some EARLIER row (smaller id) is >= t; zero-norm
+        # rows never match anything (mirrors the NULL-cosine join path)
+        cand = (sims >= t) & ~zero[None, :] & ~zero[:, None]
+        dropped = (np.tril(cand, k=-1)).any(axis=1)
+        return pd.DataFrame(
+            {"__id": ids, "cell": pdf["cell"], "kept": ~dropped}
+        )
+
+    decided = (
+        cells.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), "cell"
+        )
+        .groupBy("cell")
+        .applyInPandas(prune, schema="__id long, cell int, kept boolean")
+    )
+    return decided.select(
+        F.col("__id").alias(id_col), F.col("cell").alias("cluster"), "kept"
+    )
+
+
+def _deterministic_cells(
+    corpus: DataFrame,
+    n_clusters: int | None,
+    id_col: str,
+    vec_col: str,
+    target_cluster_rows: int,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Shared coarse-quantizer front end of ``semantic_dedup`` and
+    ``prototype_prune``: deterministic driver-local Lloyd on the
+    id-sorted 1-in-4 id-hash slice, then a distributed cell assignment
+    (JVM literal argmin for small K, Arrow matmul past 64). Returns the
+    checkpointed (id, vec, cell) frame and the centroid list. Every
+    choice here is partition-layout-independent so downstream outputs
+    can be pinned as committed-expectation oracles.
+    """
     if n_clusters is None:
         # one cheap count to size K — the id-sorted train collect below
         # depends on corpus size anyway; max(16,...) keeps the sf0.01
@@ -676,49 +739,84 @@ def semantic_dedup(
     # for corpus-sized frames (see components.py); at lake scale this is
     # IvfIndex.save's partitioned parquet instead.
     cells = idx.cells.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    return cells, centroids
 
-    # Per-cluster Arrow kernel instead of a pair-exploding self-join:
-    # one BLAS gram matrix per cluster replaces cluster_size² zip_with
-    # folds (the sim_ann_lsh signature-kernel precedent; measured
-    # 4.2 → 2.2 s at sf0.1). Each group fits by construction — the
-    # operator's whole premise is that clustering bounds cluster_size,
-    # so the m×m similarity matrix is bounded too (grow n_clusters with
-    # the corpus). Decisions are made on cosines rounded to ``round_to``
-    # INSIDE the kernel, so the boundary is batch-shape-independent:
-    # one group is always one kernel call with a fixed row order after
-    # the id sort.
-    t = float(threshold)
-    r = int(round_to)
 
-    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("__id").reset_index(drop=True)
-        # NULL / wrong-length embeddings would crash np.array; map them
-        # to the zero vector instead — zero-norm rows are excluded from
-        # matching below, so dirty rows are always KEPT and never block
-        # a neighbor (the lsh signature-kernel guard, ADVICE r5)
-        mat = _dense_or_zero(pdf["__vec"].tolist())
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        safe = np.where(norms == 0, 1.0, norms)
-        sims = np.round((mat / safe) @ (mat / safe).T, r)
-        ids = pdf["__id"].to_numpy()
-        zero = (norms[:, 0] == 0)
-        # drop i iff some EARLIER row (smaller id) is >= t; zero-norm
-        # rows never match anything (mirrors the NULL-cosine join path)
-        cand = (sims >= t) & ~zero[None, :] & ~zero[:, None]
-        dropped = (np.tril(cand, k=-1)).any(axis=1)
-        return pd.DataFrame(
-            {"__id": ids, "cell": pdf["cell"], "kept": ~dropped}
-        )
+def prototype_prune(
+    corpus: DataFrame,
+    drop_fraction: float = 0.3,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+    target_cluster_rows: int = 2000,
+) -> DataFrame:
+    """SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond neural
+    scaling laws: beating power law scaling via data pruning"): cluster
+    the embedding space, score each example by its cosine to its own
+    cluster centroid (high = prototypical/easy), and DROP the most
+    prototypical ``drop_fraction`` of every cluster — in the
+    data-abundant regime, pruning easy examples beats random subsetting.
+    Returns one row per vector: (id, cluster, proto_cos, kept).
 
-    decided = (
-        cells.select(
-            F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"), "cell"
-        )
-        .groupBy("cell")
-        .applyInPandas(prune, schema="__id long, cell int, kept boolean")
+    Spark-first shape: the deterministic coarse quantizer is shared
+    with ``semantic_dedup`` (``_deterministic_cells``); the
+    prototypicality score is a pure JVM expression — the corpus joins
+    the BROADCAST cluster-sized centroid table and computes the cosine
+    with zip_with/aggregate folds inside the scan, no Python. Ranking
+    is a window partitioned BY CLUSTER (bounded frames — cluster sizes
+    are bounded by construction, K grows with the corpus), ties broken
+    by id; the per-cluster drop count is floor(drop_fraction * size).
+    Cosines are rounded to ``round_to`` BEFORE ranking so the boundary
+    is cross-engine/partition-order stable.
+
+    Dirty rows (NULL / wrong-length / zero embeddings) score NULL
+    cosine, rank after every real row (NULLS LAST), and are always
+    kept — the module's uniform dirty-data contract.
+
+    North-star extension (no reference counterpart). Deterministic by
+    construction end to end, so the registered query pins a
+    committed-expectation oracle at sf0.01.
+    """
+    from pyspark.sql import Window as W
+
+    cells, centroids = _deterministic_cells(
+        corpus, n_clusters, id_col, vec_col, target_cluster_rows
     )
-    return decided.select(
-        F.col("__id").alias(id_col), F.col("cell").alias("cluster"), "kept"
+    spark = corpus.sparkSession
+    dim = len(centroids[0]) if centroids else 0
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        schema="cell int, __cent array<double>",
+    )
+    v = to_double_array(F.col(vec_col))
+    c = F.col("__cent")
+    dot = F.aggregate(
+        F.zip_with(v, c, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    nc = F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))
+    proto = F.when(
+        F.col(vec_col).isNotNull()
+        & (F.size(F.col(vec_col)) == dim)
+        & (nv > 0)
+        & (nc > 0),
+        F.round(dot / (nv * nc), round_to) + F.lit(0.0),
+    )
+    scored = cells.join(F.broadcast(cent_df), "cell").select(
+        F.col(id_col), F.col("cell").alias("cluster"), proto.alias("proto_cos")
+    )
+    wc = W.partitionBy("cluster")
+    rank = F.row_number().over(
+        wc.orderBy(F.col("proto_cos").desc_nulls_last(), F.col(id_col))
+    )
+    n_in_cluster = F.count(F.lit(1)).over(wc)
+    drop_n = F.floor(n_in_cluster * F.lit(float(drop_fraction)))
+    return scored.select(
+        id_col,
+        "cluster",
+        "proto_cos",
+        ((rank > drop_n) | F.col("proto_cos").isNull()).alias("kept"),
     )
 
 

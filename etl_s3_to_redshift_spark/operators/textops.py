@@ -706,3 +706,132 @@ def gopher_quality_rules(
             & rule_req
         ).alias("keep"),
     )
+
+
+def c4_quality_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 heuristic cleaning gate (Raffel et al. 2020, §2.2 — the
+    rule set behind the Colossal Clean Crawled Corpus, reused by T5 and
+    most later English web pipelines). Line level: a (non-blank) line
+    survives iff it ends in a terminal punctuation mark (. ! ? closing
+    quote), has at least ``min_line_words`` words, and does not mention
+    "javascript". Page level: the cleaned page is kept iff it has at
+    least ``min_sentences`` sentences left, does not contain the phrase
+    "lorem ipsum", and does not contain a curly brace. The two rules C4
+    applies that live elsewhere in this engine are cited, not repeated:
+    span dedup is ``dedup.dedup_repeated_chunks`` (C4 dropped repeated
+    3-sentence spans) and the bad-word list is a trivial parameter of
+    this gate's javascript clause.
+
+    Emits per document: line/sentence tallies, the reassembled
+    ``clean_text`` (kept lines joined with newlines), one boolean per
+    page rule, and the ``keep`` conjunction — features alongside the
+    verdict so threshold sweeps don't re-scan (the Gopher-gate shape).
+
+    Scale shape: pure narrow per-row expressions over one materialized
+    line array — runs inside the scan stage, shuffle-free at any corpus
+    size. Sentences are counted as terminal-punctuation marks in the
+    kept text (the cheap proxy; C4 used an English sentence splitter).
+
+    North-star extension (no reference counterpart —
+    /root/reference/sql_queries.py has no text surface).
+    """
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != "")
+    base = df.select(F.col(id_col), F.col(text_col), lines.alias("__lines"))
+    ln = F.col("__lines")
+
+    def line_kept(l: Column) -> Column:
+        n_words = F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda t: t != ""))
+        return (
+            F.rtrim(l).rlike('[.!?"”]$')
+            & (n_words >= min_line_words)
+            & ~F.contains(F.lower(l), F.lit("javascript"))
+        )
+
+    staged = base.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.size(ln).alias("n_lines"),
+        F.filter(ln, line_kept).alias("__kept"),
+    )
+    kept = F.col("__kept")
+    clean_text = F.array_join(kept, "\n")
+    n_sentences = F.size(F.regexp_extract_all(clean_text, F.lit("[.!?]"), 0))
+    text = F.col(text_col)
+    rule_sent = n_sentences >= min_sentences
+    rule_lorem = ~F.contains(F.lower(text), F.lit("lorem ipsum"))
+    rule_brace = ~F.contains(text, F.lit("{"))
+    return staged.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        clean_text.alias("clean_text"),
+        rule_sent.alias("rule_min_sentences"),
+        rule_lorem.alias("rule_no_lorem_ipsum"),
+        rule_brace.alias("rule_no_curly_brace"),
+        (rule_sent & rule_lorem & rule_brace).alias("keep"),
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score each
+    document with a language-model perplexity proxy, then split each
+    language's corpus into head / middle / tail terciles — head (lowest
+    perplexity) is the training-quality slice, tail the discard/review
+    slice. The LM here is the corpus's own unigram model
+    (``unigram_logprob_scores``); CCNet uses a pretrained KenLM, which
+    is a drop-in replacement for the score column.
+
+    Boundaries are EXACT interpolated percentiles (1/3, 2/3) per
+    language over the rounded per-doc score — two scalars per language
+    broadcast back as a tiny join, deliberately NOT a global ntile
+    (ranking every document in one window partition is a single-node
+    sort at web scale; the customer_rfm_segments pattern). Spark
+    ``percentile`` == DuckDB ``quantile_cont`` (linear interpolation)
+    on identical rounded doubles, so boundaries are bit-identical
+    cross-engine. Docs with no scoreable tokens are absent (they have
+    no LM score), matching ``unigram_logprob_scores``.
+
+    Returns (id, lang, n_tokens, avg_neglogp, ppl, bucket); ``ppl`` =
+    exp(mean surprisal) rounded 6 dp (libm exp drift is ~1 ulp of ~e^4,
+    ten orders below the grain).
+    """
+    scores = unigram_logprob_scores(df, text_col=text_col, id_col=id_col)
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
+    j = scores.join(langs, id_col)
+    third = 1.0 / 3.0
+    # boundaries are ROUNDED to the same 6-dp grid the scores live on:
+    # when the interpolation endpoints tie (heavy score ties), engines
+    # may assemble x*(1-f)+x*f vs x+f*(x-x) and land one ulp apart —
+    # observed flipping boundary docs at sf0.1. On-grid boundaries make
+    # the <= compare cross-engine exact (a boundary strictly between
+    # grid points can't equal any score either way).
+    bounds = j.groupBy("lang").agg(
+        F.round(F.percentile(F.col("avg_neglogp"), F.lit(third)), 6).alias("__b1"),
+        F.round(F.percentile(F.col("avg_neglogp"), F.lit(2.0 * third)), 6).alias(
+            "__b2"
+        ),
+    )
+    s = F.col("avg_neglogp")
+    return j.join(F.broadcast(bounds), "lang").select(
+        F.col(id_col),
+        "lang",
+        "n_tokens",
+        s.alias("avg_neglogp"),
+        (F.round(F.exp(s), 6) + F.lit(0.0)).alias("ppl"),
+        F.when(s <= F.col("__b1"), F.lit("head"))
+        .when(s <= F.col("__b2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

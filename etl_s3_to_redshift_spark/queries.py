@@ -948,6 +948,7 @@ def _load_extensions() -> None:
         queries_ops7,
         queries_ops8,
         queries_ops9,
+        queries_ops10,
         queries_scalar,
         queries_tpch2,
     )
@@ -987,7 +988,9 @@ _DRIVER_FIRST = [
     "scalar_datetime_suite",
     # Registered this round (zero driver evidence yet — outrank every
     # refresh): DSIR importance weights, contrastive hard negatives,
-    # n-gram novelty, SemDeDup, bitext margin mining, Gopher rule gate.
+    # n-gram novelty, SemDeDup, bitext margin mining (exact + ANN
+    # shortlist), Gopher rule gate, C4 gate, exact-substring coverage,
+    # CCNet perplexity buckets, SSL-prototypes pruning.
     "data_dsir_weights",
     "emb_hard_negatives",
     "text_ngram_novelty",
@@ -995,8 +998,12 @@ _DRIVER_FIRST = [
     "emb_bitext_margin",
     "text_gopher_rules",
     "emb_bitext_margin_ann",
-    # r3 cohort (newest driver row round 3): 28 of 49 fit the cap after
-    # the seven new round-6 queries; the remaining 21 (below) plus the
+    "text_c4_rules",
+    "dedup_exact_substrings",
+    "text_perplexity_buckets",
+    "emb_prototypes_prune",
+    # r3 cohort (newest driver row round 3): 24 of 49 fit the cap after
+    # the eleven new round-6 queries; the remaining 25 (below) plus the
     # r4 cohort lead round 7.
     "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
     "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
@@ -1006,9 +1013,9 @@ _DRIVER_FIRST = [
     "dedup_keep_best_quality", "asof_next_purchase", "data_source_mixture",
     "funnel_user_conversion", "cohort_retention_weekly", "event_transition_matrix",
     "text_vocab_topk", "scd2_customer_history", "merge_upsert_snapshot",
+    # ---- 50-cap falls here: r3-cohort remainder leads round 7
     "text_unigram_logprob", "profile_orders_columns", "text_quality_calibrate",
     "w5_trailing_hour_window",
-    # ---- 50-cap falls here: r3-cohort remainder leads round 7
     "seq_pattern_users", "snapshot_diff_customers", "interval_join_shipments",
     "text_pii_scrub", "ts_interpolate_linear", "data_weighted_sample",
     "text_bigram_topk",
