@@ -150,6 +150,13 @@ HEADLINE = [
     "dedup_exact_substrings",
     "text_perplexity_buckets",
     "emb_prototypes_prune",
+    # round-6 fourth batch: token-budget mixture (groupBy + broadcast
+    # quota + per-source running sum), CCNet line-hash keep-first dedup
+    # (two linear shuffles), greedy k-center coreset (k one-row
+    # driver round-trips over a checkpointed narrow frame)
+    "data_token_budget",
+    "dedup_lines_keepfirst",
+    "emb_kcenter_coreset",
 ]
 
 
@@ -214,6 +221,12 @@ DATA_BOUND = [
     "dedup_exact_substrings",
     "text_perplexity_buckets",
     "emb_prototypes_prune",
+    # round-6 fourth batch (all corpus-linear): token-budget mixture,
+    # line-hash keep-first dedup, greedy k-center coreset (k bounded
+    # scans — data-bound per scan)
+    "data_token_budget",
+    "dedup_lines_keepfirst",
+    "emb_kcenter_coreset",
 ]
 
 

@@ -789,3 +789,75 @@ def duplicated_window_coverage(
             ).alias("dup_coverage"),
         )
     )
+
+
+def dedup_lines_keep_first(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide line/paragraph-hash dedup, keep-first (the first step
+    of CCNet, Wenzek et al. 2020 — run BEFORE language ID, it strips
+    boilerplate headers/footers/cookie banners that repeat across pages
+    and would otherwise dominate every downstream signal). Every
+    non-blank line is keyed by its normalized text (lowercase, collapsed
+    whitespace); only the corpus-wide FIRST occurrence of each key — the
+    lexicographically smallest (doc, line index) — survives, and each
+    document is reassembled from its surviving lines in original order.
+
+    This is line-granular keep-first dedup, distinct from
+    ``dedup_repeated_chunks`` (fixed token windows, drop-all-copies) and
+    ``duplicated_window_coverage`` (overlapping-window audit): the unit
+    is the natural line, and one canonical copy of repeated content is
+    preserved rather than none.
+
+    Plan: one posexplode into (doc, idx, line) occurrences, first-
+    occurrence per 60-bit md5-prefix key via min(struct(doc, idx)) — an
+    8-byte-key shuffle, never line text (the oracle groups by the text;
+    collision odds ~1e-8, the dedup_repeated_chunks rationale) — one
+    join back, one per-doc reassembly. All shuffles linear in line
+    count.
+
+    Returns (id, n_lines, n_kept, clean_text).
+    """
+    from etl_s3_to_redshift_spark.functions.text import normalize_text
+
+    lines = F.split(F.col(text_col), "\n")
+    base = df.select(F.col(id_col), lines.alias("__lines"))
+    occ = (
+        base.select(id_col, F.posexplode("__lines").alias("idx", "line"))
+        .filter(F.trim(F.col("line")) != "")
+        .withColumn(
+            "__h",
+            F.conv(
+                F.substring(F.md5(normalize_text(F.col("line"))), 1, 15), 16, 10
+            ).cast("long"),
+        )
+    )
+    occ = occ.select(
+        F.col(id_col), "idx", "line", "__h", F.struct(id_col, "idx").alias("__pos")
+    )
+    firsts = occ.groupBy("__h").agg(F.min("__pos").alias("__first"))
+    kept = occ.join(firsts, "__h").filter(F.col("__pos") == F.col("__first"))
+    clean = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    totals = base.select(
+        id_col,
+        F.size(F.filter(F.col("__lines"), lambda l: F.trim(l) != ""))
+        .cast("long")
+        .alias("n_lines"),
+    )
+    return totals.join(clean, id_col, "left").select(
+        id_col,
+        "n_lines",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )

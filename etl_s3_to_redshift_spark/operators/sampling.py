@@ -209,6 +209,15 @@ def source_quotas(
             F.pow(F.col("n_rows").cast("double"), F.lit(float(temperature))) * F.lit(1e9)
         ).cast("decimal(38,0)")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_rows")).withColumn("w", w)
+    return _apportion(counts, budget, group_col)
+
+
+def _apportion(counts: DataFrame, budget: int, group_col: str) -> DataFrame:
+    """Largest-remainder apportionment over a pre-weighted counts frame
+    ``(group_col, n_rows, w)`` — shared by the row-budget
+    (``source_quotas``) and token-budget (``token_quotas``) mixtures.
+    ``n_rows`` is the group's deliverable unit total (rows or tokens);
+    the returned quota is capped at it."""
     # Total weight, leftover, and remainder rank are all computed with
     # GLOBAL windows over the #groups-row counts frame (single tiny
     # partition by construction) instead of scalar cross-joins — a
@@ -274,7 +283,103 @@ def source_mixture_sample(
     )
 
 
+def token_quotas(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+    temperature: float = 0.5,
+) -> DataFrame:
+    """``source_quotas`` in TOKEN units — the budget LLM pretraining
+    mixes are actually specified in (a 1T-token recipe apportions
+    tokens, not documents; doc length varies 100x across sources).
+    Weights are ``T_g ** temperature`` over each group's token total;
+    apportionment is the same exact-DECIMAL largest-remainder machinery
+    (see ``source_quotas`` for the engine-portability contract — the
+    same temperature caveats apply). Returns
+    ``(group_col, n_tokens, quota)`` with the token quota capped at the
+    group's total.
+
+    Scale shape: one map-side-combined groupBy summing a per-row token
+    count; everything after runs on #groups rows.
+    """
+    if temperature == 0.0:
+        w = F.lit(int(1e9)).cast("decimal(38,0)")
+    elif temperature == 1.0:
+        w = (
+            F.col("n_rows").cast("decimal(38,0)")
+            * F.lit(int(1e9)).cast("decimal(38,0)")
+        )
+    elif temperature == 0.5:
+        w = F.floor(F.sqrt(F.col("n_rows").cast("double")) * F.lit(1e9)).cast(
+            "decimal(38,0)"
+        )
+    else:
+        w = F.floor(
+            F.pow(F.col("n_rows").cast("double"), F.lit(float(temperature))) * F.lit(1e9)
+        ).cast("decimal(38,0)")
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.sum(token_col).cast("long").alias("n_rows"))
+        .withColumn("w", w)
+    )
+    return _apportion(counts, budget_tokens, group_col).withColumnRenamed(
+        "n_rows", "n_tokens"
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    token_col: str = "n_tokens",
+    temperature: float = 0.5,
+    seed: str = "tokmix",
+) -> DataFrame:
+    """Token-budget mixture sampling — the document-selection step of a
+    pretraining data recipe: apportion ``budget_tokens`` across sources
+    with temperature weights (``token_quotas``), then within each
+    source take documents in content-hash order while the RUNNING token
+    total stays within the source's quota (greedy prefix; the first
+    document that would cross the boundary is excluded, so delivered
+    tokens <= quota always). Content-hash order makes the selection
+    deterministic under re-runs, appends, and engine ports — the same
+    contract as ``source_mixture_sample``, which this generalizes from
+    row budgets to the token budgets real recipes are written in.
+
+    Returns kept docs as (id, group, doc tokens, running total, quota).
+
+    Scale shape: one groupBy for token totals, broadcast quota join,
+    one per-source window shuffle for the running sum. A single source
+    bigger than one executor's sort budget swaps the window for the
+    two-pass prefix operator (``operators/prefix.ranked_running``
+    partitioned by source) — same results, no single-task sort.
+    """
+    quotas = token_quotas(df, budget_tokens, group_col, token_col, temperature)
+    w = Window.partitionBy(group_col).orderBy(F.col("__hk").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__hk", _hash_key(F.col(id_col), seed))
+        # project the quota frame down to (group, quota): its n_tokens
+        # total would otherwise collide with the per-doc token column
+        .join(F.broadcast(quotas.select(group_col, "quota")), group_col)
+        .withColumn(
+            "cum_tokens",
+            F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+        .filter(F.col("cum_tokens") <= F.col("quota"))
+        .select(
+            id_col,
+            group_col,
+            F.col(token_col).cast("long").alias("doc_tokens"),
+            "cum_tokens",
+            "quota",
+        )
+    )
+
+
 def weighted_sample(
+
     df: DataFrame,
     n: int,
     weight_col: str,

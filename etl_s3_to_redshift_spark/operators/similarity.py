@@ -1691,3 +1691,116 @@ def bitext_margin_pairs_lsh(
         .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     return _margin_from_scored(scored, k, threshold, round_to)
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Greedy k-center (farthest-first traversal, Gonzalez 1985) coreset
+    selection — the classic diversity-sampling / active-learning coreset
+    rule (Sener & Savarese 2018): seed with the smallest-id vector, then
+    repeatedly add the point FARTHEST from the current center set, while
+    maintaining every point's distance to its nearest center. The
+    selected k rows are a 2-approximation of the optimal k-center cover;
+    the output doubles as the cover assignment (which center, how far),
+    i.e. the per-example "novelty" a curation pipeline thresholds.
+
+    Spark-first shape: the only iterative state is the (id, mindist,
+    nearest) frame. Each of the k-1 rounds is (a) one
+    TakeOrderedAndProject for the single farthest row (rounded-distance
+    desc, id asc — deterministic under ties), (b) one narrow map
+    updating mindist/nearest against the NEW center shipped as a
+    64-double literal array (JVM zip_with fold, no Python, no join), and
+    (c) an eager localCheckpoint to truncate the k-deep lineage
+    (DISK_ONLY — the frame is corpus-sized; the components.py rule).
+    Total: k bounded driver round-trips of ONE row each — the
+    BPE/PageRank iteration budget, with k fixed and small by definition
+    of the operator.
+
+    Distances are Euclidean, ROUNDED to ``round_to`` before every
+    comparison, so selection and assignment are partition-layout- and
+    engine-stable. Dirty rows (NULL / wrong-length) are never selectable
+    and carry NULL distance/assignment; ties in distance keep the
+    EARLIER center. Deterministic end to end — the registered query pins
+    a committed-expectation oracle at sf0.01.
+
+    Returns (id, center_rank of nearest, dist to it, is_center).
+    """
+    clean = F.col(vec_col).isNotNull()
+    base = corpus.select(
+        F.col(id_col).alias("__id"),
+        to_double_array(F.col(vec_col)).alias("__v"),
+    )
+    # dim from the first clean row (id order — deterministic)
+    first = (
+        base.filter(clean & (F.size("__v") > 0)).orderBy("__id").limit(1).collect()
+    )
+    if not first:
+        return corpus.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("center_rank"),
+            F.lit(None).cast("double").alias("dist"),
+            F.lit(False).alias("is_center"),
+        )
+    dim = len(first[0]["__v"])
+    ok = F.col("__v").isNotNull() & (F.size("__v") == dim)
+
+    def dist_to(center_vec: list[float]):
+        lit_arr = F.array(*[F.lit(float(x)) for x in center_vec])
+        return F.when(
+            ok,
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(F.col("__v"), lit_arr, lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                round_to,
+            )
+            + F.lit(0.0),
+        )
+
+    seed_id, seed_vec = first[0]["__id"], list(first[0]["__v"])
+    center_ids = [seed_id]
+    state = base.select(
+        "__id",
+        "__v",
+        dist_to(seed_vec).alias("mindist"),
+        F.when(ok, F.lit(0)).cast("int").alias("nearest"),
+    )
+    state = state.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    for rank in range(1, int(k)):
+        far = (
+            state.filter(F.col("mindist").isNotNull())
+            .orderBy(F.col("mindist").desc(), F.col("__id").asc())
+            .select("__id", "__v", "mindist")
+            .limit(1)
+            .collect()
+        )
+        if not far or far[0]["mindist"] == 0.0:
+            break  # fewer than k distinct points — cover is exact
+        cid, cvec = far[0]["__id"], list(far[0]["__v"])
+        center_ids.append(cid)
+        d = dist_to(cvec)
+        state = state.select(
+            "__id",
+            "__v",
+            F.least(F.col("mindist"), d).alias("mindist"),
+            F.when(d < F.col("mindist"), F.lit(rank))
+            .otherwise(F.col("nearest"))
+            .alias("nearest"),
+        )
+        state = state.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    is_center = F.col("__id").isin([int(c) for c in center_ids])
+    return state.select(
+        F.col("__id").alias(id_col),
+        F.col("nearest").alias("center_rank"),
+        F.col("mindist").alias("dist"),
+        (is_center & F.col("mindist").isNotNull()).alias("is_center"),
+    )

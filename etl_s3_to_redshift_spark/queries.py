@@ -1002,9 +1002,12 @@ _DRIVER_FIRST = [
     "dedup_exact_substrings",
     "text_perplexity_buckets",
     "emb_prototypes_prune",
-    # r3 cohort (newest driver row round 3): 24 of 49 fit the cap after
-    # the eleven new round-6 queries; the remaining 25 (below) plus the
-    # r4 cohort lead round 7.
+    "data_token_budget",
+    "dedup_lines_keepfirst",
+    "emb_kcenter_coreset",
+    # r3 cohort (newest driver row round 3): 21 of 49 fit the cap after
+    # the fourteen new round-6 queries; the remaining 28 (below) plus
+    # the r4 cohort lead round 7.
     "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
     "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
     "w4_value_range_frames", "grouping_sets_orders", "rollup_incremental_merge",
@@ -1012,10 +1015,10 @@ _DRIVER_FIRST = [
     "null_safe_join_events", "skew_key_profile", "hist_equidepth_deciles",
     "dedup_keep_best_quality", "asof_next_purchase", "data_source_mixture",
     "funnel_user_conversion", "cohort_retention_weekly", "event_transition_matrix",
-    "text_vocab_topk", "scd2_customer_history", "merge_upsert_snapshot",
     # ---- 50-cap falls here: r3-cohort remainder leads round 7
     "text_unigram_logprob", "profile_orders_columns", "text_quality_calibrate",
-    "w5_trailing_hour_window",
+    "w5_trailing_hour_window", "merge_upsert_snapshot", "scd2_customer_history",
+    "text_vocab_topk",
     "seq_pattern_users", "snapshot_diff_customers", "interval_join_shipments",
     "text_pii_scrub", "ts_interpolate_linear", "data_weighted_sample",
     "text_bigram_topk",

@@ -12,6 +12,7 @@ iterative quantizer.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_s3_to_redshift_spark.queries import _t, register
 
@@ -771,3 +772,698 @@ def emb_prototypes_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.similarity import prototype_prune
 
     return prototype_prune(_t(spark, sf_dir, "embeddings"), drop_fraction=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling — the units real pretraining recipes use
+# ---------------------------------------------------------------------------
+
+_TOK_BUDGET = 5000
+
+
+@register(
+    "data_token_budget",
+    f"""
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len({_WORDS_SQL}) AS BIGINT) AS doc_tokens
+        FROM documents
+    ),
+    counts AS (
+        SELECT source,
+               CAST(sum(doc_tokens) AS BIGINT) AS n_tokens,
+               CAST(CAST(floor(sqrt(CAST(sum(doc_tokens) AS DOUBLE)) * 1e9)
+                         AS BIGINT) AS HUGEINT) AS w
+        FROM sized GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(w) AS HUGEINT) AS t FROM counts),
+    quoted AS (
+        SELECT c.source, c.n_tokens, c.w,
+               (CAST({_TOK_BUDGET} AS HUGEINT) * c.w) // t.t AS quota0,
+               (CAST({_TOK_BUDGET} AS HUGEINT) * c.w) % t.t AS rem
+        FROM counts c CROSS JOIN tot t
+    ),
+    lo AS (SELECT CAST({_TOK_BUDGET} - sum(quota0) AS HUGEINT) AS leftover
+           FROM quoted),
+    q AS (
+        SELECT source,
+               CAST(least(quota0 + CASE
+                   WHEN row_number() OVER (ORDER BY rem DESC, source ASC)
+                        <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END,
+                   CAST(n_tokens AS HUGEINT))
+                 AS BIGINT) AS quota
+        FROM quoted
+    ),
+    ranked AS (
+        SELECT s.doc_id, s.source, s.doc_tokens, q.quota,
+               CAST(sum(s.doc_tokens) OVER (
+                   PARTITION BY s.source
+                   ORDER BY substring(md5('tokmix:' || CAST(s.doc_id AS VARCHAR)),
+                                      1, 8) ASC,
+                            s.doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM sized s JOIN q USING (source)
+    )
+    SELECT doc_id, source, doc_tokens, cum_tokens, quota
+    FROM ranked WHERE cum_tokens <= quota
+    """,
+    doc=(
+        "Token-budget mixture sampling (operators/sampling."
+        "token_budget_sample): apportion a TOKEN budget across sources "
+        "with temperature-0.5 weights over per-source token totals "
+        "(largest-remainder, exact DECIMAL/HUGEINT arithmetic — the "
+        "source_quotas contract), then greedily take each source's "
+        "documents in content-hash order while the running token total "
+        "stays within quota. Pretraining recipes are written in tokens, "
+        "not rows — this is data_source_mixture in the units that "
+        "matter. One groupBy for totals, broadcast quota join, one "
+        "per-source window for the running sum; deterministic under "
+        "re-runs, appends, and engine ports."
+    ),
+)
+def data_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.functions.text import token_count_ws
+    from etl_s3_to_redshift_spark.operators.sampling import token_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        token_count_ws(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    out = token_budget_sample(
+        docs, _TOK_BUDGET, id_col="doc_id", group_col="source",
+        token_col="n_tokens", temperature=0.5, seed="tokmix",
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CCNet line-hash dedup, keep-first — strip cross-page boilerplate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_lines_keepfirst",
+    r"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, chr(10)) AS lns FROM documents
+    ), occ0 AS (
+      SELECT doc_id,
+             generate_subscripts(lns, 1) - 1 AS idx,
+             unnest(lns) AS line
+      FROM base
+    ), occ AS (
+      SELECT doc_id, idx, line,
+             trim(regexp_replace(lower(line), '\s+', ' ', 'g')) AS key
+      FROM occ0 WHERE trim(line) != ''
+    ), f1 AS (
+      SELECT key, min(doc_id) AS md FROM occ GROUP BY key
+    ), f2 AS (
+      SELECT o.key, o.doc_id AS md, min(o.idx) AS mi
+      FROM occ o JOIN f1 ON o.key = f1.key AND o.doc_id = f1.md
+      GROUP BY o.key, o.doc_id
+    ), kept AS (
+      SELECT o.doc_id, o.idx, o.line
+      FROM occ o JOIN f2 ON o.key = f2.key AND o.doc_id = f2.md
+                        AND o.idx = f2.mi
+    ), clean AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id,
+             CAST(len(list_filter(lns, l -> trim(l) != '')) AS BIGINT)
+               AS n_lines
+      FROM base
+    )
+    SELECT t.doc_id, t.n_lines,
+           CAST(coalesce(c.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(c.clean_text, '') AS clean_text
+    FROM totals t LEFT JOIN clean c USING (doc_id)
+    """,
+    doc=(
+        "Corpus-wide line-hash dedup, keep-first (operators/dedup."
+        "dedup_lines_keepfirst; the first step of CCNet, Wenzek et al. "
+        "2020): every non-blank line keyed by normalized text; only the "
+        "corpus-wide first occurrence — min (doc, line index) — "
+        "survives, and documents reassemble from surviving lines in "
+        "order. Strips the boilerplate headers/footers that repeat "
+        "across pages; line-granular keep-FIRST, vs "
+        "dedup_repeated_chunks' fixed-window drop-all. First occurrence "
+        "is one min(struct) aggregate over a 60-bit md5-prefix key "
+        "shuffle (8-byte keys, never text — the oracle groups by the "
+        "text; ~1e-8 collision odds), then one join back and one "
+        "per-doc reassembly; all shuffles linear in line count."
+    ),
+)
+def dedup_lines_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.dedup import dedup_lines_keep_first
+
+    return dedup_lines_keep_first(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset — diversity selection with cover distances
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "emb_kcenter_coreset",
+    # Committed-expectation oracle (tools/gen_committed_oracle.py;
+    # REGRESSION PIN generated under Spark 4.1.2 — greedy farthest-first
+    # is iterative, not SQL-expressible; selection order and assignment
+    # are deterministic by construction (rounded-distance compares, id
+    # tiebreaks, id-seeded start) and the full output was verified
+    # bit-identical across plain local[7]/[13]/[32] driver-style
+    # sessions before pinning. Valid only at sf0.01; other SFs fall
+    # back to rows-only.
+    """
+    SELECT CAST("vec_id" AS BIGINT) AS "vec_id",
+           CAST("center_rank" AS INTEGER) AS "center_rank",
+           CAST("dist" AS DOUBLE) AS "dist",
+           CAST("is_center" AS BOOLEAN) AS "is_center"
+    FROM (VALUES
+        (0, 0, CAST('0.0' AS DOUBLE), true),
+        (1, 8, CAST('1.237991' AS DOUBLE), false),
+        (2, 1, CAST('1.21386' AS DOUBLE), false),
+        (3, 14, CAST('1.157641' AS DOUBLE), false),
+        (4, 3, CAST('1.283294' AS DOUBLE), false),
+        (5, 6, CAST('1.218642' AS DOUBLE), false),
+        (6, 6, CAST('1.236165' AS DOUBLE), false),
+        (7, 0, CAST('1.18925' AS DOUBLE), false),
+        (8, 9, CAST('1.273261' AS DOUBLE), false),
+        (9, 5, CAST('1.1089' AS DOUBLE), false),
+        (10, 6, CAST('1.235908' AS DOUBLE), false),
+        (11, 6, CAST('0.0' AS DOUBLE), true),
+        (12, 3, CAST('1.244279' AS DOUBLE), false),
+        (13, 3, CAST('1.276644' AS DOUBLE), false),
+        (14, 9, CAST('0.0' AS DOUBLE), true),
+        (15, 11, CAST('1.31427' AS DOUBLE), false),
+        (16, 4, CAST('1.285591' AS DOUBLE), false),
+        (17, 10, CAST('1.257405' AS DOUBLE), false),
+        (18, 8, CAST('1.322214' AS DOUBLE), false),
+        (19, 8, CAST('1.283612' AS DOUBLE), false),
+        (20, 6, CAST('1.152088' AS DOUBLE), false),
+        (21, 2, CAST('1.23743' AS DOUBLE), false),
+        (22, 15, CAST('1.267518' AS DOUBLE), false),
+        (23, 10, CAST('1.272187' AS DOUBLE), false),
+        (24, 3, CAST('1.277254' AS DOUBLE), false),
+        (25, 2, CAST('1.256048' AS DOUBLE), false),
+        (26, 5, CAST('1.257198' AS DOUBLE), false),
+        (27, 12, CAST('1.102954' AS DOUBLE), false),
+        (28, 13, CAST('1.202499' AS DOUBLE), false),
+        (29, 12, CAST('1.295106' AS DOUBLE), false),
+        (30, 6, CAST('1.124431' AS DOUBLE), false),
+        (31, 8, CAST('1.252266' AS DOUBLE), false),
+        (32, 0, CAST('1.249699' AS DOUBLE), false),
+        (33, 3, CAST('1.296252' AS DOUBLE), false),
+        (34, 4, CAST('1.172121' AS DOUBLE), false),
+        (35, 7, CAST('1.258777' AS DOUBLE), false),
+        (36, 6, CAST('1.232961' AS DOUBLE), false),
+        (37, 14, CAST('1.279405' AS DOUBLE), false),
+        (38, 6, CAST('1.298754' AS DOUBLE), false),
+        (39, 8, CAST('1.301262' AS DOUBLE), false),
+        (40, 15, CAST('1.231944' AS DOUBLE), false),
+        (41, 8, CAST('1.292294' AS DOUBLE), false),
+        (42, 12, CAST('1.204075' AS DOUBLE), false),
+        (43, 8, CAST('1.200107' AS DOUBLE), false),
+        (44, 6, CAST('1.243704' AS DOUBLE), false),
+        (45, 15, CAST('1.208165' AS DOUBLE), false),
+        (46, 7, CAST('1.151034' AS DOUBLE), false),
+        (47, 6, CAST('1.282596' AS DOUBLE), false),
+        (48, 4, CAST('1.135671' AS DOUBLE), false),
+        (49, 5, CAST('0.0' AS DOUBLE), true),
+        (50, 3, CAST('1.262151' AS DOUBLE), false),
+        (51, 13, CAST('1.197225' AS DOUBLE), false),
+        (52, 4, CAST('1.295737' AS DOUBLE), false),
+        (53, 12, CAST('1.265888' AS DOUBLE), false),
+        (54, 1, CAST('1.316808' AS DOUBLE), false),
+        (55, 12, CAST('1.281848' AS DOUBLE), false),
+        (56, 9, CAST('1.224533' AS DOUBLE), false),
+        (57, 4, CAST('1.294202' AS DOUBLE), false),
+        (58, 14, CAST('1.229087' AS DOUBLE), false),
+        (59, 9, CAST('1.211773' AS DOUBLE), false),
+        (60, 5, CAST('1.181621' AS DOUBLE), false),
+        (61, 3, CAST('1.223939' AS DOUBLE), false),
+        (62, 14, CAST('1.253777' AS DOUBLE), false),
+        (63, 4, CAST('1.282212' AS DOUBLE), false),
+        (64, 12, CAST('1.318435' AS DOUBLE), false),
+        (65, 7, CAST('1.241851' AS DOUBLE), false),
+        (66, 11, CAST('1.279692' AS DOUBLE), false),
+        (67, 4, CAST('1.153199' AS DOUBLE), false),
+        (68, 3, CAST('1.244447' AS DOUBLE), false),
+        (69, 10, CAST('1.210914' AS DOUBLE), false),
+        (70, 10, CAST('1.20189' AS DOUBLE), false),
+        (71, 11, CAST('1.288527' AS DOUBLE), false),
+        (72, 13, CAST('1.18712' AS DOUBLE), false),
+        (73, 0, CAST('1.187069' AS DOUBLE), false),
+        (74, 3, CAST('1.295629' AS DOUBLE), false),
+        (75, 14, CAST('1.232929' AS DOUBLE), false),
+        (76, 9, CAST('1.214234' AS DOUBLE), false),
+        (77, 1, CAST('1.210902' AS DOUBLE), false),
+        (78, 6, CAST('1.203244' AS DOUBLE), false),
+        (79, 3, CAST('1.272525' AS DOUBLE), false),
+        (80, 8, CAST('0.0' AS DOUBLE), true),
+        (81, 10, CAST('1.284703' AS DOUBLE), false),
+        (82, 12, CAST('1.280779' AS DOUBLE), false),
+        (83, 10, CAST('1.310841' AS DOUBLE), false),
+        (84, 4, CAST('1.174425' AS DOUBLE), false),
+        (85, 0, CAST('1.238839' AS DOUBLE), false),
+        (86, 3, CAST('1.216189' AS DOUBLE), false),
+        (87, 10, CAST('1.256109' AS DOUBLE), false),
+        (88, 6, CAST('1.317235' AS DOUBLE), false),
+        (89, 10, CAST('1.289506' AS DOUBLE), false),
+        (90, 2, CAST('1.158774' AS DOUBLE), false),
+        (91, 13, CAST('1.21485' AS DOUBLE), false),
+        (92, 14, CAST('1.199834' AS DOUBLE), false),
+        (93, 6, CAST('1.231459' AS DOUBLE), false),
+        (94, 8, CAST('1.271933' AS DOUBLE), false),
+        (95, 4, CAST('1.241592' AS DOUBLE), false),
+        (96, 4, CAST('1.261254' AS DOUBLE), false),
+        (97, 3, CAST('1.274815' AS DOUBLE), false),
+        (98, 7, CAST('1.168394' AS DOUBLE), false),
+        (99, 0, CAST('1.261633' AS DOUBLE), false),
+        (100, 14, CAST('1.253771' AS DOUBLE), false),
+        (101, 4, CAST('1.235107' AS DOUBLE), false),
+        (102, 14, CAST('1.215545' AS DOUBLE), false),
+        (103, 3, CAST('1.272928' AS DOUBLE), false),
+        (104, 0, CAST('1.303624' AS DOUBLE), false),
+        (105, 9, CAST('1.229324' AS DOUBLE), false),
+        (106, 14, CAST('1.235204' AS DOUBLE), false),
+        (107, 7, CAST('1.232333' AS DOUBLE), false),
+        (108, 4, CAST('1.153532' AS DOUBLE), false),
+        (109, 12, CAST('1.207005' AS DOUBLE), false),
+        (110, 13, CAST('1.212027' AS DOUBLE), false),
+        (111, 6, CAST('1.277707' AS DOUBLE), false),
+        (112, 8, CAST('1.249803' AS DOUBLE), false),
+        (113, 2, CAST('1.208393' AS DOUBLE), false),
+        (114, 12, CAST('1.280444' AS DOUBLE), false),
+        (115, 11, CAST('1.263486' AS DOUBLE), false),
+        (116, 10, CAST('1.23816' AS DOUBLE), false),
+        (117, 10, CAST('1.247889' AS DOUBLE), false),
+        (118, 12, CAST('1.195248' AS DOUBLE), false),
+        (119, 7, CAST('1.283243' AS DOUBLE), false),
+        (120, 11, CAST('1.233136' AS DOUBLE), false),
+        (121, 7, CAST('1.29106' AS DOUBLE), false),
+        (122, 1, CAST('1.31438' AS DOUBLE), false),
+        (123, 13, CAST('1.22136' AS DOUBLE), false),
+        (124, 8, CAST('1.312827' AS DOUBLE), false),
+        (125, 14, CAST('1.224587' AS DOUBLE), false),
+        (126, 2, CAST('1.318424' AS DOUBLE), false),
+        (127, 2, CAST('1.276672' AS DOUBLE), false),
+        (128, 5, CAST('1.231702' AS DOUBLE), false),
+        (129, 10, CAST('1.307776' AS DOUBLE), false),
+        (130, 6, CAST('1.191022' AS DOUBLE), false),
+        (131, 13, CAST('1.23039' AS DOUBLE), false),
+        (132, 7, CAST('0.0' AS DOUBLE), true),
+        (133, 2, CAST('1.260224' AS DOUBLE), false),
+        (134, 12, CAST('0.0' AS DOUBLE), true),
+        (135, 12, CAST('1.234323' AS DOUBLE), false),
+        (136, 5, CAST('1.185164' AS DOUBLE), false),
+        (137, 9, CAST('1.292686' AS DOUBLE), false),
+        (138, 9, CAST('1.285593' AS DOUBLE), false),
+        (139, 1, CAST('1.222915' AS DOUBLE), false),
+        (140, 11, CAST('1.180618' AS DOUBLE), false),
+        (141, 3, CAST('1.226561' AS DOUBLE), false),
+        (142, 4, CAST('1.215761' AS DOUBLE), false),
+        (143, 11, CAST('1.26381' AS DOUBLE), false),
+        (144, 7, CAST('1.194327' AS DOUBLE), false),
+        (145, 6, CAST('1.215977' AS DOUBLE), false),
+        (146, 9, CAST('1.1364' AS DOUBLE), false),
+        (147, 9, CAST('1.167787' AS DOUBLE), false),
+        (148, 10, CAST('1.19375' AS DOUBLE), false),
+        (149, 14, CAST('0.0' AS DOUBLE), true),
+        (150, 3, CAST('1.078652' AS DOUBLE), false),
+        (151, 7, CAST('1.256479' AS DOUBLE), false),
+        (152, 3, CAST('0.0' AS DOUBLE), true),
+        (153, 5, CAST('1.257947' AS DOUBLE), false),
+        (154, 1, CAST('1.204669' AS DOUBLE), false),
+        (155, 1, CAST('1.304812' AS DOUBLE), false),
+        (156, 9, CAST('1.201317' AS DOUBLE), false),
+        (157, 6, CAST('1.273883' AS DOUBLE), false),
+        (158, 9, CAST('1.228841' AS DOUBLE), false),
+        (159, 1, CAST('1.219636' AS DOUBLE), false),
+        (160, 11, CAST('1.271866' AS DOUBLE), false),
+        (161, 13, CAST('1.170163' AS DOUBLE), false),
+        (162, 8, CAST('1.2206' AS DOUBLE), false),
+        (163, 4, CAST('1.277381' AS DOUBLE), false),
+        (164, 4, CAST('1.247081' AS DOUBLE), false),
+        (165, 0, CAST('1.228906' AS DOUBLE), false),
+        (166, 2, CAST('1.277985' AS DOUBLE), false),
+        (167, 3, CAST('1.304144' AS DOUBLE), false),
+        (168, 8, CAST('1.288676' AS DOUBLE), false),
+        (169, 1, CAST('1.191735' AS DOUBLE), false),
+        (170, 9, CAST('1.294782' AS DOUBLE), false),
+        (171, 13, CAST('1.21702' AS DOUBLE), false),
+        (172, 2, CAST('1.254416' AS DOUBLE), false),
+        (173, 3, CAST('1.256874' AS DOUBLE), false),
+        (174, 0, CAST('1.290571' AS DOUBLE), false),
+        (175, 4, CAST('1.22346' AS DOUBLE), false),
+        (176, 10, CAST('1.268808' AS DOUBLE), false),
+        (177, 10, CAST('1.263402' AS DOUBLE), false),
+        (178, 2, CAST('1.295925' AS DOUBLE), false),
+        (179, 14, CAST('1.223736' AS DOUBLE), false),
+        (180, 7, CAST('1.228379' AS DOUBLE), false),
+        (181, 6, CAST('1.220451' AS DOUBLE), false),
+        (182, 8, CAST('1.333992' AS DOUBLE), false),
+        (183, 2, CAST('1.117665' AS DOUBLE), false),
+        (184, 5, CAST('1.247472' AS DOUBLE), false),
+        (185, 9, CAST('1.257538' AS DOUBLE), false),
+        (186, 5, CAST('1.317881' AS DOUBLE), false),
+        (187, 12, CAST('1.268481' AS DOUBLE), false),
+        (188, 1, CAST('0.0' AS DOUBLE), true),
+        (189, 10, CAST('1.24885' AS DOUBLE), false),
+        (190, 0, CAST('1.198503' AS DOUBLE), false),
+        (191, 10, CAST('1.240552' AS DOUBLE), false),
+        (192, 10, CAST('1.265291' AS DOUBLE), false),
+        (193, 1, CAST('1.276821' AS DOUBLE), false),
+        (194, 13, CAST('1.288898' AS DOUBLE), false),
+        (195, 8, CAST('1.19987' AS DOUBLE), false),
+        (196, 4, CAST('1.161738' AS DOUBLE), false),
+        (197, 10, CAST('1.254866' AS DOUBLE), false),
+        (198, 5, CAST('1.270048' AS DOUBLE), false),
+        (199, 9, CAST('1.201707' AS DOUBLE), false),
+        (200, 10, CAST('1.282419' AS DOUBLE), false),
+        (201, 11, CAST('1.273239' AS DOUBLE), false),
+        (202, 10, CAST('1.224229' AS DOUBLE), false),
+        (203, 13, CAST('1.299692' AS DOUBLE), false),
+        (204, 15, CAST('1.250386' AS DOUBLE), false),
+        (205, 7, CAST('1.306285' AS DOUBLE), false),
+        (206, 6, CAST('1.277866' AS DOUBLE), false),
+        (207, 7, CAST('1.261357' AS DOUBLE), false),
+        (208, 7, CAST('1.28328' AS DOUBLE), false),
+        (209, 5, CAST('1.236363' AS DOUBLE), false),
+        (210, 4, CAST('1.142595' AS DOUBLE), false),
+        (211, 14, CAST('1.264375' AS DOUBLE), false),
+        (212, 12, CAST('1.231764' AS DOUBLE), false),
+        (213, 11, CAST('1.200675' AS DOUBLE), false),
+        (214, 11, CAST('1.257365' AS DOUBLE), false),
+        (215, 4, CAST('1.269764' AS DOUBLE), false),
+        (216, 15, CAST('1.295612' AS DOUBLE), false),
+        (217, 9, CAST('1.27114' AS DOUBLE), false),
+        (218, 5, CAST('1.265223' AS DOUBLE), false),
+        (219, 14, CAST('1.232022' AS DOUBLE), false),
+        (220, 8, CAST('1.26526' AS DOUBLE), false),
+        (221, 8, CAST('1.249535' AS DOUBLE), false),
+        (222, 10, CAST('1.29314' AS DOUBLE), false),
+        (223, 1, CAST('1.256778' AS DOUBLE), false),
+        (224, 13, CAST('1.290333' AS DOUBLE), false),
+        (225, 5, CAST('1.273828' AS DOUBLE), false),
+        (226, 1, CAST('1.285777' AS DOUBLE), false),
+        (227, 7, CAST('1.304185' AS DOUBLE), false),
+        (228, 15, CAST('1.259451' AS DOUBLE), false),
+        (229, 0, CAST('1.240807' AS DOUBLE), false),
+        (230, 8, CAST('1.100201' AS DOUBLE), false),
+        (231, 10, CAST('1.16067' AS DOUBLE), false),
+        (232, 4, CAST('1.201943' AS DOUBLE), false),
+        (233, 6, CAST('1.215323' AS DOUBLE), false),
+        (234, 2, CAST('1.29759' AS DOUBLE), false),
+        (235, 13, CAST('1.271678' AS DOUBLE), false),
+        (236, 7, CAST('1.2001' AS DOUBLE), false),
+        (237, 7, CAST('1.293693' AS DOUBLE), false),
+        (238, 7, CAST('1.265664' AS DOUBLE), false),
+        (239, 2, CAST('1.258834' AS DOUBLE), false),
+        (240, 13, CAST('1.27815' AS DOUBLE), false),
+        (241, 12, CAST('1.213739' AS DOUBLE), false),
+        (242, 11, CAST('1.230571' AS DOUBLE), false),
+        (243, 10, CAST('1.241786' AS DOUBLE), false),
+        (244, 14, CAST('1.2996' AS DOUBLE), false),
+        (245, 5, CAST('1.290803' AS DOUBLE), false),
+        (246, 1, CAST('1.243824' AS DOUBLE), false),
+        (247, 10, CAST('1.154199' AS DOUBLE), false),
+        (248, 15, CAST('1.234451' AS DOUBLE), false),
+        (249, 0, CAST('1.278411' AS DOUBLE), false),
+        (250, 14, CAST('1.291746' AS DOUBLE), false),
+        (251, 9, CAST('1.25719' AS DOUBLE), false),
+        (252, 6, CAST('1.17479' AS DOUBLE), false),
+        (253, 13, CAST('1.199019' AS DOUBLE), false),
+        (254, 2, CAST('1.136668' AS DOUBLE), false),
+        (255, 3, CAST('1.288777' AS DOUBLE), false),
+        (256, 8, CAST('1.257017' AS DOUBLE), false),
+        (257, 5, CAST('1.216931' AS DOUBLE), false),
+        (258, 1, CAST('1.255818' AS DOUBLE), false),
+        (259, 11, CAST('1.285762' AS DOUBLE), false),
+        (260, 6, CAST('1.276324' AS DOUBLE), false),
+        (261, 0, CAST('1.260832' AS DOUBLE), false),
+        (262, 2, CAST('1.07942' AS DOUBLE), false),
+        (263, 14, CAST('1.188281' AS DOUBLE), false),
+        (264, 14, CAST('1.29124' AS DOUBLE), false),
+        (265, 10, CAST('1.231293' AS DOUBLE), false),
+        (266, 0, CAST('1.272236' AS DOUBLE), false),
+        (267, 2, CAST('1.336854' AS DOUBLE), false),
+        (268, 0, CAST('1.296595' AS DOUBLE), false),
+        (269, 9, CAST('1.240773' AS DOUBLE), false),
+        (270, 0, CAST('1.255071' AS DOUBLE), false),
+        (271, 9, CAST('1.176876' AS DOUBLE), false),
+        (272, 0, CAST('1.295041' AS DOUBLE), false),
+        (273, 5, CAST('1.275825' AS DOUBLE), false),
+        (274, 2, CAST('1.22857' AS DOUBLE), false),
+        (275, 5, CAST('1.248092' AS DOUBLE), false),
+        (276, 15, CAST('1.249299' AS DOUBLE), false),
+        (277, 6, CAST('1.151259' AS DOUBLE), false),
+        (278, 4, CAST('1.203298' AS DOUBLE), false),
+        (279, 14, CAST('1.176378' AS DOUBLE), false),
+        (280, 15, CAST('1.155134' AS DOUBLE), false),
+        (281, 12, CAST('1.203883' AS DOUBLE), false),
+        (282, 13, CAST('1.261457' AS DOUBLE), false),
+        (283, 10, CAST('1.177626' AS DOUBLE), false),
+        (284, 11, CAST('1.265208' AS DOUBLE), false),
+        (285, 11, CAST('1.185299' AS DOUBLE), false),
+        (286, 11, CAST('1.175353' AS DOUBLE), false),
+        (287, 2, CAST('1.242996' AS DOUBLE), false),
+        (288, 15, CAST('1.256563' AS DOUBLE), false),
+        (289, 7, CAST('1.222685' AS DOUBLE), false),
+        (290, 7, CAST('1.252753' AS DOUBLE), false),
+        (291, 2, CAST('0.0' AS DOUBLE), true),
+        (292, 11, CAST('1.281889' AS DOUBLE), false),
+        (293, 3, CAST('1.248303' AS DOUBLE), false),
+        (294, 5, CAST('1.115637' AS DOUBLE), false),
+        (295, 1, CAST('1.275776' AS DOUBLE), false),
+        (296, 11, CAST('0.0' AS DOUBLE), true),
+        (297, 2, CAST('1.200704' AS DOUBLE), false),
+        (298, 9, CAST('1.172423' AS DOUBLE), false),
+        (299, 12, CAST('1.2328' AS DOUBLE), false),
+        (300, 12, CAST('1.235721' AS DOUBLE), false),
+        (301, 6, CAST('1.245535' AS DOUBLE), false),
+        (302, 4, CAST('1.308908' AS DOUBLE), false),
+        (303, 0, CAST('1.287381' AS DOUBLE), false),
+        (304, 9, CAST('1.303902' AS DOUBLE), false),
+        (305, 13, CAST('1.276096' AS DOUBLE), false),
+        (306, 9, CAST('1.278552' AS DOUBLE), false),
+        (307, 1, CAST('1.253977' AS DOUBLE), false),
+        (308, 13, CAST('0.0' AS DOUBLE), true),
+        (309, 10, CAST('1.280144' AS DOUBLE), false),
+        (310, 10, CAST('1.24101' AS DOUBLE), false),
+        (311, 9, CAST('1.21188' AS DOUBLE), false),
+        (312, 14, CAST('1.234825' AS DOUBLE), false),
+        (313, 14, CAST('1.274179' AS DOUBLE), false),
+        (314, 2, CAST('1.152699' AS DOUBLE), false),
+        (315, 13, CAST('1.260559' AS DOUBLE), false),
+        (316, 8, CAST('1.194496' AS DOUBLE), false),
+        (317, 8, CAST('1.170687' AS DOUBLE), false),
+        (318, 12, CAST('1.227691' AS DOUBLE), false),
+        (319, 13, CAST('1.270378' AS DOUBLE), false),
+        (320, 0, CAST('1.193432' AS DOUBLE), false),
+        (321, 10, CAST('1.281' AS DOUBLE), false),
+        (322, 8, CAST('1.22964' AS DOUBLE), false),
+        (323, 12, CAST('1.211311' AS DOUBLE), false),
+        (324, 5, CAST('1.261549' AS DOUBLE), false),
+        (325, 7, CAST('1.182892' AS DOUBLE), false),
+        (326, 4, CAST('1.18256' AS DOUBLE), false),
+        (327, 13, CAST('1.243077' AS DOUBLE), false),
+        (328, 7, CAST('1.284769' AS DOUBLE), false),
+        (329, 12, CAST('1.252891' AS DOUBLE), false),
+        (330, 5, CAST('1.289966' AS DOUBLE), false),
+        (331, 7, CAST('1.225785' AS DOUBLE), false),
+        (332, 4, CAST('1.323843' AS DOUBLE), false),
+        (333, 1, CAST('1.249876' AS DOUBLE), false),
+        (334, 0, CAST('1.128962' AS DOUBLE), false),
+        (335, 3, CAST('1.21577' AS DOUBLE), false),
+        (336, 7, CAST('1.16664' AS DOUBLE), false),
+        (337, 3, CAST('1.248125' AS DOUBLE), false),
+        (338, 13, CAST('1.23886' AS DOUBLE), false),
+        (339, 4, CAST('1.347468' AS DOUBLE), false),
+        (340, 3, CAST('1.31134' AS DOUBLE), false),
+        (341, 2, CAST('1.224638' AS DOUBLE), false),
+        (342, 15, CAST('1.236678' AS DOUBLE), false),
+        (343, 7, CAST('1.256774' AS DOUBLE), false),
+        (344, 0, CAST('1.222712' AS DOUBLE), false),
+        (345, 0, CAST('1.294474' AS DOUBLE), false),
+        (346, 13, CAST('1.261611' AS DOUBLE), false),
+        (347, 1, CAST('1.175089' AS DOUBLE), false),
+        (348, 14, CAST('1.231254' AS DOUBLE), false),
+        (349, 15, CAST('1.249322' AS DOUBLE), false),
+        (350, 15, CAST('1.196715' AS DOUBLE), false),
+        (351, 14, CAST('1.256643' AS DOUBLE), false),
+        (352, 13, CAST('1.304693' AS DOUBLE), false),
+        (353, 0, CAST('1.33144' AS DOUBLE), false),
+        (354, 11, CAST('1.252371' AS DOUBLE), false),
+        (355, 10, CAST('0.0' AS DOUBLE), true),
+        (356, 3, CAST('1.143534' AS DOUBLE), false),
+        (357, 11, CAST('1.218509' AS DOUBLE), false),
+        (358, 11, CAST('1.244625' AS DOUBLE), false),
+        (359, 4, CAST('1.231621' AS DOUBLE), false),
+        (360, 1, CAST('1.298316' AS DOUBLE), false),
+        (361, 12, CAST('1.226062' AS DOUBLE), false),
+        (362, 5, CAST('1.324073' AS DOUBLE), false),
+        (363, 8, CAST('1.255747' AS DOUBLE), false),
+        (364, 11, CAST('1.199188' AS DOUBLE), false),
+        (365, 0, CAST('1.122503' AS DOUBLE), false),
+        (366, 4, CAST('0.0' AS DOUBLE), true),
+        (367, 5, CAST('1.271314' AS DOUBLE), false),
+        (368, 11, CAST('1.204875' AS DOUBLE), false),
+        (369, 4, CAST('1.270702' AS DOUBLE), false),
+        (370, 11, CAST('1.269666' AS DOUBLE), false),
+        (371, 14, CAST('1.32405' AS DOUBLE), false),
+        (372, 8, CAST('1.259244' AS DOUBLE), false),
+        (373, 8, CAST('1.278704' AS DOUBLE), false),
+        (374, 0, CAST('1.2824' AS DOUBLE), false),
+        (375, 5, CAST('1.216638' AS DOUBLE), false),
+        (376, 13, CAST('1.286931' AS DOUBLE), false),
+        (377, 15, CAST('1.261655' AS DOUBLE), false),
+        (378, 4, CAST('1.20153' AS DOUBLE), false),
+        (379, 3, CAST('1.239937' AS DOUBLE), false),
+        (380, 6, CAST('1.261048' AS DOUBLE), false),
+        (381, 15, CAST('1.266267' AS DOUBLE), false),
+        (382, 14, CAST('1.119277' AS DOUBLE), false),
+        (383, 4, CAST('1.291101' AS DOUBLE), false),
+        (384, 5, CAST('1.18378' AS DOUBLE), false),
+        (385, 11, CAST('1.217458' AS DOUBLE), false),
+        (386, 8, CAST('1.237035' AS DOUBLE), false),
+        (387, 0, CAST('1.1566' AS DOUBLE), false),
+        (388, 0, CAST('1.203079' AS DOUBLE), false),
+        (389, 14, CAST('1.309874' AS DOUBLE), false),
+        (390, 6, CAST('1.250225' AS DOUBLE), false),
+        (391, 0, CAST('1.291329' AS DOUBLE), false),
+        (392, 8, CAST('1.269899' AS DOUBLE), false),
+        (393, 13, CAST('1.260206' AS DOUBLE), false),
+        (394, 10, CAST('1.328141' AS DOUBLE), false),
+        (395, 15, CAST('1.264013' AS DOUBLE), false),
+        (396, 3, CAST('1.245384' AS DOUBLE), false),
+        (397, 9, CAST('1.261549' AS DOUBLE), false),
+        (398, 3, CAST('1.258771' AS DOUBLE), false),
+        (399, 6, CAST('1.136238' AS DOUBLE), false),
+        (400, 8, CAST('1.304073' AS DOUBLE), false),
+        (401, 0, CAST('1.270138' AS DOUBLE), false),
+        (402, 13, CAST('1.227163' AS DOUBLE), false),
+        (403, 2, CAST('1.211823' AS DOUBLE), false),
+        (404, 1, CAST('1.31051' AS DOUBLE), false),
+        (405, 5, CAST('1.270008' AS DOUBLE), false),
+        (406, 15, CAST('1.267319' AS DOUBLE), false),
+        (407, 2, CAST('1.253733' AS DOUBLE), false),
+        (408, 3, CAST('1.198183' AS DOUBLE), false),
+        (409, 6, CAST('1.321789' AS DOUBLE), false),
+        (410, 14, CAST('1.274217' AS DOUBLE), false),
+        (411, 10, CAST('1.216564' AS DOUBLE), false),
+        (412, 4, CAST('1.154373' AS DOUBLE), false),
+        (413, 4, CAST('1.224763' AS DOUBLE), false),
+        (414, 10, CAST('1.332233' AS DOUBLE), false),
+        (415, 0, CAST('1.234524' AS DOUBLE), false),
+        (416, 6, CAST('1.255919' AS DOUBLE), false),
+        (417, 10, CAST('1.094779' AS DOUBLE), false),
+        (418, 3, CAST('1.221894' AS DOUBLE), false),
+        (419, 9, CAST('1.329605' AS DOUBLE), false),
+        (420, 4, CAST('1.314257' AS DOUBLE), false),
+        (421, 7, CAST('1.237821' AS DOUBLE), false),
+        (422, 13, CAST('1.251023' AS DOUBLE), false),
+        (423, 0, CAST('1.185805' AS DOUBLE), false),
+        (424, 5, CAST('1.280513' AS DOUBLE), false),
+        (425, 4, CAST('1.199538' AS DOUBLE), false),
+        (426, 14, CAST('1.204603' AS DOUBLE), false),
+        (427, 14, CAST('1.299956' AS DOUBLE), false),
+        (428, 13, CAST('1.245291' AS DOUBLE), false),
+        (429, 8, CAST('1.162977' AS DOUBLE), false),
+        (430, 4, CAST('1.274169' AS DOUBLE), false),
+        (431, 1, CAST('1.307237' AS DOUBLE), false),
+        (432, 7, CAST('1.240381' AS DOUBLE), false),
+        (433, 9, CAST('1.268448' AS DOUBLE), false),
+        (434, 5, CAST('1.19099' AS DOUBLE), false),
+        (435, 1, CAST('1.213875' AS DOUBLE), false),
+        (436, 11, CAST('1.256792' AS DOUBLE), false),
+        (437, 15, CAST('1.249596' AS DOUBLE), false),
+        (438, 3, CAST('1.250654' AS DOUBLE), false),
+        (439, 12, CAST('1.194484' AS DOUBLE), false),
+        (440, 2, CAST('1.179437' AS DOUBLE), false),
+        (441, 13, CAST('1.25708' AS DOUBLE), false),
+        (442, 8, CAST('1.255576' AS DOUBLE), false),
+        (443, 8, CAST('1.216037' AS DOUBLE), false),
+        (444, 12, CAST('1.217519' AS DOUBLE), false),
+        (445, 2, CAST('1.234948' AS DOUBLE), false),
+        (446, 13, CAST('1.327061' AS DOUBLE), false),
+        (447, 2, CAST('1.182154' AS DOUBLE), false),
+        (448, 6, CAST('1.290814' AS DOUBLE), false),
+        (449, 12, CAST('1.147077' AS DOUBLE), false),
+        (450, 14, CAST('1.255895' AS DOUBLE), false),
+        (451, 7, CAST('1.292962' AS DOUBLE), false),
+        (452, 1, CAST('1.261742' AS DOUBLE), false),
+        (453, 7, CAST('1.238401' AS DOUBLE), false),
+        (454, 8, CAST('1.249108' AS DOUBLE), false),
+        (455, 3, CAST('1.287033' AS DOUBLE), false),
+        (456, 7, CAST('1.285798' AS DOUBLE), false),
+        (457, 11, CAST('1.285059' AS DOUBLE), false),
+        (458, 12, CAST('1.289623' AS DOUBLE), false),
+        (459, 15, CAST('0.0' AS DOUBLE), true),
+        (460, 12, CAST('1.238197' AS DOUBLE), false),
+        (461, 0, CAST('1.289683' AS DOUBLE), false),
+        (462, 5, CAST('1.262409' AS DOUBLE), false),
+        (463, 13, CAST('1.168711' AS DOUBLE), false),
+        (464, 0, CAST('1.202807' AS DOUBLE), false),
+        (465, 6, CAST('1.199787' AS DOUBLE), false),
+        (466, 4, CAST('1.233186' AS DOUBLE), false),
+        (467, 5, CAST('1.2414' AS DOUBLE), false),
+        (468, 1, CAST('1.256362' AS DOUBLE), false),
+        (469, 13, CAST('1.218355' AS DOUBLE), false),
+        (470, 4, CAST('1.314526' AS DOUBLE), false),
+        (471, 5, CAST('1.241116' AS DOUBLE), false),
+        (472, 14, CAST('1.260795' AS DOUBLE), false),
+        (473, 6, CAST('1.292943' AS DOUBLE), false),
+        (474, 2, CAST('1.292288' AS DOUBLE), false),
+        (475, 4, CAST('1.295172' AS DOUBLE), false),
+        (476, 6, CAST('1.273693' AS DOUBLE), false),
+        (477, 13, CAST('1.09772' AS DOUBLE), false),
+        (478, 0, CAST('1.235085' AS DOUBLE), false),
+        (479, 9, CAST('1.19385' AS DOUBLE), false),
+        (480, 4, CAST('1.260249' AS DOUBLE), false),
+        (481, 4, CAST('1.234964' AS DOUBLE), false),
+        (482, 12, CAST('1.291411' AS DOUBLE), false),
+        (483, 0, CAST('1.219262' AS DOUBLE), false),
+        (484, 10, CAST('1.174564' AS DOUBLE), false),
+        (485, 8, CAST('1.207962' AS DOUBLE), false),
+        (486, 9, CAST('1.269023' AS DOUBLE), false),
+        (487, 4, CAST('1.232634' AS DOUBLE), false),
+        (488, 8, CAST('1.148696' AS DOUBLE), false),
+        (489, 11, CAST('1.317556' AS DOUBLE), false),
+        (490, 11, CAST('1.248988' AS DOUBLE), false),
+        (491, 12, CAST('1.228855' AS DOUBLE), false),
+        (492, 5, CAST('1.242606' AS DOUBLE), false),
+        (493, 7, CAST('1.203822' AS DOUBLE), false),
+        (494, 12, CAST('1.27221' AS DOUBLE), false),
+        (495, 9, CAST('1.230952' AS DOUBLE), false),
+        (496, 2, CAST('1.288824' AS DOUBLE), false),
+        (497, 3, CAST('1.243234' AS DOUBLE), false),
+        (498, 0, CAST('1.224152' AS DOUBLE), false),
+        (499, 14, CAST('1.205647' AS DOUBLE), false)
+    ) AS t("vec_id", "center_rank", "dist", "is_center")
+    """,
+    doc=(
+        "Greedy k-center coreset (operators/similarity.kcenter_coreset; "
+        "Gonzalez 1985 farthest-first traversal, the Sener & Savarese "
+        "2018 active-learning coreset rule): seed with the smallest-id "
+        "vector, repeatedly add the point farthest from the selected "
+        "set (k=16), and emit every point's nearest-center assignment "
+        "and distance — the diversity sample plus the per-example "
+        "novelty signal. Iterative state is one (id, mindist, nearest) "
+        "frame: each round is one TakeOrderedAndProject of a single "
+        "row, one narrow JVM update against the new center literal, "
+        "and a lineage-truncating checkpoint — k bounded one-row "
+        "driver round-trips, the BPE/PageRank iteration budget. "
+        "Distances rounded before every compare; dirty rows never "
+        "selectable, always emitted with NULL assignment."
+    ),
+    oracle_sf="sf0.01",
+)
+def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import kcenter_coreset
+
+    return kcenter_coreset(_t(spark, sf_dir, "embeddings"), k=16)

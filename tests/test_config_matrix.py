@@ -53,6 +53,19 @@ MATRIX_QUERIES = [
     # exists to pin (checkpoint cuts, grouped-kernel determinism)
     "data_dsir_weights",
     "dedup_semantic_clusters",
+    # round-6 third batch: perplexity buckets ride interpolated
+    # percentile boundaries (the grid-rounding fix class) and an ANSI-
+    # sensitive unigram model; prototypes share SemDeDup's checkpointed
+    # quantizer plus a cluster-partitioned rank window; exact-substring
+    # coverage is a lag-window interval union over a hash-keyed join
+    "text_perplexity_buckets",
+    "emb_prototypes_prune",
+    "dedup_exact_substrings",
+    # round-6 fourth batch: the token budget rides exact-DECIMAL div/mod
+    # under ANSI; k-center is the checkpointed-iteration class (every
+    # round re-reads the pinned frame — the exchange-reuse bug family)
+    "data_token_budget",
+    "emb_kcenter_coreset",
 ]
 
 VARIANTS = {

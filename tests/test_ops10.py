@@ -332,3 +332,264 @@ def test_prototype_prune_dirty_rows_always_kept(spark):
         assert got[dirty]["proto_cos"] is None, dirty
     # with half of each cluster dropped, at least one clean row dropped
     assert any(not got[i]["kept"] for i in (0, 1, 2, 3))
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture sampling
+# ---------------------------------------------------------------------------
+
+
+def _py_token_budget(docs, budget, temperature=0.5, seed="tokmix"):
+    """docs: list of (doc_id, source, n_tokens). Replays quotas
+    (largest-remainder over floor(sqrt(T_g)*1e9) integer weights) and
+    the greedy hash-order prefix."""
+    import hashlib
+    import math
+
+    totals: dict[str, int] = {}
+    for _, s, t in docs:
+        totals[s] = totals.get(s, 0) + t
+    # floor(sqrt(t)*1e9) on IEEE doubles — sqrt is correctly rounded,
+    # so the float replay is exact
+    w = {s: math.floor(math.sqrt(float(t)) * 1e9) for s, t in totals.items()}
+    T = sum(w.values())
+    q0 = {s: budget * w[s] // T for s in w}
+    rem = {s: budget * w[s] % T for s in w}
+    leftover = budget - sum(q0.values())
+    order = sorted(w, key=lambda s: (-rem[s], s))
+    quota = {
+        s: min(q0[s] + (1 if i < leftover else 0), totals[s])
+        for i, s in enumerate(order)
+    }
+
+    def hk(i):
+        return hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8]
+
+    kept = []
+    for s in totals:
+        cum = 0
+        for did, src, t in sorted(
+            (d for d in docs if d[1] == s), key=lambda d: (hk(d[0]), d[0])
+        ):
+            cum += t
+            if cum <= quota[s]:
+                kept.append((did, s, t, cum, quota[s]))
+    return sorted(kept)
+
+
+def test_token_budget_matches_python_replay(spark):
+    from etl_s3_to_redshift_spark.operators.sampling import token_budget_sample
+
+    docs = [
+        (i, f"src{i % 3}", 10 + (i * 7) % 50) for i in range(60)
+    ] + [(100, "tiny", 5), (101, "tiny", 7)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, n_tokens long")
+    got = sorted(
+        (r["doc_id"], r["source"], r["doc_tokens"], r["cum_tokens"], r["quota"])
+        for r in token_budget_sample(df, 400).collect()
+    )
+    want = _py_token_budget(docs, 400)
+    assert got == want
+    # delivered tokens never exceed quota, per source
+    per_src: dict[str, int] = {}
+    for _, s, t, _, q in got:
+        per_src[s] = per_src.get(s, 0) + t
+        assert per_src[s] <= q
+
+
+def test_token_budget_saturation_caps_at_source_total(spark):
+    from etl_s3_to_redshift_spark.operators.sampling import (
+        token_budget_sample,
+        token_quotas,
+    )
+
+    docs = [(0, "big", 1000), (1, "big", 1000), (2, "small", 3)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, n_tokens long")
+    q = {r["source"]: r for r in token_quotas(df, 1500).collect()}
+    assert q["small"]["quota"] <= 3  # capped at the source's total
+    kept = token_budget_sample(df, 1500).collect()
+    small = [r for r in kept if r["source"] == "small"]
+    assert sum(r["doc_tokens"] for r in small) <= 3
+
+
+# ---------------------------------------------------------------------------
+# Line-hash dedup, keep-first
+# ---------------------------------------------------------------------------
+
+
+def _py_line_dedup(docs: dict[int, str]) -> dict:
+    first: dict[str, tuple[int, int]] = {}
+    occ = []
+    for did in sorted(docs):
+        for idx, line in enumerate(docs[did].split("\n")):
+            if line.strip(" ") == "":
+                continue
+            key = re.sub(r"\s+", " ", line.lower()).strip(" ")
+            occ.append((did, idx, line, key))
+            if key not in first or (did, idx) < first[key]:
+                first[key] = (did, idx)
+    out = {}
+    for did in docs:
+        mine = [(idx, line) for d, idx, line, key in occ if d == did]
+        kept = [
+            (idx, line)
+            for d, idx, line, key in occ
+            if d == did and first[key] == (did, idx)
+        ]
+        out[did] = dict(
+            n_lines=len(mine),
+            n_kept=len(kept),
+            clean_text="\n".join(l for _, l in sorted(kept)),
+        )
+    return out
+
+
+def test_line_dedup_keep_first_fixtures(spark):
+    from etl_s3_to_redshift_spark.operators.dedup import dedup_lines_keep_first
+
+    docs = {
+        0: "shared cookie banner line\nunique first content line\nshared footer",
+        1: "shared cookie banner line\nunique second content line\nshared footer",
+        2: "Shared  Cookie   Banner Line\nnormalization makes this a dup too",
+        3: "repeated inside\nrepeated inside\nand one more",
+        4: "",
+        5: "   \n  ",  # only blank lines
+    }
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict() for r in dedup_lines_keep_first(df).collect()
+    }
+    want = _py_line_dedup(docs)
+    assert len(got) == len(docs)
+    for i in docs:
+        for k, v in want[i].items():
+            assert got[i][k] == v, (i, k, got[i][k], v)
+    # doc 0 keeps everything (it is first); doc 1 loses banner+footer;
+    # doc 2 is a normalized dup of the banner; doc 3 keeps one copy of
+    # its internal repeat
+    assert got[0]["n_kept"] == 3
+    assert got[1]["n_kept"] == 1
+    assert got[2]["n_kept"] == 1
+    assert got[3]["n_kept"] == 2 and got[3]["n_lines"] == 3
+    assert got[5]["n_lines"] == 0 and got[5]["clean_text"] == ""
+
+
+line_doc = st.lists(
+    st.sampled_from(["alpha line", "beta line", "Alpha  LINE", "", "  ", "gamma"]),
+    min_size=0,
+    max_size=5,
+).map("\n".join)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(line_doc, min_size=1, max_size=5))
+def test_line_dedup_matches_python_replay(spark, texts):
+    from etl_s3_to_redshift_spark.operators.dedup import dedup_lines_keep_first
+
+    docs = dict(enumerate(texts))
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict() for r in dedup_lines_keep_first(df).collect()
+    }
+    want = _py_line_dedup(docs)
+    assert set(got) == set(want)
+    for i in want:
+        for k, v in want[i].items():
+            assert got[i][k] == v, (i, k, got[i][k], v, docs[i])
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset
+# ---------------------------------------------------------------------------
+
+
+def _py_kcenter(vecs: dict[int, list[float] | None], k: int):
+    """Replay: seed = min clean id; each round picks max (rounded dist,
+    -id is NOT used — ties break to SMALLER id); assignment updates on
+    strict < after rounding; ties keep the earlier center."""
+    from decimal import Decimal
+
+    def r6(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal("0.000001"), rounding="ROUND_HALF_UP")
+        )
+
+    clean_ids = sorted(i for i, v in vecs.items() if v is not None)
+    if not clean_ids:
+        return {}, {}
+    dim = len(vecs[clean_ids[0]])
+    ok = {i for i in clean_ids if len(vecs[i]) == dim}
+    seed = clean_ids[0]
+    centers = [seed]
+
+    def dist(a, b):
+        return r6(sum((x - y) ** 2 for x, y in zip(a, b)) ** 0.5)
+
+    mind = {i: dist(vecs[i], vecs[seed]) if i in ok else None for i in vecs if vecs[i] is not None}
+    near = {i: 0 if i in ok else None for i in vecs if vecs[i] is not None}
+    for rank in range(1, k):
+        cands = [(i, d) for i, d in mind.items() if d is not None]
+        if not cands:
+            break
+        far = sorted(cands, key=lambda t: (-t[1], t[0]))[0]
+        if far[1] == 0.0:
+            break
+        cid = far[0]
+        centers.append(cid)
+        for i in list(mind):
+            if mind[i] is None:
+                continue
+            d = dist(vecs[i], vecs[cid])
+            if d < mind[i]:
+                mind[i] = d
+                near[i] = rank
+    return centers, {i: (near.get(i), mind.get(i)) for i in vecs}
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.lists(st.integers(-3, 3), min_size=3, max_size=3),
+        min_size=1,
+        max_size=12,
+    ),
+    k=st.integers(2, 5),
+)
+def test_kcenter_matches_python_replay(spark, rows, k):
+    from etl_s3_to_redshift_spark.operators.similarity import kcenter_coreset
+
+    vecs = {i: [float(x) for x in v] for i, v in enumerate(rows)}
+    df = spark.createDataFrame(
+        list(vecs.items()), "vec_id long, embedding array<float>"
+    )
+    got = {r["vec_id"]: r for r in kcenter_coreset(df, k=k).collect()}
+    centers, assign = _py_kcenter(vecs, k)
+    got_centers = {i for i, r in got.items() if r["is_center"]}
+    assert got_centers == set(centers), (got_centers, centers)
+    for i, (nr, d) in assign.items():
+        assert got[i]["center_rank"] == nr, (i, got[i], nr)
+        if d is None:
+            assert got[i]["dist"] is None
+        else:
+            assert abs(got[i]["dist"] - d) <= 1e-9, (i, got[i]["dist"], d)
+
+
+def test_kcenter_dirty_rows_never_selected(spark):
+    from etl_s3_to_redshift_spark.operators.similarity import kcenter_coreset
+
+    data = [
+        (0, [0.0, 0.0, 0.0]),
+        (1, [10.0, 0.0, 0.0]),
+        (2, [0.0, 10.0, 0.0]),
+        (3, None),
+        (4, [1.0]),  # ragged
+    ]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in kcenter_coreset(df, k=3).collect()}
+    assert len(got) == 5  # every row emitted; dirty ones with NULL metrics
+    # all clean, mutually distant points become centers
+    assert {i for i, r in got.items() if r["is_center"]} == {0, 1, 2}
+    for dirty in (3, 4):
+        if dirty in got:
+            assert not got[dirty]["is_center"]
+            assert got[dirty]["center_rank"] is None

@@ -415,6 +415,10 @@ def test_no_unpartitioned_windows_outside_allowlist(spark):
         "ts_inflight_shipments_daily",
         # year×month frame (≤ 12·#years rows post-aggregation)
         "orders_yoy_growth",
+        # token-budget apportionment windows over the per-source token-
+        # total frame (≤ #distinct sources rows — the data_source_mixture
+        # machinery via sampling._apportion)
+        "data_token_budget",
     }
     flagged = {}
     for name, spec in REGISTRY.items():

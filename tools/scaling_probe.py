@@ -80,6 +80,20 @@ QUERIES = [
     # read the curve against the documented ANN-shortlist swap.
     "text_gopher_rules",
     "emb_bitext_margin",
+    # round-6 third batch: C4 gate (pure scan), overlapping window
+    # coverage (two linear shuffles + doc-partitioned lag window),
+    # CCNet perplexity buckets (unigram-model shuffle + per-lang
+    # percentile join), SSL-prototypes pruning (quantizer assign +
+    # broadcast-centroid cosine + cluster windows)
+    "text_c4_rules",
+    "dedup_exact_substrings",
+    "text_perplexity_buckets",
+    "emb_prototypes_prune",
+    # round-6 fourth batch: token-budget mixture, line-hash keep-first
+    # dedup, greedy k-center coreset (k bounded one-row round-trips)
+    "data_token_budget",
+    "dedup_lines_keepfirst",
+    "emb_kcenter_coreset",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
