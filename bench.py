@@ -157,6 +157,10 @@ HEADLINE = [
     "data_token_budget",
     "dedup_lines_keepfirst",
     "emb_kcenter_coreset",
+    # tokenizer fertility/compression report (train 16 merges + vocab-
+    # memoized apply + slice groupBy — the text_bpe_tokenize pipeline
+    # rolled up per corpus slice)
+    "text_tokenizer_report",
 ]
 
 
@@ -227,6 +231,7 @@ DATA_BOUND = [
     "data_token_budget",
     "dedup_lines_keepfirst",
     "emb_kcenter_coreset",
+    "text_tokenizer_report",
 ]
 
 

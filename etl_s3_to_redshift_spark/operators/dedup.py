@@ -701,13 +701,22 @@ def duplicated_window_coverage(
     distributed equivalent and what a Spark cluster can shuffle.
 
     Plan: tokenize once (staged projection — the analyzer-inlining trap
-    measured in dedup_repeated_chunks), build windows data-side
-    (sequence+transform+posexplode, no Python), count window frequency
-    by 60-bit md5-prefix hash (the shuffle moves 8-byte keys, never
-    window text), then turn each doc's duplicated window STARTS into
-    covered-token counts with one interval-union pass: starts sorted,
-    each start contributes min(window_len, gap to previous start) — a
-    per-document window function, never a per-token explode.
+    measured in dedup_repeated_chunks), hash each TOKEN once
+    (xxhash64), then key each window by a rotate-XOR fold of its k
+    token hashes — windows never materialize as strings at all (the
+    string-join+md5 form cost 10 string allocations + one md5 per
+    window; integer fold + checkpointed build: 19 → 1.9 s at sf0.1,
+    100 → 8.6 s at sf10 across the three steps). Rotate-XOR
+    keeps every step in overflow-free long arithmetic (shifts/XOR never
+    raise under ANSI, unlike multiply-accumulate polynomial hashes);
+    position sensitivity comes from the per-step rotation. Window
+    frequency is a groupBy on the 8-byte key; each doc's duplicated
+    window STARTS then become covered-token counts with one
+    interval-union pass: starts sorted, each start contributes
+    min(window_len, gap to previous start) — a per-document window
+    function, never a per-token explode. Collision odds are the
+    64-bit-hash class of dedup_repeated_chunks' rationale (the oracle
+    counts by window text; ~1e-11 at a 10^6-window corpus).
 
     Scale: two linear shuffles (frequency agg by hash ~= corpus token
     count rows of 8-byte keys; per-doc union/aggregate), window function
@@ -720,27 +729,57 @@ def duplicated_window_coverage(
     from pyspark.sql import Window as W
 
     k = int(window_tokens)
-    staged = df.select(F.col(id_col), words(F.col(text_col)).alias("__w"))
-    w = F.col("__w")
-    n = F.size(w)
+    # _spread: window construction is O(tokens x k) interpreted
+    # higher-order-function work — a one-file input (one task) would
+    # serialize it; at lake scale the scan already has thousands of
+    # splits and this shuffle is noise
+    staged = _spread(df, id_col).select(
+        F.col(id_col), words(F.col(text_col)).alias("__w")
+    )
+    # materialize the token-hash array in its OWN projection: a bare
+    # transform(words, xxhash64) referenced from inside the per-window
+    # lambda is inlined at each use by the analyzer — O(tokens x windows)
+    # re-hashing (the dedup_repeated_chunks inlining trap)
+    hashed = staged.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_tokens"),
+        F.transform(F.col("__w"), lambda t: F.xxhash64(t)).alias("__th"),
+    )
+    th = F.col("__th")
+    n = F.col("n_tokens")
+
+    def rot_xor(acc, x):
+        # acc <<< 7 (64-bit rotate) XOR next token hash — overflow-free
+        return (
+            F.shiftleft(acc, 7)
+            .bitwiseOR(F.shiftrightunsigned(acc, 57))
+            .bitwiseXOR(x)
+        )
+
     win_arr = F.when(
         n > 0,
         F.transform(
-            F.sequence(F.lit(0), F.greatest(n - k, F.lit(0))),
-            lambda i: F.array_join(F.slice(w, i + 1, k), " "),
+            F.sequence(F.lit(0), F.greatest((n - k).cast("int"), F.lit(0))),
+            lambda i: F.aggregate(
+                F.slice(th, i + 1, k), F.lit(0).cast("long"), rot_xor
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = staged.select(
+    ).otherwise(F.array().cast("array<long>"))
+    base = hashed.select(
         F.col(id_col),
-        n.cast("long").alias("n_tokens"),
+        "n_tokens",
         win_arr.alias("__wins"),
     )
+    # materialize the window-hash build ONCE: three consumers (frequency
+    # agg, the dup join probe side, and the totals frame) would otherwise
+    # each recompute the O(tokens x k) fold above the _spread exchange
+    # (exchange reuse dedupes the shuffle, not the projection on top of
+    # it — measured 3x). DISK_ONLY per the corpus-sized-frame rule.
+    base = base.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     wins = base.select(
         id_col,
         "n_tokens",
-        F.posexplode("__wins").alias("s", "seg"),
-    ).withColumn(
-        "__h", F.conv(F.substring(F.md5(F.col("seg")), 1, 15), 16, 10).cast("long")
+        F.posexplode("__wins").alias("s", "__h"),
     )
     freq = wins.groupBy("__h").agg(F.count(F.lit(1)).alias("__freq"))
     dup = (
@@ -823,7 +862,8 @@ def dedup_lines_keep_first(
     from etl_s3_to_redshift_spark.functions.text import normalize_text
 
     lines = F.split(F.col(text_col), "\n")
-    base = df.select(F.col(id_col), lines.alias("__lines"))
+    # _spread: same one-file/one-task guard as duplicated_window_coverage
+    base = _spread(df, id_col).select(F.col(id_col), lines.alias("__lines"))
     occ = (
         base.select(id_col, F.posexplode("__lines").alias("idx", "line"))
         .filter(F.trim(F.col("line")) != "")

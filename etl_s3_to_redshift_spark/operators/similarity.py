@@ -1583,13 +1583,24 @@ def _margin_from_scored(
     )
 
 
+def _auto_band_bits(n_side: int, target_bucket_rows: int = 1000) -> int:
+    """Bits per LSH band sized to the corpus: enough buckets to hold
+    ``n_side`` rows at ~``target_bucket_rows`` expected occupancy
+    (per-bucket pair work pinned ~target², the SemDeDup-K rule applied
+    to banding), floored at 4 so small corpora keep the pinned-oracle
+    geometry."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_side / float(target_bucket_rows), 1.0))))
+
+
 def bitext_margin_pairs_lsh(
     emb: DataFrame,
     side: Column,
     dim: int,
     k: int = 4,
     threshold: float = 1.0,
-    n_planes: int = 16,
+    n_planes: int | None = 16,
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1614,10 +1625,28 @@ def bitext_margin_pairs_lsh(
     SIGNS of the literal plane chains (bit-identical folds), rescoring
     rounds to ``round_to`` before every rank, ids break ties — same
     contract that lets lsh_topk carry an exact DuckDB oracle.
+
+    Parameter scaling: bucket count per band is ``2^(n_planes/bands)``,
+    FIXED — so per-bucket pair work grows ~ (n/2^bits)² unless the bit
+    budget grows with the corpus (measured on the fixed-16 registered
+    query: sf0.1 3.5 s → sf1 23 s, ~n²/2^bits by construction).
+    ``n_planes=None`` derives it the SemDeDup-K way: enough bits per
+    band to hold the LARGER side at ~``1000`` expected rows per bucket
+    (one cheap count; bits = ceil(log2(n_side/1000)), floor 4), which
+    pins per-bucket pair work ~10⁶ at any corpus size — the knob a
+    lake deployment turns, at the usual LSH price (more planes = lower
+    per-band collision recall; raise ``bands`` to compensate). The
+    registered query keeps the fixed 16 so its baked-literal exact
+    oracle stays valid.
     """
     sided = emb.select(
         F.col(id_col), F.col(vec_col), side.alias("__side")
     )
+    if n_planes is None:
+        n_side = (
+            sided.groupBy("__side").count().agg(F.max("count")).collect()[0][0]
+        ) or 1
+        n_planes = bands * _auto_band_bits(n_side)
     a = lsh_bucketize(
         sided.filter(F.col("__side")), dim, n_planes, bands, vec_col, seed
     ).select(

@@ -1005,8 +1005,9 @@ _DRIVER_FIRST = [
     "data_token_budget",
     "dedup_lines_keepfirst",
     "emb_kcenter_coreset",
-    # r3 cohort (newest driver row round 3): 21 of 49 fit the cap after
-    # the fourteen new round-6 queries; the remaining 28 (below) plus
+    "text_tokenizer_report",
+    # r3 cohort (newest driver row round 3): 20 of 49 fit the cap after
+    # the fifteen new round-6 queries; the remaining 29 (below) plus
     # the r4 cohort lead round 7.
     "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
     "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
@@ -1014,8 +1015,9 @@ _DRIVER_FIRST = [
     "dedup_groups_incremental", "agg_bool_bit_suite", "scalar_try_safe_suite",
     "null_safe_join_events", "skew_key_profile", "hist_equidepth_deciles",
     "dedup_keep_best_quality", "asof_next_purchase", "data_source_mixture",
-    "funnel_user_conversion", "cohort_retention_weekly", "event_transition_matrix",
+    "funnel_user_conversion", "cohort_retention_weekly",
     # ---- 50-cap falls here: r3-cohort remainder leads round 7
+    "event_transition_matrix",
     "text_unigram_logprob", "profile_orders_columns", "text_quality_calibrate",
     "w5_trailing_hour_window", "merge_upsert_snapshot", "scd2_customer_history",
     "text_vocab_topk",

@@ -136,10 +136,12 @@ _ESUB_K = 10
         f"overlapping {_ESUB_K}-token window (stride 1) occurring more "
         "than once corpus-wide is duplicated; per document, report the "
         "window tallies and the fraction of token positions covered by "
-        "at least one duplicated window. Window frequency shuffles 60-bit "
-        "md5-prefix hashes (8-byte keys, never text; collision odds "
-        "~1e-8, the dedup_repeated_chunks rationale — the oracle counts "
-        "by window text); coverage is one interval-union pass over each "
+        "at least one duplicated window. Windows never materialize as "
+        "strings: each token hashes once (xxhash64) and the window key "
+        "is a rotate-XOR fold of its k token hashes (overflow-free long "
+        "ops, ANSI-safe; 64-bit collision odds ~1e-11 — the oracle "
+        "counts by window text, the dedup_repeated_chunks rationale); "
+        "coverage is one interval-union pass over each "
         "doc's sorted duplicated starts (min(window, gap) per start) — a "
         "document-partitioned window function, never a per-token "
         "explode. The paper's suffix array is inherently sequential; "
@@ -1467,3 +1469,99 @@ def emb_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.similarity import kcenter_coreset
 
     return kcenter_coreset(_t(spark, sf_dir, "embeddings"), k=16)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer evaluation report — fertility / compression per corpus slice
+# ---------------------------------------------------------------------------
+
+
+def _tokenizer_report_oracle() -> str:
+    """Independent precomputed-expectation oracle, same protocol as
+    text_bpe_merges/text_bpe_tokenize: tools/gen_bpe_oracle.py --report
+    derives the per-(lang, source) aggregates from DuckDB tokenization
+    + a pure-Python BPE (train 16 merges, tokenize every word, roll up
+    per slice) — no Spark code in the loop. The VALUES table lives in
+    oracles/text_tokenizer_report.sql (regenerate with
+    `python tools/gen_bpe_oracle.py /root/testdata/sf0.01 16 --report`).
+    Valid only at the driver's sf0.01 gate (oracle_sf)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "oracles",
+        "text_tokenizer_report.sql",
+    )
+    with open(path) as f:
+        return f.read()
+
+
+@register(
+    "text_tokenizer_report",
+    _tokenizer_report_oracle(),
+    oracle_sf="sf0.01",
+    doc=(
+        "Tokenizer evaluation report (operators/bpe train_bpe + "
+        "apply_bpe_vocab): per (lang, source) corpus slice, document/"
+        "word/token/char totals plus FERTILITY (BPE tokens per word — "
+        "the standard multilingual tokenizer-quality metric; high "
+        "fertility = that slice pays more sequence length per word) and "
+        "chars-per-token compression. This is the measurement a "
+        "pipeline runs after training a tokenizer to decide whether the "
+        "vocab serves every language/domain slice fairly. One corpus "
+        "scan into the vocabulary-memoized apply (merge fold once per "
+        "DISTINCT word, equi-join back), per-doc counts, one map-side-"
+        "combined groupBy to the #slices-row report. Integer totals are "
+        "exact; ratios are single double divisions rounded 6 dp."
+    ),
+)
+def text_tokenizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.functions.text import words
+    from etl_s3_to_redshift_spark.operators.bpe import apply_bpe_vocab, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    merges_df = train_bpe(docs, n_merges=16)
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("merge_rank").collect()
+    ]
+    toked = apply_bpe_vocab(
+        docs.select("doc_id", "lang", "source", "text"),
+        merges,
+        id_cols=["doc_id", "lang", "source"],
+    )
+    w = words(F.lower(F.col("text")))
+    per_doc = docs.select(
+        "doc_id",
+        F.size(w).cast("long").alias("__nw"),
+        F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .alias("__nc"),
+    )
+    j = toked.join(per_doc, "doc_id").select(
+        "lang",
+        "source",
+        "__nw",
+        "__nc",
+        F.size("bpe_tokens").cast("long").alias("__nt"),
+    )
+    agg = j.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__nw").alias("n_words"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum("__nc").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_tokens").cast("double") / F.col("n_words").cast("double"), 6),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"), 6),
+        ).alias("chars_per_token"),
+    )

@@ -1,9 +1,13 @@
-"""Tests for the round-6 third-batch curation operators: the C4 cleaning
-gate matches a pure-Python rule engine on multi-line fixtures the driver
-corpus can't exercise, exact-substring window coverage matches a
-brute-force replay on random corpora, CCNet perplexity buckets respect
-the per-language tercile contract, and SSL-prototypes pruning matches a
-numpy replay of the rank-and-drop rule."""
+"""Tests for the round-6 third/fourth-batch curation operators: the C4
+cleaning gate matches a pure-Python rule engine on multi-line fixtures
+the driver corpus can't exercise, exact-substring window coverage
+matches a brute-force replay on random corpora, CCNet perplexity
+buckets respect the per-language tercile contract, SSL-prototypes
+pruning matches a numpy replay of the rank-and-drop rule, token-budget
+mixture sampling matches a pure-Python apportionment+prefix replay,
+line-hash keep-first dedup matches a pure-Python first-occurrence
+replay, greedy k-center matches a pure-Python farthest-first replay,
+and the tokenizer report equals a classic-BPE pure-Python rollup."""
 
 from __future__ import annotations
 
@@ -593,3 +597,121 @@ def test_kcenter_dirty_rows_never_selected(spark):
         if dirty in got:
             assert not got[dirty]["is_center"]
             assert got[dirty]["center_rank"] is None
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer evaluation report
+# ---------------------------------------------------------------------------
+
+
+def test_tokenizer_report_matches_python_rollup(spark):
+    """Train+apply+rollup on a tiny synthetic corpus equals a pure-
+    Python replay (classic BPE from test_ops7 + per-slice sums)."""
+    from tests.test_ops7 import _ref_bpe
+
+    from etl_s3_to_redshift_spark.operators.bpe import apply_bpe_vocab, train_bpe
+
+    docs = [
+        (0, "en", "a", "low lower lowest low"),
+        (1, "en", "a", "new newer newest new new"),
+        (2, "en", "b", "low new low new"),
+        (3, "de", "a", "neu neuer neuestes"),
+        (4, "de", "b", ""),  # empty doc: 0 words, 0 tokens
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, lang string, source string, text string")
+    n_merges = 6
+    wf = {}
+    for _, _, _, t in docs:
+        for w in t.lower().split():
+            wf[w] = wf.get(w, 0) + 1
+    merges = [(l, r) for _, l, r, _, _ in _ref_bpe(list(wf.items()), n_merges)]
+
+    def tok(w):
+        syms = list(w) + ["</w>"]
+        for l, r in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            syms = out
+        return syms
+
+    want = {}
+    for _, lang, src, t in docs:
+        ws = t.lower().split()
+        g = want.setdefault((lang, src), [0, 0, 0, 0])
+        g[0] += 1
+        g[1] += len(ws)
+        g[2] += sum(len(tok(w)) for w in ws)
+        g[3] += sum(len(w) for w in ws)
+
+    trained = [
+        (r["left"], r["right"])
+        for r in train_bpe(df, n_merges=n_merges).orderBy("merge_rank").collect()
+    ]
+    assert trained == merges  # identical tokenizer before the rollup
+    toked = apply_bpe_vocab(
+        df, trained, id_cols=["doc_id", "lang", "source"]
+    )
+    from pyspark.sql import functions as F
+
+    got = {}
+    for r in (
+        toked.join(
+            df.selectExpr(
+                "doc_id",
+                "size(filter(split(trim(lower(text)), '\\\\s+'), t -> t != '')) AS nw",
+                "aggregate(filter(split(trim(lower(text)), '\\\\s+'), t -> t != ''),"
+                " 0L, (a, x) -> a + length(x)) AS nc",
+            ),
+            "doc_id",
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("nd"),
+            F.sum("nw").alias("nw"),
+            F.sum(F.size("bpe_tokens")).alias("nt"),
+            F.sum("nc").alias("nc"),
+        )
+        .collect()
+    ):
+        got[(r["lang"], r["source"])] = [r["nd"], r["nw"], r["nt"], r["nc"]]
+    assert got == want, (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Bitext LSH auto-sized banding
+# ---------------------------------------------------------------------------
+
+
+def test_bitext_ann_auto_planes_matches_fixed_at_small_corpus(spark):
+    """n_planes=None derives bands*bits from the larger side; at the
+    sf0.01 corpus (1000/side, target 1000/bucket) that is exactly the
+    registered fixed-16 geometry, so outputs are identical — and the
+    bit rule itself scales the bucket count with the corpus."""
+    from pyspark.sql import functions as F
+
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        _auto_band_bits,
+        bitext_margin_pairs_lsh,
+    )
+
+    assert _auto_band_bits(1000) == 4
+    assert _auto_band_bits(16_000) == 4
+    assert _auto_band_bits(64_000) == 6
+    assert _auto_band_bits(1_000_000) == 10
+    assert _auto_band_bits(1) == 4
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    side = F.col("label") % 2 == 0
+    fixed = sorted(
+        tuple(r)
+        for r in bitext_margin_pairs_lsh(emb, side, dim=64, n_planes=16).collect()
+    )
+    auto = sorted(
+        tuple(r)
+        for r in bitext_margin_pairs_lsh(emb, side, dim=64, n_planes=None).collect()
+    )
+    assert fixed == auto and len(fixed) > 0
