@@ -23,6 +23,43 @@ from etl_s3_to_redshift_spark import queries as Q  # noqa: E402
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_shipped_apps: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on Python WORKERS, not just the driver.
+
+    cloudpickle serializes closures by value but anything they reference
+    at package module level (Arrow-kernel helpers like
+    operators/similarity._dense_or_zero) BY REFERENCE — workers resolve
+    those by importing the package. The external driver runs from a
+    neutral cwd with no PYTHONPATH, so its workers see neither the repo
+    directory nor this file's sys.path insertion (which is
+    driver-process-only). Ship the package once per SparkContext as a
+    zip via addPyFile — the supported mechanism for exactly this.
+    """
+    sc = spark.sparkContext
+    app = sc.applicationId
+    if app in _shipped_apps:
+        return
+    import tempfile
+    import zipfile
+
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"etl_s3_to_redshift_spark_pkg_{os.getpid()}.zip"
+    )
+    pkg = os.path.join(_REPO_DIR, "etl_s3_to_redshift_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                zf.write(full, os.path.relpath(full, _REPO_DIR))
+    sc.addPyFile(zpath)
+    _shipped_apps.add(app)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -32,12 +69,25 @@ def entry(spark: SparkSession) -> DataFrame:
     songplay fact build (sql_queries.py:132-151) recast onto the testdata
     star schema.
     """
+    _ship_package(spark)
     return Q.REGISTRY["r2_broadcast_enrich"].spark(spark, SF_SMOKE)
+
+
+def _with_shipping(
+    fn: Callable[[SparkSession, str], DataFrame],
+) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ship_package(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    wrapped.__doc__ = fn.__doc__
+    return wrapped
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return Q.queries()
+    return {name: _with_shipping(fn) for name, fn in Q.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -161,6 +161,12 @@ HEADLINE = [
     # memoized apply + slice groupBy — the text_bpe_tokenize pipeline
     # rolled up per corpus slice)
     "text_tokenizer_report",
+    # round-6 fifth batch: BM25 lexical retrieval (semi-joined postings
+    # + 1-row stats broadcast + two-phase top-k) and the end-to-end
+    # curation funnel (gates fused into one scan + coverage shuffles
+    # over survivors + one 5-count aggregate)
+    "text_bm25_topk",
+    "data_curation_funnel",
 ]
 
 
@@ -232,6 +238,10 @@ DATA_BOUND = [
     "dedup_lines_keepfirst",
     "emb_kcenter_coreset",
     "text_tokenizer_report",
+    # round-6 fifth batch (corpus-linear): BM25 postings scan + query-
+    # term shuffle; the funnel is two corpus scans + coverage shuffles
+    "text_bm25_topk",
+    "data_curation_funnel",
 ]
 
 

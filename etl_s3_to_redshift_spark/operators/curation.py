@@ -1,0 +1,194 @@
+"""End-to-end corpus-curation pipeline composition — the staged
+keep/drop funnel a web-scale pretraining pipeline actually runs
+(FineWeb / RefinedWeb / CCNet shape): language ID → heuristic quality
+gate → near-duplicate drop → exact dedup, with per-stage survivor
+accounting.
+
+The individual gates live in ``operators/textops`` (lang_id,
+gopher_quality_rules) and ``operators/dedup``
+(duplicated_window_coverage); this module wires them into one pipeline
+and reports the funnel — stage-by-stage document counts, removals, and
+cumulative keep rate — the first artifact anyone asks of a curation
+run ("where did my corpus go?").
+
+Sibling: ``plans/curation.curate_corpus`` is the MATERIALIZING
+production plan (quality → exact dedup → MinHash near-dup →
+decontamination → split, with optional parquet staging between
+super-stages); this module is the driver-checkable published-gate
+composition — every stage here has an exact cross-engine SQL
+restatement, which is what lets the whole funnel ride the DuckDB
+oracle gate as one query (``data_curation_funnel``).
+
+North-star extension (no reference counterpart —
+/root/reference/sql_queries.py has no text surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.operators.dedup import duplicated_window_coverage
+from etl_s3_to_redshift_spark.operators.textops import (
+    gopher_quality_rules,
+    lang_id,
+)
+
+STAGES = ("raw", "lang_id", "quality_rules", "exact_dedup", "near_dedup")
+
+
+def curation_flags(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+    max_coverage: float = 0.5,
+    **quality_kwargs,
+) -> DataFrame:
+    """Per-document cumulative survival flags for the four curation
+    stages — the keep-list a pipeline materializes before writing the
+    cleaned corpus. Stage semantics (each runs on the PREVIOUS stage's
+    survivors, as the real pipeline would):
+
+    1. ``s_lang`` — the marker-stopword language ID is confident
+       (``pred_lang != 'und'``): documents whose language can't even be
+       guessed are noise (CCNet's fastText-gate analogue).
+    2. ``s_quality`` — the Gopher rule conjunction
+       (``textops.gopher_quality_rules``; thresholds forwarded via
+       ``quality_kwargs``) holds.
+    3. ``s_exact`` — first occurrence (lowest id) per exact text
+       (md5 fingerprint) among quality survivors: exact copies
+       collapse to one keeper BEFORE span analysis (CCNet's
+       paragraph-hash order — running it after would be dead code,
+       since a fully-duplicated copy always fails the coverage gate).
+    4. ``s_neardup`` — the document's exact-substring duplication
+       coverage (Lee et al. 2021 window form,
+       ``dedup.duplicated_window_coverage`` with ``window_tokens``,
+       frequencies counted WITHIN the exact-dedup survivors) stays
+       below ``max_coverage``: boilerplate pages whose spans recur
+       across OTHER retained documents drop (doc-level EXACTSUBSTR —
+       both members of a heavily-overlapping pair fail, by design;
+       keep-one-of-cluster near-dedup is ``dedup.minhash groups``).
+
+    Plan shape at corpus scale: stages 1–2 are pure narrow expressions
+    fused into ONE scan (the language flag rides through the Gopher
+    gate via its ``passthrough`` — no self-join of the corpus against
+    its own flags); stage 3 is one window partitioned by content hash
+    over quality survivors; stage 4 is the coverage operator's two
+    linear shuffles over exact survivors only, joined back by id.
+    The flags frame re-derives the scan per consuming branch — narrow
+    and pushdown-friendly; a lake-scale run persists it before fanning
+    out (the frame is also this function's return value precisely so
+    callers can).
+
+    Returns ``(id, s_lang, s_quality, s_exact, s_neardup)`` — one row
+    per input document, booleans cumulative (``s_neardup`` ⇒ every
+    earlier flag).
+    """
+    staged = gopher_quality_rules(
+        docs.select(
+            F.col(id_col),
+            F.col(text_col),
+            (lang_id(F.col(text_col)) != F.lit("und")).alias("__s_lang"),
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        passthrough=(text_col, "__s_lang"),
+        **quality_kwargs,
+    ).select(
+        F.col(id_col),
+        F.col(text_col),
+        F.col("__s_lang").alias("s_lang"),
+        (F.col("__s_lang") & F.col("keep")).alias("s_quality"),
+    )
+
+    w_first = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
+        F.col(id_col).asc()
+    )
+    keepers = (
+        staged.filter(F.col("s_quality"))
+        .withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") == 1)
+        .select(F.col(id_col), F.lit(True).alias("__first"))
+    )
+    flagged = staged.join(keepers, id_col, "left").withColumn(
+        "s_exact", F.col("s_quality") & F.coalesce(F.col("__first"), F.lit(False))
+    )
+
+    cov = duplicated_window_coverage(
+        flagged.filter(F.col("s_exact")).select(id_col, text_col),
+        window_tokens=window_tokens,
+        text_col=text_col,
+        id_col=id_col,
+    ).select(
+        F.col(id_col),
+        (F.col("dup_coverage") < F.lit(max_coverage)).alias("__cov_ok"),
+    )
+    return (
+        flagged.join(cov, id_col, "left")
+        .withColumn(
+            "s_neardup",
+            F.col("s_exact") & F.coalesce(F.col("__cov_ok"), F.lit(False)),
+        )
+        .select(id_col, "s_lang", "s_quality", "s_exact", "s_neardup")
+    )
+
+
+def curation_funnel(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+    max_coverage: float = 0.5,
+    **quality_kwargs,
+) -> DataFrame:
+    """The stage-by-stage curation funnel report over
+    ``curation_flags``: one row per stage —
+    ``(stage_idx, stage, n_docs, n_removed, pct_kept)`` where
+    ``n_docs`` counts that stage's survivors, ``n_removed`` the drop
+    versus the previous stage, and ``pct_kept`` the cumulative keep
+    rate against the raw corpus (6 dp).
+
+    The whole report is ONE aggregate over the flags frame (five
+    conditional counts collapse map-side to a single row) followed by a
+    literal 5-struct inline explode — no window over the aggregate, no
+    second corpus pass. At 100 TB this is the cheap side of the
+    pipeline: the flags frame itself is the expensive artifact, and the
+    funnel rides on it.
+    """
+    flags = curation_flags(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        window_tokens=window_tokens,
+        max_coverage=max_coverage,
+        **quality_kwargs,
+    )
+    one = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.col("s_lang").cast("long")).alias("n1"),
+        F.sum(F.col("s_quality").cast("long")).alias("n2"),
+        F.sum(F.col("s_exact").cast("long")).alias("n3"),
+        F.sum(F.col("s_neardup").cast("long")).alias("n4"),
+    )
+    cnt = [F.col(f"n{i}") for i in range(5)]
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(STAGES[i]).alias("stage"),
+                cnt[i].alias("n_docs"),
+                (cnt[i - 1] - cnt[i] if i else F.lit(0)).cast("long").alias(
+                    "n_removed"
+                ),
+                (
+                    F.round(
+                        cnt[i].cast("double") / cnt[0].cast("double"), 6
+                    )
+                    + F.lit(0.0)
+                ).alias("pct_kept"),
+            )
+            for i in range(5)
+        ]
+    )
+    return one.select(F.explode(stage_structs).alias("st")).select("st.*")

@@ -593,6 +593,7 @@ def gopher_quality_rules(
     max_ellipsis_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
     min_required_words: int = 2,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """The Gopher corpus-filter rule set (Rae et al. 2021, Appendix A —
     the keep/drop gate reused verbatim by later open pipelines): a
@@ -603,6 +604,10 @@ def gopher_quality_rules(
     (the/be/to/of/and/that/have/with). Emits the measured features, one
     boolean per rule, and the conjunction ``keep`` — features kept
     alongside the verdict so threshold sweeps don't re-scan the corpus.
+    ``passthrough`` names extra input columns to carry into the output
+    unchanged (pipeline composition — e.g. the curation funnel keeps
+    the raw text and an upstream language flag through this gate
+    without a second corpus scan or a re-join).
 
     Scale shape: pure narrow per-row expressions over one materialized
     token array — runs inside the scan stage, shuffle-free, at any
@@ -620,6 +625,9 @@ def gopher_quality_rules(
         F.col(text_col),
         toks.alias("__toks"),
         lines.alias("__lines"),
+        # text_col/id_col are already projected; adding them again would
+        # make the passthrough reference ambiguous downstream
+        *[F.col(c) for c in passthrough if c not in (id_col, text_col)],
     )
     t = F.col("__toks")
     ln = F.col("__lines")
@@ -682,6 +690,7 @@ def gopher_quality_rules(
     rule_req = n_required >= min_required_words
     return base.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         n_words.alias("n_words"),
         r6(mean_wl).alias("mean_word_len"),
         r6(sym_ratio).alias("symbol_ratio"),
@@ -834,4 +843,123 @@ def perplexity_buckets(
         .when(s <= F.col("__b2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt_parts: int = 32,
+) -> DataFrame:
+    """BM25 lexical retrieval (Robertson & Zaragoza 2009; the Lucene
+    ``k1/b`` variant with the always-positive idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``): score every document
+    containing at least one query term and return each query's top-k.
+    ``queries`` is a tiny ``(query_id, query_text)`` frame; repeated
+    query terms count once (distinct-term query model). This is the
+    sparse/lexical sibling of the dense retrieval stack
+    (sim_topk_cosine / sim_ann_*): same shortlist contract, inverse
+    document frequency instead of embedding geometry.
+
+    Plan shape, sized for a 100 TB corpus with a handful of queries:
+    - the corpus tokenizes ONCE into a staged projection (higher-order
+      functions skip subexpression elimination — the analyzer-inlining
+      trap measured in dedup_repeated_chunks);
+    - the exploded postings stream is semi-joined against the broadcast
+      distinct query-term set BEFORE any aggregation, so only postings
+      for query terms ever shuffle (the inverted-index access path —
+      everything else dies in the scan stage);
+    - term frequencies aggregate map-side-combined on (doc, term);
+      document frequencies aggregate from the tf frame (term-count
+      rows) and broadcast back;
+    - corpus scalars N and avgdl come from one map-side count/sum
+      aggregate, broadcast as a 1-row frame (allowlisted 1-row BNLJ,
+      the scalar-subquery pattern of q22/ts_seasonal_anomalies);
+    - per-term partial scores are rounded to 6 dp and summed as
+      DECIMAL(20,6) per (query, doc) — exact and associative, immune
+      to partition-order float drift (the bitext-margin contract);
+    - top-k is TWO-PHASE: rank within (query_id, doc-hash salt) first,
+      then rank the <= salt_parts*k survivors per query — a single
+      window partitioned by only query_id would funnel the whole
+      candidate set of each query through one task at corpus scale.
+
+    Returns (query_id, doc_id, score DOUBLE, rank INT), rank 1..k by
+    (score DESC, doc_id ASC) — the unique-tiebreak ordering contract.
+    """
+    toked = docs.select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("__toks")
+    )
+    toked = toked.select(
+        F.col(id_col), F.col("__toks"), F.size("__toks").alias("__dl")
+    )
+
+    qterms = queries.select(
+        F.col("query_id"),
+        F.explode(
+            F.array_distinct(words(F.lower(F.col("query_text"))))
+        ).alias("term"),
+    )
+    qterm_set = qterms.select("term").distinct()
+
+    stats = toked.agg(
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        (
+            F.sum("__dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("__avgdl"),
+    )
+
+    postings = toked.select(
+        F.col(id_col), F.col("__dl"), F.explode("__toks").alias("term")
+    ).join(F.broadcast(qterm_set), "term", "leftsemi")
+    tf = postings.groupBy(id_col, "term", "__dl").agg(
+        F.count(F.lit(1)).alias("__tf")
+    )
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n_docs") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    tfnorm = (F.col("__tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("__tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("__dl").cast("double") / F.col("__avgdl")
+        )
+    )
+    per_term = scored.select(
+        "query_id",
+        F.col(id_col),
+        F.round(idf * tfnorm, 6).cast("decimal(20,6)").alias("__s"),
+    )
+    doc_scores = per_term.groupBy("query_id", id_col).agg(
+        F.sum("__s").cast("double").alias("score")
+    )
+
+    w_salt = Window.partitionBy(
+        "query_id", F.pmod(F.xxhash64(F.col(id_col)), F.lit(salt_parts))
+    ).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        doc_scores.withColumn("__r0", F.row_number().over(w_salt))
+        .filter(F.col("__r0") <= k)
+        .withColumn("rank", F.row_number().over(w_q))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col), "score", F.col("rank").cast("int").alias("rank")
+        )
     )

@@ -949,6 +949,7 @@ def _load_extensions() -> None:
         queries_ops8,
         queries_ops9,
         queries_ops10,
+        queries_ops11,
         queries_scalar,
         queries_tpch2,
     )
@@ -961,8 +962,8 @@ def _load_extensions() -> None:
 # the cohort whose newest driver row is OLDEST.  After round 5 the
 # per-round freshness census (CORRECTNESS_r0*.json keys) is r2:15,
 # r3:49, r4:47, r5:50 — so the round-6 slate is the 15 r2-stale queries
-# (closing VERDICT r5 item 1), then the 4 queries REGISTERED this round
-# (no driver evidence at all yet), then 31 of the r3 cohort; the r3
+# (closing VERDICT r5 item 1), then the 17 queries REGISTERED this round
+# (no driver evidence at all yet), then 18 of the r3 cohort; the r3
 # remainder and the r4 cohort lead round 7.  Every query stays
 # verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
@@ -1006,8 +1007,10 @@ _DRIVER_FIRST = [
     "dedup_lines_keepfirst",
     "emb_kcenter_coreset",
     "text_tokenizer_report",
-    # r3 cohort (newest driver row round 3): 20 of 49 fit the cap after
-    # the fifteen new round-6 queries; the remaining 29 (below) plus
+    "text_bm25_topk",
+    "data_curation_funnel",
+    # r3 cohort (newest driver row round 3): 18 of 49 fit the cap after
+    # the seventeen new round-6 queries; the remaining 31 (below) plus
     # the r4 cohort lead round 7.
     "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
     "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
@@ -1015,8 +1018,8 @@ _DRIVER_FIRST = [
     "dedup_groups_incremental", "agg_bool_bit_suite", "scalar_try_safe_suite",
     "null_safe_join_events", "skew_key_profile", "hist_equidepth_deciles",
     "dedup_keep_best_quality", "asof_next_purchase", "data_source_mixture",
-    "funnel_user_conversion", "cohort_retention_weekly",
     # ---- 50-cap falls here: r3-cohort remainder leads round 7
+    "funnel_user_conversion", "cohort_retention_weekly",
     "event_transition_matrix",
     "text_unigram_logprob", "profile_orders_columns", "text_quality_calibrate",
     "w5_trailing_hour_window", "merge_upsert_snapshot", "scd2_customer_history",

@@ -1,0 +1,274 @@
+"""Round-6 registered queries (fourth batch): BM25 lexical retrieval
+and the end-to-end curation funnel report.
+
+Reference anchor: north-star extensions only (the reference's full query
+inventory at /root/reference/sql_queries.py has no text surface); both
+queries carry exact DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_s3_to_redshift_spark.queries import _t, register
+
+_WORDS_LOWER_SQL = (
+    r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x != '')"
+)
+
+# ---------------------------------------------------------------------------
+# BM25 top-k lexical retrieval
+# ---------------------------------------------------------------------------
+
+# Fixed benchmark query set: common terms, a rare/common contrast pair
+# ('dup' marks the planted near-duplicate docs), and one term absent
+# from the corpus ('shuffle' — exercises the missing-postings path).
+_BM25_QUERIES = [
+    (1, "spark shuffle join"),
+    (2, "dup line"),
+    (3, "fast table scan"),
+]
+_BM25_K = 10
+
+_BM25_VALUES = ", ".join(f"({i}, '{t}')" for i, t in _BM25_QUERIES)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH q(query_id, query_text) AS (VALUES {_BM25_VALUES}),
+    qt AS (
+      SELECT query_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(trim(lower(query_text)), '\\s+'),
+               x -> x != ''))) AS term
+      FROM q
+    ), toked AS (
+      SELECT doc_id, {_WORDS_LOWER_SQL} AS toks FROM documents
+    ), dl AS (
+      SELECT doc_id, len(toks) AS dl FROM toked
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), post AS (
+      SELECT t.doc_id, unnest(t.toks) AS term FROM toked t
+    ), tf AS (
+      SELECT p.doc_id, p.term, count(*) AS tf
+      FROM post p
+      WHERE p.term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY 1, 2
+    ), dfc AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), per_term AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + ((st.n_docs - dfc.df) + 0.5) / (dfc.df + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25
+                             + (0.75 * CAST(dl.dl AS DOUBLE)) / st.avgdl)),
+               6) AS DECIMAL(20,6)) AS s
+      FROM tf
+      JOIN dfc USING (term)
+      JOIN qt USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats st
+    ), scored AS (
+      SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+      FROM per_term GROUP BY 1, 2
+    ), ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {_BM25_K}
+    """,
+    doc=(
+        "BM25 lexical retrieval (operators/textops.bm25_topk; Robertson "
+        "& Zaragoza 2009, the Lucene k1=1.2/b=0.75 variant with "
+        "always-positive idf): top-10 documents per benchmark query — "
+        "the sparse sibling of the dense sim_ann_* stack. Postings "
+        "semi-join the broadcast query-term set BEFORE any aggregation "
+        "(inverted-index access path: only query-term postings ever "
+        "shuffle), corpus scalars N/avgdl broadcast as a 1-row frame, "
+        "per-term scores sum as DECIMAL(20,6) after 6-dp rounding "
+        "(exact, associative — cross-engine stable), and top-k ranks in "
+        "two phases (doc-hash salt, then per-query) so one query's "
+        "candidate set never funnels through a single task."
+    ),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.textops import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id INT, query_text STRING"
+    )
+    return bm25_topk(docs, queries, k=_BM25_K)
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel — the staged keep/drop pipeline report
+# ---------------------------------------------------------------------------
+
+_FUNNEL_COV = 0.5
+
+
+@register(
+    "data_curation_funnel",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x != '') AS toks,
+             list_filter(string_split(text, chr(10)),
+                         l -> trim(l) != '') AS lns,
+             {_WORDS_LOWER_SQL} AS lt
+      FROM documents
+    ), lang AS (
+      SELECT doc_id, text, toks, lns,
+        (len(list_filter(lt, t -> list_contains(
+             ['the','and','of','to','a','in','is'], t))) > 0
+         OR len(list_filter(lt, t -> list_contains(
+             ['der','die','und','das','ist','nicht'], t))) > 0
+         OR len(list_filter(lt, t -> list_contains(
+             ['el','la','los','y','que','es'], t))) > 0
+         OR len(list_filter(lt, t -> list_contains(
+             ['le','la','les','et','est','une'], t))) > 0) AS s_lang
+      FROM base
+    ), m AS (
+      SELECT doc_id, text, toks, s_lang,
+        len(toks) AS n_words,
+        list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+          AS tok_chars,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+        len(lns) AS n_lines,
+        len(list_filter(lns, l -> ltrim(l) LIKE '- %'
+                              OR ltrim(l) LIKE '* %'
+                              OR ltrim(l) LIKE '•%')) AS n_bullet,
+        len(list_filter(lns, l -> rtrim(l) LIKE '%...'
+                              OR rtrim(l) LIKE '%…')) AS n_ell_end,
+        len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+          AS n_alpha,
+        len(list_filter(['the','be','to','of','and','that','have','with'],
+                        w -> list_contains(
+                            list_transform(toks, x -> lower(x)), w)))
+          AS n_req
+      FROM lang
+    ), g AS (
+      SELECT doc_id, text, toks, s_lang,
+        (s_lang
+         AND n_words >= 50 AND n_words <= 100000
+         AND coalesce(CAST(tok_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        >= 3.0
+                      AND CAST(tok_chars AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        <= 10.0, FALSE)
+         AND coalesce((n_hash + n_ell) / CAST(n_words AS DOUBLE) <= 0.1,
+                      FALSE)
+         AND (CASE WHEN n_lines > 0
+                   THEN CAST(n_bullet AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                   ELSE 0.0 END) < 0.9
+         AND (CASE WHEN n_lines > 0
+                   THEN CAST(n_ell_end AS DOUBLE) / CAST(n_lines AS DOUBLE)
+                   ELSE 0.0 END) < 0.3
+         AND coalesce(CAST(n_alpha AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        >= 0.8, FALSE)
+         AND n_req >= 1) AS s_quality
+      FROM m
+    ), firsts AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM g WHERE s_quality
+    ), gx AS (
+      SELECT g.doc_id, g.text, g.toks, g.s_lang, g.s_quality,
+             (g.s_quality AND coalesce(fs.rn, 0) = 1) AS s_exact
+      FROM g LEFT JOIN firsts fs USING (doc_id)
+    ), sized AS (
+      SELECT doc_id, toks AS w, len(toks) AS n_tokens
+      FROM gx WHERE s_exact
+    ), win AS (
+      SELECT doc_id, n_tokens, i AS s,
+             array_to_string(list_slice(w, i + 1, i + 10), ' ') AS seg
+      FROM (SELECT doc_id, n_tokens, w,
+                   unnest(range(greatest(n_tokens - 9, 1))) AS i
+            FROM sized WHERE n_tokens > 0)
+    ), f AS (
+      SELECT seg, count(*) AS freq FROM win GROUP BY seg
+    ), dup AS (
+      SELECT w.doc_id, w.n_tokens, w.s
+      FROM win w JOIN f USING (seg) WHERE f.freq > 1
+    ), cov AS (
+      SELECT doc_id,
+             sum(CASE WHEN prev IS NULL THEN least(10, n_tokens)
+                      ELSE least(least(10, n_tokens), s - prev) END)
+               AS covered
+      FROM (SELECT doc_id, n_tokens, s,
+                   lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS prev
+            FROM dup)
+      GROUP BY doc_id
+    ), flags AS (
+      SELECT gx.doc_id, gx.s_lang, gx.s_quality, gx.s_exact,
+             (gx.s_exact AND
+              round(CASE WHEN z.n_tokens > 0
+                         THEN CAST(coalesce(c.covered, 0) AS DOUBLE)
+                              / CAST(z.n_tokens AS DOUBLE)
+                         ELSE 0.0 END, 6) + 0.0 < {_FUNNEL_COV})
+               AS s_neardup
+      FROM gx
+      LEFT JOIN sized z USING (doc_id)
+      LEFT JOIN cov c USING (doc_id)
+    ), agg AS (
+      SELECT count(*) AS n0,
+             sum(CASE WHEN s_lang THEN 1 ELSE 0 END) AS n1,
+             sum(CASE WHEN s_quality THEN 1 ELSE 0 END) AS n2,
+             sum(CASE WHEN s_exact THEN 1 ELSE 0 END) AS n3,
+             sum(CASE WHEN s_neardup THEN 1 ELSE 0 END) AS n4
+      FROM flags
+    )
+    SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage,
+           CAST(n0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_removed,
+           round(CAST(n0 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 AS pct_kept
+    FROM agg
+    UNION ALL
+    SELECT 1, 'lang_id', CAST(n1 AS BIGINT), CAST(n0 - n1 AS BIGINT),
+           round(CAST(n1 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 FROM agg
+    UNION ALL
+    SELECT 2, 'quality_rules', CAST(n2 AS BIGINT), CAST(n1 - n2 AS BIGINT),
+           round(CAST(n2 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 FROM agg
+    UNION ALL
+    SELECT 3, 'exact_dedup', CAST(n3 AS BIGINT), CAST(n2 - n3 AS BIGINT),
+           round(CAST(n3 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 FROM agg
+    UNION ALL
+    SELECT 4, 'near_dedup', CAST(n4 AS BIGINT), CAST(n3 - n4 AS BIGINT),
+           round(CAST(n4 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 FROM agg
+    """,
+    doc=(
+        "End-to-end curation funnel report (operators/curation."
+        "curation_funnel; the FineWeb/RefinedWeb/CCNet pipeline shape): "
+        "language-ID confidence → Gopher rule gate → exact keep-first "
+        "dedup → exact-substring near-dup drop (Lee-et-al window "
+        "coverage < 0.5, frequencies counted within exact-dedup "
+        "survivors; exact copies collapse FIRST or the coverage gate "
+        "would make the exact stage dead code), "
+        "each stage on the previous stage's survivors, reported as "
+        "stage-by-stage counts, removals, and cumulative keep rate. "
+        "Gopher's min_required_words is adapted to 1 for the synthetic "
+        "word-soup corpus (it contains only 'the'/'a' of the 8 English "
+        "function words; the operator default stays at the published "
+        "2). Stages 1-2 fuse into one scan (the language flag rides "
+        "through the Gopher gate's passthrough); the report itself is "
+        "one 5-conditional-count aggregate + a literal struct explode "
+        "— no window over the aggregate, no second corpus pass."
+    ),
+)
+def data_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.curation import curation_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return curation_funnel(
+        docs, window_tokens=10, max_coverage=_FUNNEL_COV, min_required_words=1
+    )

@@ -1,0 +1,210 @@
+"""Tests for the round-6 fourth-batch operators: BM25 lexical retrieval
+matches a pure-Python replay (exact under the decimal-sum contract),
+ignores query terms absent from the corpus, and ranks rare-term
+documents by idf; the curation funnel reproduces a hand-computed staged
+account on a planted corpus, keeps flags cumulative, and keeps exactly
+the first copy per duplicated text."""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def _py_bm25(docs, queries, k=10, k1=1.2, b=0.75):
+    """Pure-Python replay of the documented BM25 contract: distinct
+    query terms, Lucene idf, per-term scores rounded to 6 dp then
+    summed exactly (Decimal — the operator's DECIMAL(20,6) sum)."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = float(len(docs))
+    avgdl = float(sum(len(v) for v in toks.values())) / n
+    out = {}
+    for qid, qtext in queries:
+        terms = sorted(set(qtext.lower().split()))
+        scores = {}
+        for term in terms:
+            df = sum(1 for v in toks.values() if term in v)
+            if df == 0:
+                continue
+            idf = math.log(1.0 + ((n - df) + 0.5) / (df + 0.5))
+            for i, v in toks.items():
+                tf = v.count(term)
+                if tf == 0:
+                    continue
+                dl = float(len(v))
+                s = idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * ((1.0 - b) + b * dl / avgdl)
+                )
+                scores.setdefault(i, Decimal(0))
+                scores[i] += Decimal(str(round(s, 6)))
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(i, float(s)) for i, s in ranked]
+    return out
+
+
+_DOCS = [
+    (1, "spark join join table"),
+    (2, "spark spark spark scan"),
+    (3, "rare join table scan extra words here padding padding"),
+    (4, "table scan table scan table"),
+    (5, "unrelated vocabulary entirely different content"),
+]
+_QUERIES = [(1, "spark join"), (2, "rare table"), (3, "spark missing join")]
+
+
+def test_bm25_matches_pure_python(spark):
+    from etl_s3_to_redshift_spark.operators.textops import bm25_topk
+
+    docs = spark.createDataFrame(_DOCS, "doc_id INT, text STRING")
+    qs = spark.createDataFrame(_QUERIES, "query_id INT, query_text STRING")
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score"])
+        for r in bm25_topk(docs, qs, k=3).collect()
+    }
+    want = _py_bm25(_DOCS, _QUERIES, k=3)
+    for qid, ranked in want.items():
+        for rank, (doc, score) in enumerate(ranked, start=1):
+            gdoc, gscore = got[(qid, rank)]
+            assert gdoc == doc, (qid, rank, got)
+            assert abs(gscore - score) < 1e-9, (qid, rank, gscore, score)
+    assert len(got) == sum(len(v) for v in want.values())
+
+
+def test_bm25_missing_term_is_ignored(spark):
+    """A query term with zero postings contributes nothing: 'spark
+    missing join' scores identically to 'spark join'."""
+    from etl_s3_to_redshift_spark.operators.textops import bm25_topk
+
+    docs = spark.createDataFrame(_DOCS, "doc_id INT, text STRING")
+    qs = spark.createDataFrame(
+        [(1, "spark join"), (2, "spark missing join")],
+        "query_id INT, query_text STRING",
+    )
+    rows = bm25_topk(docs, qs, k=5).collect()
+    by_q = {
+        qid: sorted((r["rank"], r["doc_id"], r["score"]) for r in rows if r["query_id"] == qid)
+        for qid in (1, 2)
+    }
+    assert by_q[1] == by_q[2] and len(by_q[1]) > 0
+
+
+def test_bm25_rare_term_dominates_by_idf(spark):
+    """With one doc holding a corpus-rare term, that doc tops the
+    rare-term query even against higher-tf common terms elsewhere."""
+    from etl_s3_to_redshift_spark.operators.textops import bm25_topk
+
+    docs = spark.createDataFrame(_DOCS, "doc_id INT, text STRING")
+    qs = spark.createDataFrame([(1, "rare table")], "query_id INT, query_text STRING")
+    top = bm25_topk(docs, qs, k=1).collect()[0]
+    assert top["doc_id"] == 3
+
+
+def test_bm25_plan_shape(spark):
+    """Inverted-index access path pinned: postings semi-join the
+    broadcast query-term set BEFORE any aggregation; exactly one 1-row
+    BNLJ (the corpus-stats broadcast); the two-phase top-k plans
+    rank-limit pushdown (WindowGroupLimit), never a global sort."""
+    from etl_s3_to_redshift_spark.queries import REGISTRY
+
+    from tests.test_plans_and_scale import SF_SMOKE, plan_of
+
+    plan = plan_of(REGISTRY["text_bm25_topk"].spark(spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel
+# ---------------------------------------------------------------------------
+
+
+def _long_doc(prefix: str, n: int = 60, head: str = "the") -> str:
+    return " ".join([head] + [f"{prefix}{i:02d}" for i in range(n)])
+
+
+_COMMON = _long_doc("c", 54)  # 55-token shared prefix for the near-dup pair
+
+
+def _planted_docs(spark):
+    rows = [
+        (1, _long_doc("a")),                       # clean keeper
+        (2, _long_doc("b")),                       # exact-dup pair, kept
+        (3, _long_doc("b")),                       # exact-dup pair, dropped
+        (4, _COMMON + " d4x0 d4x1 d4x2 d4x3 d4x4"),  # near-dup pair: both
+        (5, _COMMON + " d5y0 d5y1 d5y2 d5y3 d5y4"),  # drop (coverage > 0.5)
+        (6, "zz yy xx ww vv"),                     # no language markers
+        (7, "the x1 x2 x3"),                       # too short for quality
+    ]
+    return spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+
+def test_funnel_counts_planted_corpus(spark):
+    from etl_s3_to_redshift_spark.operators.curation import curation_funnel
+
+    got = {
+        r["stage"]: (r["stage_idx"], r["n_docs"], r["n_removed"], r["pct_kept"])
+        for r in curation_funnel(
+            _planted_docs(spark), min_required_words=1
+        ).collect()
+    }
+    assert got == {
+        "raw": (0, 7, 0, 1.0),
+        "lang_id": (1, 6, 1, round(6 / 7, 6)),
+        "quality_rules": (2, 5, 1, round(5 / 7, 6)),
+        "exact_dedup": (3, 4, 1, round(4 / 7, 6)),
+        "near_dedup": (4, 2, 2, round(2 / 7, 6)),
+    }
+
+
+def test_funnel_flags_cumulative_and_first_kept(spark):
+    from etl_s3_to_redshift_spark.operators.curation import curation_flags
+
+    rows = {
+        r["doc_id"]: r
+        for r in curation_flags(_planted_docs(spark), min_required_words=1).collect()
+    }
+    assert len(rows) == 7
+    for r in rows.values():
+        assert r["s_neardup"] <= r["s_exact"] <= r["s_quality"] <= r["s_lang"]
+    # exact stage keeps the LOWEST id of the duplicated text
+    assert rows[2]["s_exact"] and not rows[3]["s_exact"]
+    # the kept copy's windows are unique once its twin is gone
+    assert rows[2]["s_neardup"]
+    # both members of the >50%-overlap pair fail the coverage gate
+    assert rows[4]["s_exact"] and rows[5]["s_exact"]
+    assert not rows[4]["s_neardup"] and not rows[5]["s_neardup"]
+
+
+def test_funnel_report_consistent_with_flags(spark):
+    """The 5-row report is exactly the flag-sum rollup of the same
+    corpus (one aggregate, no drift between the two APIs)."""
+    from etl_s3_to_redshift_spark.operators.curation import (
+        curation_flags,
+        curation_funnel,
+    )
+
+    docs = _planted_docs(spark)
+    flags = curation_flags(docs, min_required_words=1)
+    sums = flags.agg(
+        F.count(F.lit(1)),
+        *[F.sum(F.col(c).cast("long")) for c in ("s_lang", "s_quality", "s_exact", "s_neardup")],
+    ).collect()[0]
+    report = {
+        r["stage_idx"]: r["n_docs"]
+        for r in curation_funnel(docs, min_required_words=1).collect()
+    }
+    assert [report[i] for i in range(5)] == list(sums)
+    # removals telescope back to the raw count
+    rem = {
+        r["stage_idx"]: r["n_removed"]
+        for r in curation_funnel(docs, min_required_words=1).collect()
+    }
+    assert sum(rem.values()) == sums[0] - sums[4]

@@ -89,6 +89,7 @@ def test_no_cartesian_products_anywhere(spark):
         "graph_pagerank_nations",  # 1-row dangling-mass broadcast per iteration
         "sim_ann_recall_report",  # contains the exact brute-force baseline scan
         "ts_seasonal_anomalies",  # 1-row residual-stddev broadcast
+        "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
     }
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))
