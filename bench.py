@@ -19,6 +19,7 @@ not toPandas serialization.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -284,6 +285,13 @@ def main() -> None:
             materialize(REGISTRY[name].spark(spark, sf_dir))
             ts.append(round(time.time() - t0, 3))
         all_reps[name] = ts
+        # isolate queries: drop SQL-cached relations and let the
+        # ContextCleaner reap lineage-truncating localCheckpoint RDDs
+        # whose Python references just went out of scope — a 100+-query
+        # session otherwise accumulates storage blocks that bleed
+        # memory/disk pressure into later queries' timings
+        spark.catalog.clearCache()
+        gc.collect()
         ordered = sorted(ts)
         # median for odd reps; for 2 reps the min (matches the prior
         # BENCH_sf1_r03..r05 best-of-2 series)

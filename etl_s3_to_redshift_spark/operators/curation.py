@@ -27,8 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-from etl_s3_to_redshift_spark.operators.dedup import duplicated_window_coverage
+from etl_s3_to_redshift_spark.operators.dedup import (
+    _spread,
+    duplicated_window_coverage,
+)
 from etl_s3_to_redshift_spark.operators.textops import (
     gopher_quality_rules,
     lang_id,
@@ -73,20 +77,23 @@ def curation_flags(
     Plan shape at corpus scale: stages 1–2 are pure narrow expressions
     fused into ONE scan (the language flag rides through the Gopher
     gate via its ``passthrough`` — no self-join of the corpus against
-    its own flags); stage 3 is one window partitioned by content hash
-    over quality survivors; stage 4 is the coverage operator's two
-    linear shuffles over exact survivors only, joined back by id.
-    The flags frame re-derives the scan per consuming branch — narrow
-    and pushdown-friendly; a lake-scale run persists it before fanning
-    out (the frame is also this function's return value precisely so
-    callers can).
+    its own flags). Stage 3 is ONE window partitioned by content hash
+    over ALL rows, no keepers self-join: both gate verdicts are pure
+    functions of the text, so every row of a content-hash partition
+    carries the same ``s_quality`` and ``rank==1 ∧ s_quality`` IS
+    first-surviving-occurrence. The gated frame is then materialized
+    once (eager DISK_ONLY localCheckpoint, the coverage-operator
+    precedent) so stage 4's coverage pass and the caller's aggregate
+    both read one computed artifact instead of re-deriving the
+    tokenize+gate scan per branch; stage 4 is the coverage operator's
+    two linear shuffles over exact survivors only, joined back by id.
 
     Returns ``(id, s_lang, s_quality, s_exact, s_neardup)`` — one row
     per input document, booleans cumulative (``s_neardup`` ⇒ every
     earlier flag).
     """
     staged = gopher_quality_rules(
-        docs.select(
+        _spread(docs, id_col).select(
             F.col(id_col),
             F.col(text_col),
             (lang_id(F.col(text_col)) != F.lit("und")).alias("__s_lang"),
@@ -102,17 +109,19 @@ def curation_flags(
         (F.col("__s_lang") & F.col("keep")).alias("s_quality"),
     )
 
+    # quality is a pure function of the text, so within a content-hash
+    # partition every row agrees on s_quality — rank 1 among ALL copies
+    # is the first surviving occurrence, no survivors-only self-join
     w_first = Window.partitionBy(F.md5(F.col(text_col))).orderBy(
         F.col(id_col).asc()
     )
-    keepers = (
-        staged.filter(F.col("s_quality"))
-        .withColumn("__rn", F.row_number().over(w_first))
-        .filter(F.col("__rn") == 1)
-        .select(F.col(id_col), F.lit(True).alias("__first"))
+    flagged = staged.withColumn(
+        "s_exact", F.col("s_quality") & (F.row_number().over(w_first) == 1)
     )
-    flagged = staged.join(keepers, id_col, "left").withColumn(
-        "s_exact", F.col("s_quality") & F.coalesce(F.col("__first"), F.lit(False))
+    # one computed artifact for both consumers (coverage + the caller's
+    # aggregate); without it each branch re-runs the tokenize+gate scan
+    flagged = flagged.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
 
     cov = duplicated_window_coverage(

@@ -66,6 +66,12 @@ MATRIX_QUERIES = [
     # round re-reads the pinned frame — the exchange-reuse bug family)
     "data_token_budget",
     "emb_kcenter_coreset",
+    # round-6 fifth batch: BM25's decimal score sums ride double/decimal
+    # casts under ANSI and a 1-row BNLJ AQE likes to rewrite; the funnel
+    # chains both window classes (content-hash keep-first, per-doc
+    # coverage lag) behind a conditional-count aggregate
+    "text_bm25_topk",
+    "data_curation_funnel",
 ]
 
 VARIANTS = {

@@ -102,6 +102,11 @@ QUERIES = [
     "dedup_lines_keepfirst",
     "emb_kcenter_coreset",
     "text_tokenizer_report",
+    # round-6 fifth batch: BM25 postings scan + semi-joined shuffle;
+    # the funnel chains a corpus scan, a keep-first window, and the
+    # window-coverage shuffles over survivors
+    "text_bm25_topk",
+    "data_curation_funnel",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
