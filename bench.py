@@ -163,11 +163,13 @@ HEADLINE = [
     # rolled up per corpus slice)
     "text_tokenizer_report",
     # round-6 fifth batch: BM25 lexical retrieval (semi-joined postings
-    # + 1-row stats broadcast + two-phase top-k) and the end-to-end
+    # + 1-row stats broadcast + two-phase top-k), the end-to-end
     # curation funnel (gates fused into one scan + coverage shuffles
-    # over survivors + one 5-count aggregate)
+    # over survivors + one 5-count aggregate), and Misra-Gries heavy
+    # hitters (bounded-memory mapInPandas sketch + exact rescore)
     "text_bm25_topk",
     "data_curation_funnel",
+    "approx_heavy_hitters",
 ]
 
 
@@ -240,9 +242,11 @@ DATA_BOUND = [
     "emb_kcenter_coreset",
     "text_tokenizer_report",
     # round-6 fifth batch (corpus-linear): BM25 postings scan + query-
-    # term shuffle; the funnel is two corpus scans + coverage shuffles
+    # term shuffle; the funnel is two corpus scans + coverage shuffles;
+    # heavy hitters one sketch scan + one candidate-count scan
     "text_bm25_topk",
     "data_curation_funnel",
+    "approx_heavy_hitters",
 ]
 
 

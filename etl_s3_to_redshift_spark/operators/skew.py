@@ -114,3 +114,88 @@ def key_skew_profile(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         )
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact φ-heavy-hitters via a Misra-Gries candidate sketch + exact
+    rescore — every key whose frequency exceeds ``phi * N``, with its
+    exact count and share.
+
+    The classic two-pass production shape for frequency mining at lake
+    scale (Misra & Gries 1982; mergeability per Agarwal et al. 2012):
+
+    - **Pass 1 (bounded-memory sketch)**: each partition runs
+      Misra-Gries with ``k = ceil(2/phi)`` counters over an Arrow batch
+      iterator (``mapInPandas`` — state persists across batches within
+      a partition, memory is O(k) regardless of partition size). A key
+      with local frequency > N_p/k always survives its partition's
+      summary, and a global φ-hitter must exceed φ·N_p in SOME
+      partition (averaging), so the union of partition summaries is a
+      guaranteed SUPERSET of the true φ-hitters — at most k·P rows
+      total, P = #partitions.
+    - **Pass 2 (exact rescore)**: the candidate union semi-joins back
+      into the stream (broadcast — bounded by k·P), exact counts come
+      from one map-side-combined groupBy of candidates only, and the
+      φ·N threshold applies to EXACT counts. The sketch only prunes;
+      it never decides.
+
+    The output is therefore partition-layout-independent (any candidate
+    superset yields identical final rows), cross-engine exact (plain
+    GROUP BY / HAVING semantics), and safely config-invariant — unlike
+    reporting raw sketch estimates, whose values depend on merge order.
+    N rides a 1-row scalar broadcast (the q22 scalar-subquery pattern).
+
+    Returns ``(key, freq, share)`` — share = freq/N rounded to
+    ``round_to`` — sorted nowhere (callers order); empty when the key
+    distribution is too flat to have φ-hitters, which IS the answer.
+    """
+    import math
+
+    k = int(math.ceil(2.0 / phi))
+    key = F.col(key_col)
+
+    def mg_partition(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[key_col].tolist():
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [c for c, n in counters.items() if n == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+        yield pd.DataFrame({key_col: list(counters.keys())})
+
+    stream = df.select(key)
+    cand = stream.mapInPandas(
+        mg_partition, schema=stream.schema
+    ).distinct()
+
+    totals = stream.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    exact = (
+        stream.join(F.broadcast(cand), key_col, "leftsemi")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .crossJoin(F.broadcast(totals))
+        .filter(
+            F.col("freq").cast("double") > F.lit(float(phi)) * F.col("__n").cast("double")
+        )
+    )
+    return exact.select(
+        key,
+        F.col("freq"),
+        (F.round(F.col("freq").cast("double") / F.col("__n").cast("double"), round_to) + F.lit(0.0)).alias(
+            "share"
+        ),
+    )

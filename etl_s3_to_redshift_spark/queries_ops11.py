@@ -272,3 +272,44 @@ def data_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(
         docs, window_tokens=10, max_coverage=_FUNNEL_COV, min_required_words=1
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters — Misra-Gries candidates + exact rescore
+# ---------------------------------------------------------------------------
+
+_HH_PHI = 0.008
+
+
+@register(
+    "approx_heavy_hitters",
+    f"""
+    WITH t AS (SELECT count(*) AS n FROM events)
+    SELECT e.user_id,
+           CAST(count(*) AS BIGINT) AS freq,
+           round(CAST(count(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) + 0.0
+             AS share
+    FROM events e, t
+    GROUP BY e.user_id, t.n
+    HAVING CAST(count(*) AS DOUBLE) > {_HH_PHI} * CAST(t.n AS DOUBLE)
+    """,
+    doc=(
+        "Exact phi-heavy-hitters over a Misra-Gries candidate sketch "
+        "(operators/skew.heavy_hitters_exact; Misra & Gries 1982, "
+        "mergeable-summaries argument per Agarwal et al. 2012): pass 1 "
+        "runs bounded-memory MG per partition over an Arrow batch "
+        "iterator (k=ceil(2/phi) counters, state across batches via "
+        "mapInPandas) whose union provably contains every key above "
+        "phi*N; pass 2 semi-joins the broadcast candidate set back and "
+        "applies the threshold to EXACT map-side-combined counts, so "
+        "the output is partition-layout-independent and cross-engine "
+        "exact — the sketch prunes, it never decides. Completes the "
+        "sketch family next to approx_sketches' HLL++/GK quantiles "
+        "with the one sketch that CAN carry an exact oracle."
+    ),
+)
+def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.skew import heavy_hitters_exact
+
+    ev = _t(spark, sf_dir, "events")
+    return heavy_hitters_exact(ev, "user_id", phi=_HH_PHI)

@@ -72,6 +72,10 @@ MATRIX_QUERIES = [
     # coverage lag) behind a conditional-count aggregate
     "text_bm25_topk",
     "data_curation_funnel",
+    # heavy hitters' whole design claim is partition-layout independence
+    # (the sketch prunes, exact counts decide) — the matrix is the
+    # mechanical check of that claim
+    "approx_heavy_hitters",
 ]
 
 VARIANTS = {

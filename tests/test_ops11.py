@@ -208,3 +208,108 @@ def test_funnel_report_consistent_with_flags(spark):
         for r in curation_funnel(docs, min_required_words=1).collect()
     }
     assert sum(rem.values()) == sums[0] - sums[4]
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (Misra-Gries candidates + exact rescore)
+# ---------------------------------------------------------------------------
+
+
+def _py_mg(stream, k):
+    """Pure-Python Misra-Gries summary of one partition."""
+    counters = {}
+    for v in stream:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            dead = [c for c, n in counters.items() if n == 1]
+            for c in counters:
+                counters[c] -= 1
+            for c in dead:
+                del counters[c]
+    return set(counters)
+
+
+def _brute_hh(stream, phi):
+    from collections import Counter
+
+    n = len(stream)
+    return {
+        v: c for v, c in Counter(stream).items() if c > phi * n
+    }
+
+
+def test_heavy_hitters_match_brute_force(spark):
+    """Planted-skew stream: the operator's exact rescore equals a plain
+    Counter threshold, independent of how Spark partitioned pass 1."""
+    import random
+
+    from etl_s3_to_redshift_spark.operators.skew import heavy_hitters_exact
+
+    rng = random.Random(7)
+    stream = [rng.randrange(1000) for _ in range(20_000)]
+    stream += [1001] * 900 + [1002] * 500 + [1003] * 220  # planted hitters
+    rng.shuffle(stream)
+    phi = 0.01  # threshold 216.2 on 21620 rows: 1003 (220) just clears it
+    df = spark.createDataFrame([(v,) for v in stream], "user_id LONG")
+
+    got = {
+        r["user_id"]: (r["freq"], r["share"])
+        for r in heavy_hitters_exact(df, "user_id", phi=phi).collect()
+    }
+    want = _brute_hh(stream, phi)
+    assert set(got) == set(want), (got, want)
+    for v, c in want.items():
+        assert got[v][0] == c
+        assert abs(got[v][1] - round(c / len(stream), 6)) < 1e-12
+
+
+def test_heavy_hitters_empty_on_flat_distribution(spark):
+    """No key above phi*N → empty result, which IS the answer."""
+    from etl_s3_to_redshift_spark.operators.skew import heavy_hitters_exact
+
+    df = spark.createDataFrame([(i % 400,) for i in range(8000)], "user_id LONG")
+    assert heavy_hitters_exact(df, "user_id", phi=0.01).count() == 0
+
+
+def test_mg_candidate_superset_property():
+    """The mergeability argument the operator relies on, replayed in
+    pure Python over adversarial partitionings: the UNION of
+    per-partition MG summaries (k=ceil(2/phi)) always contains every
+    global phi-hitter."""
+    import math
+    import random
+
+    rng = random.Random(13)
+    for trial in range(25):
+        n = rng.randrange(200, 2000)
+        zipf_pool = [rng.randrange(1, 1 + rng.randrange(1, 40)) for _ in range(n)]
+        phi = rng.choice([0.02, 0.05, 0.1])
+        k = int(math.ceil(2.0 / phi))
+        # adversarial partitioning: contiguous slices of random sizes
+        parts, i = [], 0
+        while i < n:
+            w = rng.randrange(1, max(2, n // 3))
+            parts.append(zipf_pool[i : i + w])
+            i += w
+        union = set()
+        for p in parts:
+            union |= _py_mg(p, k)
+        want = _brute_hh(zipf_pool, phi)
+        assert set(want) <= union, (trial, phi, sorted(want), sorted(union))
+
+
+def test_heavy_hitters_plan_shape(spark):
+    """Candidate set broadcast back as a LeftSemi hash join; exactly one
+    1-row BNLJ (the total-count scalar); exact counts aggregate
+    map-side-combined."""
+    from etl_s3_to_redshift_spark.queries import REGISTRY
+
+    from tests.test_plans_and_scale import SF_SMOKE, plan_of
+
+    plan = plan_of(REGISTRY["approx_heavy_hitters"].spark(spark, SF_SMOKE))
+    assert "LeftSemi" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan

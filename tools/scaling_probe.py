@@ -107,6 +107,7 @@ QUERIES = [
     # window-coverage shuffles over survivors
     "text_bm25_topk",
     "data_curation_funnel",
+    "approx_heavy_hitters",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
