@@ -133,13 +133,19 @@ def curation_flags(
         F.col(id_col),
         (F.col("dup_coverage") < F.lit(max_coverage)).alias("__cov_ok"),
     )
+    # NULL text propagates NULL through the gate booleans (size(NULL)
+    # comparisons); pin flags three-valued-logic-free — a NULL-text row
+    # is dropped at the stage that first inspects it, visibly false
+    f = lambda c: F.coalesce(F.col(c), F.lit(False)).alias(c)  # noqa: E731
     return (
         flagged.join(cov, id_col, "left")
         .withColumn(
             "s_neardup",
             F.col("s_exact") & F.coalesce(F.col("__cov_ok"), F.lit(False)),
         )
-        .select(id_col, "s_lang", "s_quality", "s_exact", "s_neardup")
+        .select(
+            F.col(id_col), f("s_lang"), f("s_quality"), f("s_exact"), f("s_neardup")
+        )
     )
 
 

@@ -153,11 +153,16 @@ def heavy_hitters_exact(
     Returns ``(key, freq, share)`` — share = freq/N rounded to
     ``round_to`` — sorted nowhere (callers order); empty when the key
     distribution is too flat to have φ-hitters, which IS the answer.
+    NULL keys are excluded up front (from candidacy AND the total N):
+    a semi-join never matches NULL, so leaving NULLs in would silently
+    diverge from plain GROUP BY semantics on dirty data instead of
+    erroring — the LSH-signature NULL-guard rationale (ADVICE r5).
     """
     import math
 
     k = int(math.ceil(2.0 / phi))
     key = F.col(key_col)
+    df = df.filter(key.isNotNull())
 
     def mg_partition(batches):
         import pandas as pd

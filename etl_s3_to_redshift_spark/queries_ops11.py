@@ -1,9 +1,10 @@
-"""Round-6 registered queries (fourth batch): BM25 lexical retrieval
-and the end-to-end curation funnel report.
+"""Round-6 registered queries (fifth batch): BM25 lexical retrieval,
+the end-to-end curation funnel report, and exact Misra-Gries heavy
+hitters.
 
 Reference anchor: north-star extensions only (the reference's full query
-inventory at /root/reference/sql_queries.py has no text surface); both
-queries carry exact DuckDB oracles.
+inventory at /root/reference/sql_queries.py has no text surface); all
+three queries carry exact DuckDB oracles.
 """
 
 from __future__ import annotations

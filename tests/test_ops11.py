@@ -313,3 +313,34 @@ def test_heavy_hitters_plan_shape(spark):
     assert "LeftSemi" in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_null_keys_excluded(spark):
+    """NULL keys can't ride a semi-join; they are excluded from both
+    candidacy and N up front instead of silently diverging from plain
+    GROUP BY semantics on dirty data."""
+    from etl_s3_to_redshift_spark.operators.skew import heavy_hitters_exact
+
+    rows = [(1,)] * 60 + [(2,)] * 5 + [(None,)] * 35
+    df = spark.createDataFrame(rows, "user_id LONG")
+    got = {
+        r["user_id"]: (r["freq"], r["share"])
+        for r in heavy_hitters_exact(df, "user_id", phi=0.5).collect()
+    }
+    # N = 65 non-null rows; only key 1 (60/65) clears phi=0.5
+    assert got == {1: (60, round(60 / 65, 6))}
+
+
+def test_funnel_flags_false_not_null_on_dirty_text(spark):
+    """NULL text rows surface as all-false flags (dropped at the first
+    stage that inspects the text), never three-valued NULLs."""
+    from etl_s3_to_redshift_spark.operators.curation import curation_flags
+
+    rows = [(1, _long_doc("a")), (2, None), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {r["doc_id"]: r for r in curation_flags(df, min_required_words=1).collect()}
+    assert len(got) == 3
+    assert got[1]["s_neardup"] is True
+    for d in (2, 3):
+        for c in ("s_lang", "s_quality", "s_exact", "s_neardup"):
+            assert got[d][c] is False, (d, c, got[d])
