@@ -314,7 +314,10 @@ def main() -> None:
         "best": {n: min(ts) for n, ts in all_reps.items()},
         "sf": sf,
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # the sf>=1 data-bound pass writes its own detail file so it can't
+    # clobber the headline artifact (it did, once)
+    detail_name = "BENCH_DETAIL_sf1.json" if data_bound_pass else "BENCH_DETAIL.json"
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
         f.write("\n")
@@ -329,7 +332,7 @@ def main() -> None:
         "estimator": detail["estimator"],
         "queries": {},
         "queries_omitted": 0,
-        "detail": "BENCH_DETAIL.json",
+        "detail": detail_name,
         "sf": sf,
     }
     by_time = sorted(timings, key=lambda n: (-timings[n], n))
