@@ -170,6 +170,8 @@ HEADLINE = [
     "text_bm25_topk",
     "data_curation_funnel",
     "approx_heavy_hitters",
+    # hybrid RRF fusion: both retrieval legs + a rank-frame join
+    "sim_hybrid_rrf",
 ]
 
 
@@ -247,6 +249,9 @@ DATA_BOUND = [
     "text_bm25_topk",
     "data_curation_funnel",
     "approx_heavy_hitters",
+    # hybrid fusion's dense leg is the brute-force broadcast scan (the
+    # sim_topk_cosine class); corpus-linear, fusion join is rank-sized
+    "sim_hybrid_rrf",
 ]
 
 

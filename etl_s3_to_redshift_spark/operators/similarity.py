@@ -1833,3 +1833,104 @@ def kcenter_coreset(
         F.col("mindist").alias("dist"),
         (is_center & F.col("mindist").isNotNull()).alias("is_center"),
     )
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    corpus_vecs: DataFrame,
+    query_doc_ids: list[int],
+    k_list: int = 20,
+    k_final: int = 10,
+    k_rrf: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    (Cormack, Clarke & Büttcher 2009, k=60 — the fusion every hybrid
+    search stack ships): query-by-document. Each query document
+    retrieves two top-``k_list`` candidate lists over the corpus — BM25
+    on its TEXT (``textops.bm25_topk``) and exact cosine on its
+    EMBEDDING (``brute_force_topk``) — and candidates are re-scored by
+    ``sum(1 / (k_rrf + rank_i))`` over the lists that contain them,
+    final top-``k_final`` per query.
+
+    Determinism: RRF is pure RANK arithmetic — each term is
+    ``1.0/(k_rrf + int)``, the fusion is ONE addition of two such
+    doubles in fixed expression order, so scores are bit-identical
+    across engines with no rounding needed before ranking (ties break
+    by doc id). Both input rank lists are themselves cross-engine
+    exact (BM25's decimal score sums; cosine ranked on 6-dp rounds).
+    Self-matches are excluded from BOTH lists before ranks are taken
+    (BM25 retrieves k_list+1 then re-ranks without self — the dense
+    path excludes self natively).
+
+    Scale shape: the two retrieval legs are the operators' documented
+    plans (semi-joined postings; broadcast queries vs corpus scan —
+    swap the dense leg for sim_ann_* shortlists at lake scale, RRF is
+    agnostic to where the rank lists came from); the fusion itself
+    joins two ≤ |queries|·k_list-row frames — dust at any corpus size.
+
+    Returns (query_id, doc_id, rrf_score, sparse_rank, dense_rank,
+    rank): list ranks are 0 when the candidate is absent from that leg
+    (never NULL — the keep-list contract of curation_flags).
+    """
+    from etl_s3_to_redshift_spark.operators.textops import bm25_topk
+
+    qids = list(query_doc_ids)
+    queries_text = docs.filter(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("query_id"), F.col(text_col).alias("query_text")
+    )
+    sparse_raw = bm25_topk(docs, queries_text, k=k_list + 1).filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    sparse = (
+        sparse_raw.withColumn("sparse_rank", F.row_number().over(w_q))
+        .filter(F.col("sparse_rank") <= k_list)
+        .select("query_id", F.col(id_col).alias("__id"), "sparse_rank")
+    )
+
+    queries_vec = corpus_vecs.filter(F.col(vec_id_col).isin(qids)).select(
+        F.col(vec_id_col).alias("query_id"), F.col(vec_col)
+    )
+    dense = brute_force_topk(
+        corpus_vecs,
+        queries_vec,
+        k=k_list,
+        id_col=vec_id_col,
+        vec_col=vec_col,
+        round_to=6,
+    ).select(
+        "query_id", F.col(vec_id_col).alias("__id"), F.col("rank").alias("dense_rank")
+    )
+
+    fused = sparse.join(dense, ["query_id", "__id"], "full_outer")
+    term = lambda r: F.when(  # noqa: E731
+        F.col(r).isNotNull(), F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(r).cast("double"))
+    ).otherwise(F.lit(0.0))
+    scored = fused.select(
+        "query_id",
+        F.col("__id").alias(id_col),
+        (term("sparse_rank") + term("dense_rank")).alias("rrf_score"),
+        F.coalesce(F.col("sparse_rank"), F.lit(0)).cast("int").alias("sparse_rank"),
+        F.coalesce(F.col("dense_rank"), F.lit(0)).cast("int").alias("dense_rank"),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_f))
+        .filter(F.col("rank") <= k_final)
+        .select(
+            "query_id",
+            id_col,
+            (F.round(F.col("rrf_score"), 6) + F.lit(0.0)).alias("rrf_score"),
+            "sparse_rank",
+            "dense_rank",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

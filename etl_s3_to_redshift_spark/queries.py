@@ -962,8 +962,8 @@ def _load_extensions() -> None:
 # the cohort whose newest driver row is OLDEST.  After round 5 the
 # per-round freshness census (CORRECTNESS_r0*.json keys) is r2:15,
 # r3:49, r4:47, r5:50 — so the round-6 slate is the 15 r2-stale queries
-# (closing VERDICT r5 item 1), then the 18 queries REGISTERED this round
-# (no driver evidence at all yet), then 17 of the r3 cohort; the r3
+# (closing VERDICT r5 item 1), then the 19 queries REGISTERED this round
+# (no driver evidence at all yet), then 16 of the r3 cohort; the r3
 # remainder and the r4 cohort lead round 7.  Every query stays
 # verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
@@ -1010,16 +1010,18 @@ _DRIVER_FIRST = [
     "text_bm25_topk",
     "data_curation_funnel",
     "approx_heavy_hitters",
-    # r3 cohort (newest driver row round 3): 17 of 49 fit the cap after
-    # the eighteen new round-6 queries; the remaining 32 (below) plus
+    "sim_hybrid_rrf",
+    # r3 cohort (newest driver row round 3): 16 of 49 fit the cap after
+    # the nineteen new round-6 queries; the remaining 33 (below) plus
     # the r4 cohort lead round 7.
     "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
     "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
     "w4_value_range_frames", "grouping_sets_orders", "rollup_incremental_merge",
     "dedup_groups_incremental", "agg_bool_bit_suite", "scalar_try_safe_suite",
     "null_safe_join_events", "skew_key_profile", "hist_equidepth_deciles",
-    "dedup_keep_best_quality", "asof_next_purchase",
+    "dedup_keep_best_quality",
     # ---- 50-cap falls here: r3-cohort remainder leads round 7
+    "asof_next_purchase",
     "data_source_mixture",
     "funnel_user_conversion", "cohort_retention_weekly",
     "event_transition_matrix",

@@ -314,3 +314,148 @@ def approx_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return heavy_hitters_exact(ev, "user_id", phi=_HH_PHI)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval — BM25 + dense cosine fused by Reciprocal Rank Fusion
+# ---------------------------------------------------------------------------
+
+_RRF_QIDS = [7, 42, 123]
+_RRF_KLIST = 20
+_RRF_K = 60
+
+_RRF_QIDS_SQL = ", ".join(str(i) for i in _RRF_QIDS)
+
+
+@register(
+    "sim_hybrid_rrf",
+    f"""
+    WITH q AS (
+      SELECT doc_id AS query_id, text AS query_text
+      FROM documents WHERE doc_id IN ({_RRF_QIDS_SQL})
+    ), qt AS (
+      SELECT query_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(trim(lower(query_text)), '\\s+'),
+               x -> x != ''))) AS term
+      FROM q
+    ), toked AS (
+      SELECT doc_id, {_WORDS_LOWER_SQL} AS toks FROM documents
+    ), dl AS (
+      SELECT doc_id, len(toks) AS dl FROM toked
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ), post AS (
+      SELECT t.doc_id, unnest(t.toks) AS term FROM toked t
+    ), tf AS (
+      SELECT p.doc_id, p.term, count(*) AS tf
+      FROM post p
+      WHERE p.term IN (SELECT DISTINCT term FROM qt)
+      GROUP BY 1, 2
+    ), dfc AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), per_term AS (
+      SELECT qt.query_id, tf.doc_id,
+             CAST(round(
+               ln(1.0 + ((st.n_docs - dfc.df) + 0.5) / (dfc.df + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * 2.2)
+                 / (CAST(tf.tf AS DOUBLE)
+                    + 1.2 * (0.25
+                             + (0.75 * CAST(dl.dl AS DOUBLE)) / st.avgdl)),
+               6) AS DECIMAL(20,6)) AS s
+      FROM tf
+      JOIN dfc USING (term)
+      JOIN qt USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats st
+    ), bscored AS (
+      SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+      FROM per_term GROUP BY 1, 2
+    ), branked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id ASC) AS r0
+      FROM bscored
+    ), sparse AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY r0) AS sr
+      FROM branked WHERE r0 <= {_RRF_KLIST + 1} AND doc_id != query_id
+    ), sparse_cut AS (
+      SELECT * FROM sparse WHERE sr <= {_RRF_KLIST}
+    ), dv AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings
+    ), qv AS (
+      SELECT vec_id AS query_id, v AS qvec FROM dv
+      WHERE vec_id IN ({_RRF_QIDS_SQL})
+    ), dscored AS (
+      SELECT q.query_id, c.vec_id AS doc_id,
+             round(list_aggregate(list_transform(range(len(c.v)),
+                       i -> c.v[i+1] * q.qvec[i+1]), 'sum')
+               / (sqrt(list_aggregate(list_transform(range(len(c.v)),
+                       i -> c.v[i+1] * c.v[i+1]), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(len(q.qvec)),
+                       i -> q.qvec[i+1] * q.qvec[i+1]), 'sum'))), 6)
+               AS cos_sim
+      FROM dv c, qv q WHERE c.vec_id != q.query_id
+    ), dense_cut AS (
+      SELECT query_id, doc_id, dr FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, doc_id ASC) AS dr
+        FROM dscored
+      ) t WHERE dr <= {_RRF_KLIST}
+    ), fused AS (
+      SELECT coalesce(s.query_id, d.query_id) AS query_id,
+             coalesce(s.doc_id, d.doc_id) AS doc_id,
+             (CASE WHEN s.sr IS NOT NULL
+                   THEN 1.0 / ({_RRF_K}.0 + CAST(s.sr AS DOUBLE))
+                   ELSE 0.0 END
+              + CASE WHEN d.dr IS NOT NULL
+                     THEN 1.0 / ({_RRF_K}.0 + CAST(d.dr AS DOUBLE))
+                     ELSE 0.0 END) AS rrf,
+             coalesce(s.sr, 0) AS sparse_rank,
+             coalesce(d.dr, 0) AS dense_rank
+      FROM sparse_cut s
+      FULL OUTER JOIN dense_cut d
+        ON s.query_id = d.query_id AND s.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id,
+           round(rrf, 6) + 0.0 AS rrf_score,
+           CAST(sparse_rank AS INTEGER) AS sparse_rank,
+           CAST(dense_rank AS INTEGER) AS dense_rank,
+           CAST(rank AS INTEGER) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf DESC, doc_id ASC) AS rank
+      FROM fused
+    ) t WHERE rank <= 10
+    """,
+    doc=(
+        "Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion "
+        "(operators/similarity.hybrid_rrf_topk; Cormack, Clarke & "
+        "Büttcher 2009, k=60): query-by-document — each query doc "
+        "retrieves top-20 by BM25 on its text AND top-20 by exact "
+        "cosine on its embedding, candidates re-score as "
+        "sum(1/(60+rank)) over the lists containing them, final "
+        "top-10. RRF is pure rank arithmetic (one addition of two "
+        "1/(60+int) doubles in fixed order) so the fusion is "
+        "cross-engine exact with NO rounding before ranking; both "
+        "legs are themselves exact (decimal BM25 sums; 6-dp-rounded "
+        "cosine ranks). Self-matches are excluded from both lists "
+        "before ranks are taken. The fusion joins two "
+        "queries×k_list-row frames — dust at any corpus size; at lake "
+        "scale the dense leg swaps for a sim_ann_* shortlist, RRF is "
+        "agnostic to where the rank lists came from."
+    ),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import hybrid_rrf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs, emb, _RRF_QIDS, k_list=_RRF_KLIST, k_final=10, k_rrf=_RRF_K
+    )

@@ -76,6 +76,10 @@ MATRIX_QUERIES = [
     # (the sketch prunes, exact counts decide) — the matrix is the
     # mechanical check of that claim
     "approx_heavy_hitters",
+    # hybrid RRF chains both retrieval legs' determinism contracts
+    # (decimal BM25 sums, rounded cosine ranks) through a full-outer
+    # rank join — the composition is what the matrix pins here
+    "sim_hybrid_rrf",
 ]
 
 VARIANTS = {

@@ -344,3 +344,125 @@ def test_funnel_flags_false_not_null_on_dirty_text(spark):
     for d in (2, 3):
         for c in ("s_lang", "s_quality", "s_exact", "s_neardup"):
             assert got[d][c] is False, (d, c, got[d])
+
+
+# ---------------------------------------------------------------------------
+# Hybrid RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def _py_cosine_ranks(vecs, qids, k):
+    """Pure-Python dense leg: rank on 6-dp-rounded cosine, id ties."""
+    import math as m
+
+    out = {}
+    for q in qids:
+        qv = vecs[q]
+        qn = m.sqrt(sum(x * x for x in qv))
+        scored = []
+        for i, v in vecs.items():
+            if i == q:
+                continue
+            n = m.sqrt(sum(x * x for x in v))
+            c = round(sum(a * b for a, b in zip(qv, v)) / (n * qn), 6)
+            scored.append((i, c))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        out[q] = {i: r for r, (i, _) in enumerate(scored[:k], start=1)}
+    return out
+
+
+def _py_rrf(sparse, dense, k_rrf=60, k_final=10):
+    out = {}
+    for q in set(sparse) | set(dense):
+        cand = set(sparse.get(q, {})) | set(dense.get(q, {}))
+        scored = []
+        for d in cand:
+            s = 0.0
+            if d in sparse.get(q, {}):
+                s += 1.0 / (k_rrf + sparse[q][d])
+            if d in dense.get(q, {}):
+                s += 1.0 / (k_rrf + dense[q][d])
+            scored.append((d, s))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        out[q] = scored[:k_final]
+    return out
+
+
+def test_hybrid_rrf_matches_pure_python(spark):
+    """Tiny corpus with aligned ids: the full hybrid pipeline (BM25 leg
+    with self-exclusion, dense leg, RRF fusion) equals the pure-Python
+    replay of the documented contracts."""
+    from etl_s3_to_redshift_spark.operators.similarity import hybrid_rrf_topk
+
+    texts = {
+        1: "spark join table scan spark",
+        2: "spark spark scan merge",
+        3: "rare join table words padding",
+        4: "table scan table merge sort",
+        5: "entirely different vocabulary here",
+    }
+    vecs = {
+        1: [1.0, 0.0, 0.2],
+        2: [0.9, 0.1, 0.1],
+        3: [0.0, 1.0, 0.4],
+        4: [0.1, 0.9, 0.0],
+        5: [0.5, 0.5, 0.7],
+    }
+    qids = [1, 3]
+    k_list, k_final = 3, 4
+    docs = spark.createDataFrame(list(texts.items()), "doc_id INT, text STRING")
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id INT, embedding ARRAY<FLOAT>"
+    )
+
+    got = {}
+    for r in hybrid_rrf_topk(
+        docs, emb, qids, k_list=k_list, k_final=k_final
+    ).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["rrf_score"], r["sparse_rank"], r["dense_rank"])
+        )
+
+    # sparse leg replay: BM25 ranks with self excluded, cut to k_list
+    sparse = {}
+    for q in qids:
+        ranked = _py_bm25(
+            list(texts.items()), [(q, texts[q])], k=k_list + 1
+        )[q]
+        ranked = [(d, s) for d, s in ranked if d != q][:k_list]
+        sparse[q] = {d: r for r, (d, _) in enumerate(ranked, start=1)}
+    # dense leg uses the FLOAT32-truncated vectors Spark stores
+    import numpy as np
+
+    f32 = {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
+    dense = _py_cosine_ranks(f32, qids, k_list)
+    want = _py_rrf(sparse, dense, k_final=k_final)
+
+    for q in qids:
+        got_q = sorted(got[q])
+        assert [d for _, d, _, _, _ in got_q] == [d for d, _ in want[q]], (
+            q, got_q, want[q], sparse[q], dense[q],
+        )
+        for (rank, d, score, sr, dr) in got_q:
+            assert abs(score - round(want[q][rank - 1][1], 6)) < 1e-9
+            assert sr == sparse[q].get(d, 0)
+            assert dr == dense[q].get(d, 0)
+
+
+def test_hybrid_rrf_scores_self_consistent(spark):
+    """On the real corpus: every emitted rrf_score equals the RRF
+    arithmetic over its own emitted leg ranks (0 = absent from leg),
+    and each query emits exactly 10 rows ranked 1..10."""
+    from etl_s3_to_redshift_spark.queries import REGISTRY
+
+    rows = REGISTRY["sim_hybrid_rrf"].spark(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        expect = (1.0 / (60 + r["sparse_rank"]) if r["sparse_rank"] else 0.0) + (
+            1.0 / (60 + r["dense_rank"]) if r["dense_rank"] else 0.0
+        )
+        assert abs(r["rrf_score"] - round(expect, 6)) < 1e-9, r
+        assert r["sparse_rank"] > 0 or r["dense_rank"] > 0, r
+    for q, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, 11)), q

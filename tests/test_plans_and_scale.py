@@ -91,6 +91,7 @@ def test_no_cartesian_products_anywhere(spark):
         "ts_seasonal_anomalies",  # 1-row residual-stddev broadcast
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "approx_heavy_hitters",  # 1-row total-count broadcast
+        "sim_hybrid_rrf",  # BM25 stats broadcast + dense-leg query scan
     }
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))

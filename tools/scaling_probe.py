@@ -108,6 +108,7 @@ QUERIES = [
     "text_bm25_topk",
     "data_curation_funnel",
     "approx_heavy_hitters",
+    "sim_hybrid_rrf",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
