@@ -1,7 +1,7 @@
 """End-to-end corpus-curation pipeline composition — the staged
 keep/drop funnel a web-scale pretraining pipeline actually runs
 (FineWeb / RefinedWeb / CCNet shape): language ID → heuristic quality
-gate → near-duplicate drop → exact dedup, with per-stage survivor
+gate → exact dedup → near-duplicate drop, with per-stage survivor
 accounting.
 
 The individual gates live in ``operators/textops`` (lang_id,
