@@ -705,24 +705,34 @@ def duplicated_window_coverage(
     (xxhash64), then key each window by a rotate-XOR fold of its k
     token hashes — windows never materialize as strings at all (the
     string-join+md5 form cost 10 string allocations + one md5 per
-    window; integer fold + checkpointed build: 19 → 1.9 s at sf0.1,
-    100 → 8.6 s at sf10 across the three steps). Rotate-XOR
-    keeps every step in overflow-free long arithmetic (shifts/XOR never
-    raise under ANSI, unlike multiply-accumulate polynomial hashes);
-    position sensitivity comes from the per-step rotation. Window
-    frequency is a groupBy on the 8-byte key; each doc's duplicated
-    window STARTS then become covered-token counts with one
+    window). Rotate-XOR keeps every step in overflow-free long
+    arithmetic (shifts/XOR never raise under ANSI, unlike
+    multiply-accumulate polynomial hashes); position sensitivity comes
+    from the per-step rotation. Duplicated windows fall out of ONE
+    ``count(*) OVER (PARTITION BY window_hash)`` on the exploded
+    (doc, start, hash) rows — the round-6 form (checkpoint the window
+    arrays DISK_ONLY, groupBy frequencies, join back) paid a
+    corpus-sized disk write plus TWO shuffles of the full window frame
+    and was the measured sf100 spill driver (23x/decade); the window
+    form shuffles the frame ONCE, needs no materialization at all
+    (single consumer), and its per-hash frames spill gracefully under
+    hot-window skew where a collect_list would OOM. Each doc's
+    duplicated window STARTS then become covered-token counts with one
     interval-union pass: starts sorted, each start contributes
     min(window_len, gap to previous start) — a per-document window
-    function, never a per-token explode. Collision odds are the
-    64-bit-hash class of dedup_repeated_chunks' rationale (the oracle
-    counts by window text; ~1e-11 at a 10^6-window corpus).
+    function, never a per-token explode; the per-doc exchange is reused
+    by the coverage aggregate. The totals frame never touches windows:
+    n_windows == max(n_tokens - k, 0) + 1 for any non-empty doc, by
+    construction of stride-1 windows — pure arithmetic off a second
+    pruned (id, text) scan. Collision odds are the 64-bit-hash class of
+    dedup_repeated_chunks' rationale (the oracle counts by window text;
+    ~1e-11 at a 10^6-window corpus).
 
-    Scale: two linear shuffles (frequency agg by hash ~= corpus token
-    count rows of 8-byte keys; per-doc union/aggregate), window function
-    partitioned BY DOCUMENT (bounded frames). Docs shorter than the
-    window contribute one whole-doc window (the dedup_repeated_chunks
-    convention); empty docs yield zero windows and coverage 0.
+    Scale: ONE corpus-token-sized shuffle (the hash-partitioned window
+    count), one dup-rows-only per-doc shuffle, one broadcastable
+    doc-level join. Docs shorter than the window contribute one
+    whole-doc window (the dedup_repeated_chunks convention); empty docs
+    yield zero windows and coverage 0.
 
     Returns (id, n_tokens, n_windows, n_dup_windows, dup_coverage).
     """
@@ -765,25 +775,22 @@ def duplicated_window_coverage(
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    base = hashed.select(
+    wins = hashed.select(
         F.col(id_col),
         "n_tokens",
         win_arr.alias("__wins"),
-    )
-    # materialize the window-hash build ONCE: three consumers (frequency
-    # agg, the dup join probe side, and the totals frame) would otherwise
-    # each recompute the O(tokens x k) fold above the _spread exchange
-    # (exchange reuse dedupes the shuffle, not the projection on top of
-    # it — measured 3x). DISK_ONLY per the corpus-sized-frame rule.
-    base = base.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    wins = base.select(
+    ).select(
         id_col,
         "n_tokens",
         F.posexplode("__wins").alias("s", "__h"),
     )
-    freq = wins.groupBy("__h").agg(F.count(F.lit(1)).alias("__freq"))
+    # single consumer -> the O(tokens x k) fold runs exactly once; the
+    # hash-partitioned count window replaces {frequency groupBy + join
+    # back} with one exchange and zero materialization
     dup = (
-        wins.join(freq, "__h")
+        wins.withColumn(
+            "__freq", F.count(F.lit(1)).over(W.partitionBy("__h"))
+        )
         .filter(F.col("__freq") > max_freq)
         .select(id_col, "n_tokens", "s")
     )
@@ -803,9 +810,20 @@ def duplicated_window_coverage(
             F.sum("__contrib").alias("__covered"),
         )
     )
+    # totals never touch the window build: stride-1 window count is
+    # max(n_tokens-k, 0)+1 for n_tokens>0, else 0 — arithmetic over the
+    # (reused-exchange) tokenized scan
+    nt = F.size("__w").cast("long")
+    totals = staged.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        F.when(nt > 0, F.greatest(nt - k, F.lit(0).cast("long")) + 1)
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_windows"),
+    )
     return (
-        base.select(id_col, "n_tokens", F.size("__wins").cast("long").alias("n_windows"))
-        .join(cov, id_col, "left")
+        totals.join(cov, id_col, "left")
         .select(
             id_col,
             "n_tokens",

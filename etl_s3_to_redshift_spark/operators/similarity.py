@@ -1738,17 +1738,23 @@ def kcenter_coreset(
     the output doubles as the cover assignment (which center, how far),
     i.e. the per-example "novelty" a curation pipeline thresholds.
 
-    Spark-first shape: the only iterative state is the (id, mindist,
-    nearest) frame. Each of the k-1 rounds is (a) one
-    TakeOrderedAndProject for the single farthest row (rounded-distance
-    desc, id asc — deterministic under ties), (b) one narrow map
-    updating mindist/nearest against the NEW center shipped as a
-    64-double literal array (JVM zip_with fold, no Python, no join), and
-    (c) an eager localCheckpoint to truncate the k-deep lineage
-    (DISK_ONLY — the frame is corpus-sized; the components.py rule).
-    Total: k bounded driver round-trips of ONE row each — the
-    BPE/PageRank iteration budget, with k fixed and small by definition
-    of the operator.
+    Spark-first shape: the corpus projection (id, vec) is cached ONCE
+    (MEMORY_AND_DISK) and never rewritten; each of the k-1 rounds is
+    one TakeOrderedAndProject for the single farthest row
+    (rounded-distance desc, id asc — deterministic under ties), where
+    mindist is RECOMPUTED from the current center set as a running
+    ``least()`` over <=k center-literal zip_with folds (JVM codegen, no
+    Python, no join). Lineage depth stays 1 from the cached base, so
+    there are ZERO corpus-sized writes — the earlier incremental-state
+    form localCheckpointed a corpus-sized frame DISK_ONLY every round,
+    i.e. O(k*N) disk traffic, which was the measured sf100 spill driver
+    (26x/decade). Recompute costs O(k^2 * N * dim) JVM flops instead —
+    with k fixed and small (the operator's definition), flops beat
+    k corpus-sized disk writes at every scale we probed. Total: k
+    bounded driver round-trips of ONE row each — the BPE/PageRank
+    iteration budget. Output is bit-identical to the incremental form
+    (least-of-rounded == incrementally-folded least; first-match argmin
+    == keep-earlier-center tiebreak), pinned by the committed oracle.
 
     Distances are Euclidean, ROUNDED to ``round_to`` before every
     comparison, so selection and assignment are partition-layout- and
@@ -1797,16 +1803,29 @@ def kcenter_coreset(
 
     seed_id, seed_vec = first[0]["__id"], list(first[0]["__v"])
     center_ids = [seed_id]
-    state = base.select(
-        "__id",
-        "__v",
-        dist_to(seed_vec).alias("mindist"),
-        F.when(ok, F.lit(0)).cast("int").alias("nearest"),
-    )
-    state = state.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    for rank in range(1, int(k)):
+    # one UNRESOLVED distance Column per center, built ONCE when the
+    # center is selected and reused across every later round's plan —
+    # rebuilding them is O(k^2 * dim) Py4J literal round-trips of pure
+    # driver overhead (measured ~0.9 s/round by round 15 at dim=64)
+    center_dists = [dist_to(seed_vec).alias("__d0")]
+    base = base.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # stage the per-center distance folds as NAMED columns, then derive
+    # mindist/nearest from column refs — inlining the least() expression
+    # into every when-branch would blow the tree up O(r^2) per round
+    # (measured 5x wall at sf0.1 from analysis cost alone);
+    # CollapseProject keeps non-cheap multi-use aliases staged, so each
+    # fold appears exactly once in the plan
+    def staged(extra: list) -> DataFrame:
+        proj = base.select("__id", "__v", *center_dists)
+        dcols = [F.col(f"__d{r}") for r in range(len(center_dists))]
+        mind = dcols[0] if len(dcols) == 1 else F.least(*dcols)
+        return proj.select("__id", "__v", mind.alias("mindist"), *extra)
+
+    for _rank in range(1, int(k)):
         far = (
-            state.filter(F.col("mindist").isNotNull())
+            staged([])
+            .filter(F.col("mindist").isNotNull())
             .orderBy(F.col("mindist").desc(), F.col("__id").asc())
             .select("__id", "__v", "mindist")
             .limit(1)
@@ -1814,22 +1833,27 @@ def kcenter_coreset(
         )
         if not far or far[0]["mindist"] == 0.0:
             break  # fewer than k distinct points — cover is exact
-        cid, cvec = far[0]["__id"], list(far[0]["__v"])
-        center_ids.append(cid)
-        d = dist_to(cvec)
-        state = state.select(
-            "__id",
-            "__v",
-            F.least(F.col("mindist"), d).alias("mindist"),
-            F.when(d < F.col("mindist"), F.lit(rank))
-            .otherwise(F.col("nearest"))
-            .alias("nearest"),
+        center_ids.append(far[0]["__id"])
+        center_dists.append(
+            dist_to(list(far[0]["__v"])).alias(f"__d{len(center_dists)}")
         )
-        state = state.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    # nearest = FIRST (earliest-rank) center achieving mindist —
+    # equivalent to the incremental strict-< update (earlier center wins
+    # ties); only the FINAL state needs it, the in-loop far queries
+    # order by mindist alone. Dirty rows: every distance is NULL ->
+    # every branch falls through -> NULL mindist/nearest.
+    nc = len(center_dists)
+    dcols = [F.col(f"__d{r}") for r in range(nc)]
+    if nc == 1:
+        near = F.when(F.col("mindist").isNotNull(), F.lit(0))
+    else:
+        near = F.when(dcols[0] == F.col("mindist"), F.lit(0))
+        for r in range(1, nc):
+            near = near.when(dcols[r] == F.col("mindist"), F.lit(r))
     is_center = F.col("__id").isin([int(c) for c in center_ids])
-    return state.select(
+    return staged(dcols).select(
         F.col("__id").alias(id_col),
-        F.col("nearest").alias("center_rank"),
+        near.otherwise(F.lit(None)).cast("int").alias("center_rank"),
         F.col("mindist").alias("dist"),
         (is_center & F.col("mindist").isNotNull()).alias("is_center"),
     )
@@ -1846,15 +1870,28 @@ def hybrid_rrf_topk(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dense_impl: str = "brute",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
     (Cormack, Clarke & Büttcher 2009, k=60 — the fusion every hybrid
     search stack ships): query-by-document. Each query document
     retrieves two top-``k_list`` candidate lists over the corpus — BM25
-    on its TEXT (``textops.bm25_topk``) and exact cosine on its
-    EMBEDDING (``brute_force_topk``) — and candidates are re-scored by
-    ``sum(1 / (k_rrf + rank_i))`` over the lists that contain them,
-    final top-``k_final`` per query.
+    on its TEXT (``textops.bm25_topk``) and cosine on its EMBEDDING —
+    and candidates are re-scored by ``sum(1 / (k_rrf + rank_i))`` over
+    the lists that contain them, final top-``k_final`` per query.
+
+    ``dense_impl`` picks the dense leg: ``'brute'`` is the exact
+    baseline (``brute_force_topk`` — full corpus scan per query batch,
+    the oracle/serving shape); ``'ivf'`` rides the IVF ANN shortlist
+    (``ivf_topk``: seeded coarse quantizer, each query exact-rescores
+    only its ``n_probe``/``n_lists`` nearest cells) — the lake-scale
+    path, where the dense leg reads a fixed fraction of the corpus
+    instead of all of it. RRF itself is agnostic to where the rank
+    lists came from; the recall cost of the ANN leg is pinned by a
+    floor test against the exact fusion.
 
     Determinism: RRF is pure RANK arithmetic — each term is
     ``1.0/(k_rrf + int)``, the fusion is ONE addition of two such
@@ -1867,10 +1904,9 @@ def hybrid_rrf_topk(
     path excludes self natively).
 
     Scale shape: the two retrieval legs are the operators' documented
-    plans (semi-joined postings; broadcast queries vs corpus scan —
-    swap the dense leg for sim_ann_* shortlists at lake scale, RRF is
-    agnostic to where the rank lists came from); the fusion itself
-    joins two ≤ |queries|·k_list-row frames — dust at any corpus size.
+    plans (semi-joined postings; broadcast queries vs corpus scan for
+    'brute', cell-pruned scan for 'ivf'); the fusion itself joins two
+    ≤ |queries|·k_list-row frames — dust at any corpus size.
 
     Returns (query_id, doc_id, rrf_score, sparse_rank, dense_rank,
     rank): list ranks are 0 when the candidate is absent from that leg
@@ -1897,14 +1933,33 @@ def hybrid_rrf_topk(
     queries_vec = corpus_vecs.filter(F.col(vec_id_col).isin(qids)).select(
         F.col(vec_id_col).alias("query_id"), F.col(vec_col)
     )
-    dense = brute_force_topk(
-        corpus_vecs,
-        queries_vec,
-        k=k_list,
-        id_col=vec_id_col,
-        vec_col=vec_col,
-        round_to=6,
-    ).select(
+    if dense_impl == "brute":
+        dense_raw = brute_force_topk(
+            corpus_vecs,
+            queries_vec,
+            k=k_list,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            round_to=6,
+        )
+    elif dense_impl == "ivf":
+        # self-exclusion is native to ivf_probe; ranks come from the
+        # shortlist (cell-pruned candidates), so an ANN miss simply
+        # leaves the candidate to the sparse leg
+        dense_raw = ivf_topk(
+            corpus_vecs,
+            queries_vec,
+            dim=0,
+            k=k_list,
+            n_lists=n_lists,
+            n_probe=n_probe,
+            id_col=vec_id_col,
+            vec_col=vec_col,
+            seed=seed,
+        )
+    else:
+        raise ValueError(f"unknown dense_impl {dense_impl!r}")
+    dense = dense_raw.select(
         "query_id", F.col(vec_id_col).alias("__id"), F.col("rank").alias("dense_rank")
     )
 

@@ -459,3 +459,82 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf_topk(
         docs, emb, _RRF_QIDS, k_list=_RRF_KLIST, k_final=10, k_rrf=_RRF_K
     )
+
+
+@register(
+    "sim_hybrid_rrf_ann",
+    # Committed-expectation oracle (tools/gen_committed_oracle.py;
+    # REGRESSION PIN generated under Spark 4.1.2 — regenerate on an
+    # engine upgrade before reading a red gate as a regression): the
+    # IVF leg's seeded k-means training is not SQL-expressible, but
+    # the full output is deterministic (verified bit-identical across
+    # local[5/8/32] x shuffle-partitions 17/8/32, round 7), so the
+    # exact 30-row result at the driver's sf0.01 gate is frozen here.
+    # Valid only at sf0.01; other SFs fall back to rows-only.
+    """
+    SELECT CAST("query_id" AS BIGINT) AS "query_id",
+           CAST("doc_id" AS BIGINT) AS "doc_id",
+           CAST("rrf_score" AS DOUBLE) AS "rrf_score",
+           CAST("sparse_rank" AS INTEGER) AS "sparse_rank",
+           CAST("dense_rank" AS INTEGER) AS "dense_rank",
+           CAST("rank" AS INTEGER) AS "rank"
+    FROM (VALUES
+        (7, 32, CAST('0.015873' AS DOUBLE), 3, 0, 7),
+        (7, 56, CAST('0.016393' AS DOUBLE), 1, 0, 3),
+        (7, 60, CAST('0.027313' AS DOUBLE), 9, 18, 1),
+        (7, 209, CAST('0.015873' AS DOUBLE), 0, 3, 8),
+        (7, 280, CAST('0.015625' AS DOUBLE), 4, 0, 9),
+        (7, 319, CAST('0.026501' AS DOUBLE), 17, 14, 2),
+        (7, 334, CAST('0.015625' AS DOUBLE), 0, 4, 10),
+        (7, 340, CAST('0.016393' AS DOUBLE), 0, 1, 4),
+        (7, 425, CAST('0.016129' AS DOUBLE), 0, 2, 5),
+        (7, 453, CAST('0.016129' AS DOUBLE), 2, 0, 6),
+        (42, 27, CAST('0.015873' AS DOUBLE), 0, 3, 6),
+        (42, 264, CAST('0.015625' AS DOUBLE), 4, 0, 8),
+        (42, 270, CAST('0.015873' AS DOUBLE), 3, 0, 7),
+        (42, 294, CAST('0.016129' AS DOUBLE), 2, 0, 5),
+        (42, 311, CAST('0.028629' AS DOUBLE), 20, 2, 1),
+        (42, 328, CAST('0.027778' AS DOUBLE), 12, 12, 2),
+        (42, 376, CAST('0.016393' AS DOUBLE), 0, 1, 3),
+        (42, 403, CAST('0.015385' AS DOUBLE), 0, 5, 10),
+        (42, 453, CAST('0.016393' AS DOUBLE), 1, 0, 4),
+        (42, 467, CAST('0.015625' AS DOUBLE), 0, 4, 9),
+        (123, 4, CAST('0.015873' AS DOUBLE), 3, 0, 5),
+        (123, 10, CAST('0.015385' AS DOUBLE), 0, 5, 9),
+        (123, 56, CAST('0.015625' AS DOUBLE), 4, 0, 7),
+        (123, 88, CAST('0.015873' AS DOUBLE), 0, 3, 6),
+        (123, 101, CAST('0.015625' AS DOUBLE), 0, 4, 8),
+        (123, 151, CAST('0.016129' AS DOUBLE), 2, 0, 3),
+        (123, 224, CAST('0.016393' AS DOUBLE), 1, 0, 1),
+        (123, 288, CAST('0.016393' AS DOUBLE), 0, 1, 2),
+        (123, 327, CAST('0.016129' AS DOUBLE), 0, 2, 4),
+        (123, 328, CAST('0.015385' AS DOUBLE), 5, 0, 10)
+    ) AS t("query_id", "doc_id", "rrf_score", "sparse_rank", "dense_rank", "rank")
+    """,
+    oracle_sf="sf0.01",
+    doc=(
+        "ANN-backed hybrid retrieval (operators/similarity."
+        "hybrid_rrf_topk with dense_impl='ivf'): same RRF fusion as "
+        "sim_hybrid_rrf, but the dense leg rides the IVF shortlist "
+        "(sim_ann_ivf's seeded 16-cell quantizer, 4-probe exact "
+        "rescore) instead of a brute-force corpus scan — the lake-"
+        "scale shape, where each dense query reads n_probe/n_lists of "
+        "the corpus. Sparse leg and fusion are unchanged and exact; "
+        "the ANN leg's recall cost is pinned by a floor test against "
+        "the exact fusion (tests/test_ops11.py)."
+    ),
+)
+def sim_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import hybrid_rrf_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs,
+        emb,
+        _RRF_QIDS,
+        k_list=_RRF_KLIST,
+        k_final=10,
+        k_rrf=_RRF_K,
+        dense_impl="ivf",
+    )

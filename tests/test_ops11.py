@@ -466,3 +466,42 @@ def test_hybrid_rrf_scores_self_consistent(spark):
         assert r["sparse_rank"] > 0 or r["dense_rank"] > 0, r
     for q, rs in by_q.items():
         assert sorted(x["rank"] for x in rs) == list(range(1, 11)), q
+
+
+def test_hybrid_rrf_ann_recall_floor_vs_exact(spark):
+    """The ANN-backed fusion (dense leg = IVF shortlist) keeps at least
+    60% of the exact fusion's top-10 per query at sf0.01 — the recall
+    floor that makes the lake-scale swap an honest trade, and the same
+    pinning style as emb_bitext_margin_ann. Also: the sparse leg is
+    untouched (identical sparse_rank for shared candidates), and the
+    output keeps the 1..10 rank contract."""
+    from etl_s3_to_redshift_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    exact = REGISTRY["sim_hybrid_rrf"].spark(spark, sf).collect()
+    ann = REGISTRY["sim_hybrid_rrf_ann"].spark(spark, sf).collect()
+    ex_by_q, ann_by_q = {}, {}
+    for r in exact:
+        ex_by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r
+    for r in ann:
+        ann_by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r
+    assert set(ann_by_q) == set(ex_by_q)
+    for q, ex in ex_by_q.items():
+        an = ann_by_q[q]
+        assert sorted(r["rank"] for r in an.values()) == list(range(1, 11)), q
+        overlap = len(set(ex) & set(an)) / len(ex)
+        assert overlap >= 0.6, (q, overlap)
+        for d in set(ex) & set(an):
+            if ex[d]["sparse_rank"] and an[d]["sparse_rank"]:
+                assert ex[d]["sparse_rank"] == an[d]["sparse_rank"], (q, d)
+
+
+def test_hybrid_rrf_rejects_unknown_dense_impl(spark):
+    import pytest
+
+    from etl_s3_to_redshift_spark.operators.similarity import hybrid_rrf_topk
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    emb = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="dense_impl"):
+        hybrid_rrf_topk(docs, emb, [1], dense_impl="hnsw")
