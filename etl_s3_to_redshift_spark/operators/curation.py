@@ -179,12 +179,14 @@ def curation_funnel(
         max_coverage=max_coverage,
         **quality_kwargs,
     )
+    # coalesce: sum() over an empty corpus is NULL in Spark and DuckDB
+    # alike — the report's contract is 0 docs, not NULL docs
     one = flags.agg(
         F.count(F.lit(1)).alias("n0"),
-        F.sum(F.col("s_lang").cast("long")).alias("n1"),
-        F.sum(F.col("s_quality").cast("long")).alias("n2"),
-        F.sum(F.col("s_exact").cast("long")).alias("n3"),
-        F.sum(F.col("s_neardup").cast("long")).alias("n4"),
+        F.coalesce(F.sum(F.col("s_lang").cast("long")), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum(F.col("s_quality").cast("long")), F.lit(0)).alias("n2"),
+        F.coalesce(F.sum(F.col("s_exact").cast("long")), F.lit(0)).alias("n3"),
+        F.coalesce(F.sum(F.col("s_neardup").cast("long")), F.lit(0)).alias("n4"),
     )
     cnt = [F.col(f"n{i}") for i in range(5)]
     stage_structs = F.array(
@@ -196,11 +198,15 @@ def curation_funnel(
                 (cnt[i - 1] - cnt[i] if i else F.lit(0)).cast("long").alias(
                     "n_removed"
                 ),
-                (
+                # n0>0 guard: on an empty corpus Spark's 0.0/0.0 is NULL
+                # while DuckDB's IEEE round(0/0) is NaN — both engines
+                # now emit NULL for the degenerate input (ADVICE r6)
+                F.when(
+                    cnt[0] > 0,
                     F.round(
                         cnt[i].cast("double") / cnt[0].cast("double"), 6
                     )
-                    + F.lit(0.0)
+                    + F.lit(0.0),
                 ).alias("pct_kept"),
             )
             for i in range(5)

@@ -510,8 +510,15 @@ def dedup_repeated_chunks(
         lambda i: F.array_join(F.slice(w, i * cw + 1, cw), " "),
     )
     base = staged.select(F.col(id_col), chunk_arr.alias("__chunks"))
+    # posexplode_OUTER: the chunk array is NEVER empty by construction
+    # (greatest(..., 1) — empty docs yield one '' chunk), so the inner
+    # Generate's inferred size(__chunks)>0 filter can only waste work;
+    # filter pushdown inlines the whole chunk build into a pre-scan
+    # Filter and re-runs it per doc (the duplicated_window_coverage
+    # trap, measured 5x there). Outer explode infers no filter and is
+    # row-identical here.
     chunks = base.select(
-        id_col, F.posexplode("__chunks").alias("idx", "seg")
+        id_col, F.posexplode_outer("__chunks").alias("idx", "seg")
     ).withColumn(
         "__h", F.conv(F.substring(F.md5(F.col("seg")), 1, 15), 16, 10).cast("long")
     )
@@ -775,14 +782,29 @@ def duplicated_window_coverage(
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    wins = hashed.select(
-        F.col(id_col),
-        "n_tokens",
-        win_arr.alias("__wins"),
-    ).select(
-        id_col,
-        "n_tokens",
-        F.posexplode("__wins").alias("s", "__h"),
+    # posexplode_OUTER, then drop the NULL rows of empty docs: a plain
+    # (inner) Generate makes InferFiltersFromGenerate add a
+    # size(child)>0 filter, and filter pushdown hoists that BELOW the
+    # _spread exchange — inlining the whole tokenize+hash+fold into a
+    # pre-exchange Filter that re-runs it over every doc at the scan's
+    # parallelism (measured 5x the explode stage at sf1; this is what
+    # the round-6 checkpoint was accidentally papering over as an
+    # optimizer barrier). The outer variant infers no such filter, and
+    # the isNotNull below references a GENERATED column, so it cannot
+    # sink past the Generate. Window hashes are never NULL for real
+    # windows (xxhash64 fold), so only the empty-doc marker rows drop.
+    wins = (
+        hashed.select(
+            F.col(id_col),
+            "n_tokens",
+            win_arr.alias("__wins"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.posexplode_outer("__wins").alias("s", "__h"),
+        )
+        .filter(F.col("__h").isNotNull())
     )
     # single consumer -> the O(tokens x k) fold runs exactly once; the
     # hash-partitioned count window replaces {frequency groupBy + join

@@ -956,86 +956,72 @@ def _load_extensions() -> None:
 
 
 # The external driver verifies at most the first 50 ``queries()`` entries
-# per round.  Cumulative r1∪…∪r5 coverage is 161/161 registered queries,
+# per round.  Cumulative r1|..|r6 coverage is 180/180 registered queries,
 # every checked row a triple match.  The 50-per-round cap means driver
-# rows go stale, so each round rotates the slate by freshness: lead with
-# the cohort whose newest driver row is OLDEST.  After round 5 the
-# per-round freshness census (CORRECTNESS_r0*.json keys) is r2:15,
-# r3:49, r4:47, r5:50 — so the round-6 slate is the 15 r2-stale queries
-# (closing VERDICT r5 item 1), then the 19 queries REGISTERED this round
-# (no driver evidence at all yet), then 16 of the r3 cohort; the r3
-# remainder and the r4 cohort lead round 7.  Every query stays
-# verifiable locally via tools/check_oracle.py (no cap).
+# rows go stale, so each round rotates the slate by freshness: queries
+# REGISTERED this round (no driver evidence at all) outrank every
+# refresh, then the cohort whose newest driver row is OLDEST.  After
+# round 6 the freshness census (CORRECTNESS_r0*.json keys) is r3:33,
+# r4:47, r5:50, r6:50 — so the round-7 slate is the 1 query registered
+# this round (sim_hybrid_rrf_ann), the full 33-query r3 cohort, then
+# the first 16 of the r4 cohort; the 31-query r4 remainder leads round
+# 8.  Every query stays verifiable locally via tools/check_oracle.py
+# (no cap).
 _DRIVER_FIRST = [
-    # r2 cohort: the 15 queries whose newest driver row is ROUND 2 —
-    # the only stale evidence left (incl. approx_sketches, whose
-    # committed-expectation oracle has never been externally checked).
-    # All 15 fit the 50-cap head, so round 6 makes cumulative driver
-    # evidence fresh (<=3 rounds old) for every one of them.
-    "data_hash_split",
-    "data_stratified_sample",
-    "data_pack_sequences",
-    "text_repetition",
-    "text_decontaminate",
-    "ts_gapfill_hourly",
-    "emb_label_centroids",
-    "data_training_order",
-    "dedup_repeated_chunks",
-    "mm_resize_thumbs",
-    "approx_sketches",
-    "regex_suite",
-    "udf_minmax_normalize",
-    "scalar_math_conditional",
-    "scalar_datetime_suite",
-    # Registered this round (zero driver evidence yet — outrank every
-    # refresh): DSIR importance weights, contrastive hard negatives,
-    # n-gram novelty, SemDeDup, bitext margin mining (exact + ANN
-    # shortlist), Gopher rule gate, C4 gate, exact-substring coverage,
-    # CCNet perplexity buckets, SSL-prototypes pruning.
-    "data_dsir_weights",
-    "emb_hard_negatives",
-    "text_ngram_novelty",
-    "dedup_semantic_clusters",
-    "emb_bitext_margin",
-    "text_gopher_rules",
-    "emb_bitext_margin_ann",
-    "text_c4_rules",
-    "dedup_exact_substrings",
-    "text_perplexity_buckets",
-    "emb_prototypes_prune",
-    "data_token_budget",
-    "dedup_lines_keepfirst",
-    "emb_kcenter_coreset",
-    "text_tokenizer_report",
-    "text_bm25_topk",
-    "data_curation_funnel",
-    "approx_heavy_hitters",
-    "sim_hybrid_rrf",
-    # r3 cohort (newest driver row round 3): 16 of 49 fit the cap after
-    # the nineteen new round-6 queries; the remaining 33 (below) plus
-    # the r4 cohort lead round 7.
-    "r1_projection", "dedup_simhash", "sim_topk_cosine_fast",
-    "sim_ann_lsh", "mm_frame_sample", "agg_corr_regression",
-    "w4_value_range_frames", "grouping_sets_orders", "rollup_incremental_merge",
-    "dedup_groups_incremental", "agg_bool_bit_suite", "scalar_try_safe_suite",
-    "null_safe_join_events", "skew_key_profile", "hist_equidepth_deciles",
-    "dedup_keep_best_quality",
-    # ---- 50-cap falls here: r3-cohort remainder leads round 7
+    # registered round 7 (zero driver evidence yet): the ANN-backed RRF
+    "sim_hybrid_rrf_ann",
+    # r3 cohort: all 33 queries whose newest driver row is round 3
     "asof_next_purchase",
     "data_source_mixture",
-    "funnel_user_conversion", "cohort_retention_weekly",
+    "funnel_user_conversion",
+    "cohort_retention_weekly",
     "event_transition_matrix",
-    "text_unigram_logprob", "profile_orders_columns", "text_quality_calibrate",
-    "w5_trailing_hour_window", "merge_upsert_snapshot", "scd2_customer_history",
+    "text_unigram_logprob",
+    "profile_orders_columns",
+    "text_quality_calibrate",
+    "w5_trailing_hour_window",
+    "merge_upsert_snapshot",
+    "scd2_customer_history",
     "text_vocab_topk",
-    "seq_pattern_users", "snapshot_diff_customers", "interval_join_shipments",
-    "text_pii_scrub", "ts_interpolate_linear", "data_weighted_sample",
+    "seq_pattern_users",
+    "snapshot_diff_customers",
+    "interval_join_shipments",
+    "text_pii_scrub",
+    "ts_interpolate_linear",
+    "data_weighted_sample",
     "text_bigram_topk",
-    "privacy_k_anonymity", "scale_winsorize", "emb_random_projection",
-    "ts_anomaly_zscore", "attr_multi_touch", "data_split_leakage",
-    "mm_audio_windows", "agg_mode_median", "w6_topk_with_ties",
-    "dedup_containment", "w7_sliding_distinct_users", "w8_moving_median",
-    "events_heatmap_dow_hour", "array_map_suite",
+    "privacy_k_anonymity",
+    "scale_winsorize",
+    "emb_random_projection",
+    "ts_anomaly_zscore",
+    "attr_multi_touch",
+    "data_split_leakage",
+    "mm_audio_windows",
+    "agg_mode_median",
+    "w6_topk_with_ties",
+    "dedup_containment",
+    "w7_sliding_distinct_users",
+    "w8_moving_median",
+    "events_heatmap_dow_hour",
+    "array_map_suite",
+    # r4 cohort: first 16 of 47 fit the cap; the remaining 31 lead
+    # round 8
+    "r8_count_rows",
+    "r9_top_k",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "w1_top_orders_per_customer",
+    "w2_running_user_value",
+    "t1_hourly_event_rollup",
+    "sessionize_events",
+    "semi_join_active_customers",
+    "anti_join_dormant_customers",
+    "rollup_revenue",
+    "json_extract_props",
+    "set_op_priority_orders",
+    "full_outer_reconcile",
+    "cross_join_region_nation",
 ]
 
 

@@ -224,28 +224,28 @@ _FUNNEL_COV = 0.5
       LEFT JOIN cov c USING (doc_id)
     ), agg AS (
       SELECT count(*) AS n0,
-             sum(CASE WHEN s_lang THEN 1 ELSE 0 END) AS n1,
-             sum(CASE WHEN s_quality THEN 1 ELSE 0 END) AS n2,
-             sum(CASE WHEN s_exact THEN 1 ELSE 0 END) AS n3,
-             sum(CASE WHEN s_neardup THEN 1 ELSE 0 END) AS n4
+             coalesce(sum(CASE WHEN s_lang THEN 1 ELSE 0 END), 0) AS n1,
+             coalesce(sum(CASE WHEN s_quality THEN 1 ELSE 0 END), 0) AS n2,
+             coalesce(sum(CASE WHEN s_exact THEN 1 ELSE 0 END), 0) AS n3,
+             coalesce(sum(CASE WHEN s_neardup THEN 1 ELSE 0 END), 0) AS n4
       FROM flags
     )
     SELECT CAST(0 AS INTEGER) AS stage_idx, 'raw' AS stage,
            CAST(n0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_removed,
-           round(CAST(n0 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 AS pct_kept
+           CASE WHEN n0 > 0 THEN round(CAST(n0 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 END AS pct_kept
     FROM agg
     UNION ALL
     SELECT 1, 'lang_id', CAST(n1 AS BIGINT), CAST(n0 - n1 AS BIGINT),
-           round(CAST(n1 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 FROM agg
+           CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 END FROM agg
     UNION ALL
     SELECT 2, 'quality_rules', CAST(n2 AS BIGINT), CAST(n1 - n2 AS BIGINT),
-           round(CAST(n2 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 FROM agg
+           CASE WHEN n0 > 0 THEN round(CAST(n2 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 END FROM agg
     UNION ALL
     SELECT 3, 'exact_dedup', CAST(n3 AS BIGINT), CAST(n2 - n3 AS BIGINT),
-           round(CAST(n3 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 FROM agg
+           CASE WHEN n0 > 0 THEN round(CAST(n3 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 END FROM agg
     UNION ALL
     SELECT 4, 'near_dedup', CAST(n4 AS BIGINT), CAST(n3 - n4 AS BIGINT),
-           round(CAST(n4 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 FROM agg
+           CASE WHEN n0 > 0 THEN round(CAST(n4 AS DOUBLE)/CAST(n0 AS DOUBLE), 6) + 0.0 END FROM agg
     """,
     doc=(
         "End-to-end curation funnel report (operators/curation."
@@ -285,12 +285,13 @@ _HH_PHI = 0.008
 @register(
     "approx_heavy_hitters",
     f"""
-    WITH t AS (SELECT count(*) AS n FROM events)
+    WITH t AS (SELECT count(*) AS n FROM events WHERE user_id IS NOT NULL)
     SELECT e.user_id,
            CAST(count(*) AS BIGINT) AS freq,
            round(CAST(count(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) + 0.0
              AS share
     FROM events e, t
+    WHERE e.user_id IS NOT NULL
     GROUP BY e.user_id, t.n
     HAVING CAST(count(*) AS DOUBLE) > {_HH_PHI} * CAST(t.n AS DOUBLE)
     """,
@@ -387,24 +388,30 @@ _RRF_QIDS_SQL = ", ".join(str(i) for i in _RRF_QIDS)
     ), dv AS (
       SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       FROM embeddings
-    ), qv AS (
-      SELECT vec_id AS query_id, v AS qvec FROM dv
-      WHERE vec_id IN ({_RRF_QIDS_SQL})
+    ), dnorm AS (
+      -- zero-norm guard: the operator's cosine yields NULL on a
+      -- zero-norm vector (ranked LAST); an unguarded division would
+      -- give DuckDB IEEE NaN, which sorts FIRST under DESC
+      SELECT vec_id, v,
+             sqrt(list_aggregate(list_transform(range(len(v)),
+                  i -> v[i+1] * v[i+1]), 'sum')) AS nrm
+      FROM dv
     ), dscored AS (
       SELECT q.query_id, c.vec_id AS doc_id,
-             round(list_aggregate(list_transform(range(len(c.v)),
-                       i -> c.v[i+1] * q.qvec[i+1]), 'sum')
-               / (sqrt(list_aggregate(list_transform(range(len(c.v)),
-                       i -> c.v[i+1] * c.v[i+1]), 'sum'))
-                  * sqrt(list_aggregate(list_transform(range(len(q.qvec)),
-                       i -> q.qvec[i+1] * q.qvec[i+1]), 'sum'))), 6)
-               AS cos_sim
-      FROM dv c, qv q WHERE c.vec_id != q.query_id
+             CASE WHEN c.nrm > 0 AND q.nrm > 0 THEN
+               round(list_aggregate(list_transform(range(len(c.v)),
+                         i -> c.v[i+1] * q.v[i+1]), 'sum')
+                 / (c.nrm * q.nrm), 6)
+             END AS cos_sim
+      FROM dnorm c, (SELECT vec_id AS query_id, v, nrm FROM dnorm
+                     WHERE vec_id IN ({_RRF_QIDS_SQL})) q
+      WHERE c.vec_id != q.query_id
     ), dense_cut AS (
       SELECT query_id, doc_id, dr FROM (
         SELECT query_id, doc_id,
                row_number() OVER (PARTITION BY query_id
-                                  ORDER BY cos_sim DESC, doc_id ASC) AS dr
+                                  ORDER BY cos_sim DESC NULLS LAST,
+                                           doc_id ASC) AS dr
         FROM dscored
       ) t WHERE dr <= {_RRF_KLIST}
     ), fused AS (

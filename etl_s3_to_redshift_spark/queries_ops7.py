@@ -55,6 +55,8 @@ _SCRATCH_ROOTS: set[str] = set()
 
 @register(
     "sim_ann_recall_report",
+    # REGRESSION PIN generated under Spark 4.1.2 (regenerate on an
+    # engine upgrade before reading a red gate as a regression).
     # IVF/PQ involve seeded k-means no SQL engine reproduces, but the
     # whole pipeline is deterministic (content-addressed hyperplanes,
     # fixed seeds, integer hit counts — verified identical across

@@ -196,7 +196,10 @@ def percentile_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the GK percentile summary came out bit-identical across plain
     # local[5/8/16/32] sessions and 10 repeated runs (round-5 probes).
     # Committed expectation at the driver's sf0.01 gate
-    # (tools/gen_committed_oracle.py); error bounds vs exact values stay
+    # (tools/gen_committed_oracle.py; REGRESSION PIN generated under
+    # Spark 4.1.2 — sketch internals are not contractually stable
+    # across engine upgrades, regenerate the pin before reading a red
+    # gate as a regression); error bounds vs exact values stay
     # pinned in tests. Valid only at sf0.01; rows-only elsewhere.
     """
     SELECT CAST("approx_orders" AS BIGINT) AS "approx_orders",

@@ -505,3 +505,17 @@ def test_hybrid_rrf_rejects_unknown_dense_impl(spark):
     emb = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="dense_impl"):
         hybrid_rrf_topk(docs, emb, [1], dense_impl="hnsw")
+
+
+def test_funnel_empty_corpus_null_pct(spark):
+    """Empty corpus: five stage rows, zero counts, NULL pct_kept (the
+    n0>0 guard — Spark's 0.0/0.0 NULL vs DuckDB's IEEE NaN would
+    otherwise diverge cross-engine; ADVICE r6)."""
+    from etl_s3_to_redshift_spark.operators.curation import curation_funnel
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    rows = curation_funnel(docs, min_required_words=1).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_docs"] == 0 and r["n_removed"] == 0
+        assert r["pct_kept"] is None
