@@ -172,6 +172,10 @@ HEADLINE = [
     "approx_heavy_hitters",
     # hybrid RRF fusion: both retrieval legs + a rank-frame join
     "sim_hybrid_rrf",
+    # round-7: the ANN-backed fusion (IVF train→assign→probe inline —
+    # the one-shot shape; the saved-index DPP path is plan-pinned in
+    # tests and measured in SCALING.md)
+    "sim_hybrid_rrf_ann",
 ]
 
 
@@ -252,6 +256,10 @@ DATA_BOUND = [
     # hybrid fusion's dense leg is the brute-force broadcast scan (the
     # sim_topk_cosine class); corpus-linear, fusion join is rank-sized
     "sim_hybrid_rrf",
+    # ANN-backed fusion, one-shot shape: quantizer train + corpus cell
+    # assignment dominate (SCALING.md round-7 — slower than brute by
+    # design here; the saved-index path is the lake shape)
+    "sim_hybrid_rrf_ann",
 ]
 
 

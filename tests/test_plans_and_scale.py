@@ -92,6 +92,10 @@ def test_no_cartesian_products_anywhere(spark):
         "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
         "approx_heavy_hitters",  # 1-row total-count broadcast
         "sim_hybrid_rrf",  # BM25 stats broadcast + dense-leg query scan
+        # same bounded frames as sim_hybrid_rrf: the BNLJ is the 1-row
+        # corpus-stats (N, avgdl) broadcast of the SPARSE leg; the IVF
+        # dense leg joins on cell keys (hash join), never nested-loop
+        "sim_hybrid_rrf_ann",
     }
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))

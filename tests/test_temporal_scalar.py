@@ -160,3 +160,29 @@ def test_ivf_train_fraction_subsample(spark):
     idx = build_ivf_index(emb, train_fraction=0.5)
     assert idx.cells.count() == emb.count()
     assert idx.cells.filter(F.col("cell").isNull()).count() == 0
+
+
+def test_ivf_saved_probe_prunes_partitions(spark, tmp_path):
+    """The 100 TB contract of the saved index: a probe over the
+    cell-partitioned layout plans DYNAMIC PARTITION PRUNING on the cell
+    key — the scan reads only the n_probe/n_lists probed cells'
+    files, not the corpus (plan-pinned, the same evidence measured at
+    the sf100 probe: PartitionFilters carries a dynamicpruning
+    subquery fed by the broadcast query side)."""
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        IvfIndex,
+        build_ivf_index,
+        ivf_probe,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    path = str(tmp_path / "ivf_index_dpp")
+    build_ivf_index(emb).save(path)
+    loaded = IvfIndex.load(spark, path)
+    queries = emb.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    df = ivf_probe(loaded, queries, k=10, n_probe=4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert df.count() == 10
