@@ -417,3 +417,48 @@ def apply_bpe_vocab(
             ).alias(out_col)
         )
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    group_cols: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group BPE token totals WITHOUT per-document reassembly — the
+    measurement path (text_tokenizer_report).
+
+    ``apply_bpe_vocab`` pays a corpus-sized collect_list/array_sort
+    regroup to rebuild every document's token array in order; a report
+    that only needs token COUNTS can sum ``size(tokenized word)``
+    straight off the exploded (group, word) stream instead. The merge
+    fold still runs once per DISTINCT word; the corpus pays one explode
+    + one size-driven vocab equi-join + one map-side-combined aggregate
+    to #groups rows — nothing corpus-sized is sorted, collected, or
+    joined back on the doc key. Σ_group n_tokens equals
+    Σ_doc size(apply_bpe_vocab(...)[out_col]) by construction (pinned
+    in tests).
+
+    ``explode_outer`` + the generated-column null filter (not plain
+    ``explode``) sidesteps InferFiltersFromGenerate re-running the
+    tokenize expression below the exchange — the Generate-filter trap
+    measured in dedup_repeated_chunks."""
+
+    def tokenize_word(w: Column) -> Column:
+        sym = _init_symbols(w)
+        for group in _disjoint_groups(merges):
+            sym = _merge_fold_batch(sym, group)
+        return sym
+
+    gw = docs.select(
+        *group_cols, F.explode_outer(words(F.lower(F.col(text_col)))).alias("__w")
+    ).where(F.col("__w").isNotNull())
+    vocab = gw.select("__w").distinct()
+    vocab_tok = vocab.select(
+        "__w", F.size(tokenize_word(F.col("__w"))).cast("long").alias("__ntok")
+    )
+    return (
+        gw.join(vocab_tok, "__w")
+        .groupBy(*group_cols)
+        .agg(F.sum("__ntok").alias("n_tokens"))
+    )

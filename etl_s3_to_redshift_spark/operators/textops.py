@@ -253,16 +253,17 @@ def unigram_logprob_scores(
     the same lowercase-alpha split as ``vocab_top_terms``.
 
     Scale shape: ONE corpus tokenization into the per-(doc, token) tf
-    aggregate, materialized once (localCheckpoint — it is the frame the
-    token shuffle moves anyway; at lake scale stage it to parquet like
-    ``stage_minhash``). The model derives from it twice over WITHOUT
-    re-deriving the tokenize subtree: n_w = sum(tf) over the token key
-    (hash-distributed window) and n_total as a 1-row scalar aggregate
-    (bounded driver read, the scalar-subquery pattern of q11/q22). The
-    r6 vocab probe caught the previous form computing n_total with a
-    ``Window.partitionBy()`` over the tf frame — a single-task funnel of
-    CORPUS-sized data (the exact shape the plan audit exists to forbid);
-    this form has no global window at all. A pinned broadcast of the
+    aggregate, consumed by a single linear chain — tf → token-key window
+    (n_w) → per-doc regroup — with NO corpus-sized materialization. The
+    model's only out-of-band input, the scalar n_total, comes from a
+    separate map-side-combined aggregate over the RAW text (sum of
+    per-row token counts: same split, same length filter — exact integer
+    equality with sum(tf) by construction), a pure scan that is free
+    next to the tf shuffle. The previous form localCheckpointed the
+    CORPUS-sized tf frame just to serve that one scalar; at the sf100
+    spill decade the checkpoint write+re-read was the dominant cost
+    (the dedup_exact_substrings lesson — don't materialize a corpus-
+    sized frame to answer a 1-row question). A pinned broadcast of the
     model would OOM on web-scale vocabularies (typos/urls grow without
     bound) — the window form keeps the model implicit. No UDFs. The
     per-doc mean is sum(tf * neglogp) / sum(tf), rounded 6 dp: ``ln``
@@ -274,10 +275,19 @@ def unigram_logprob_scores(
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("token"),
     ).filter(F.length("token") >= 1)
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    # DISK_ONLY: tf is CORPUS-sized; a memory-resident truncated-lineage
-    # block evicted under pressure is unrecoverable (see components.py)
-    tf = tf.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    n_total = tf.agg(F.sum("tf").alias("s")).collect()[0]["s"]
+    n_total_row = df.select(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    lambda t: F.length(t) >= 1,
+                )
+            )
+        ).alias("s")
+    ).collect()[0]["s"]
+    # empty/tokenless corpus: the scored frame below is empty whatever
+    # literal we use — 1 keeps log's argument finite so the plan compiles
+    n_total = int(n_total_row) if n_total_row else 1
     wtok = Window.partitionBy("token")
     scored = (
         tf.withColumn("n_w", F.sum("tf").over(wtok))
@@ -372,7 +382,12 @@ def dsir_logratio_weights(
     counts as two sums over the token-key window (vocabulary-sized
     shuffle, model never broadcast — web-scale vocabularies grow
     without bound), and the three scalars (N_t, N, V) as one bounded
-    1-row driver read. No UDFs, no corpus rescan.
+    1-row driver read. No UDFs, no corpus rescan. (A checkpoint-free
+    variant that sourced N_t/N from a raw-text scan and V from a
+    distinct-count — the unigram_logprob_scores restructure — was
+    MEASURED SLOWER here at the sf100 decade, 111.8 -> 185.2 s: this
+    operator consumes the chain once, so dropping the materialization
+    just re-tokenizes the corpus twice more; V has no raw-scan form.)
     """
     toks = df.select(
         F.col(id_col),
@@ -389,7 +404,7 @@ def dsir_logratio_weights(
         F.sum("tf").alias("na"),
         F.count_distinct(F.col("token")).alias("v"),
     ).collect()[0]
-    n_t, n_all, vocab = int(s["nt"]), int(s["na"]), int(s["v"])
+    n_t, n_all, vocab = int(s["nt"] or 0), int(s["na"] or 0), int(s["v"])
     wtok = Window.partitionBy("token")
     logratio = F.log(
         (F.sum(F.col("tf") * F.col("__tgt")).over(wtok) + 1).cast("double")
@@ -818,7 +833,16 @@ def perplexity_buckets(
     """
     scores = unigram_logprob_scores(df, text_col=text_col, id_col=id_col)
     langs = df.select(F.col(id_col), F.col(lang_col).alias("lang"))
-    j = scores.join(langs, id_col)
+    # j feeds TWO consumers (the per-lang percentile aggregate and the
+    # final bucket projection). Materialize it once — but j is DOC-sized
+    # (one narrow row per doc), ~two orders smaller than the (doc, token)
+    # tf frame the scorer shuffles; checkpointing HERE instead of inside
+    # the scorer is what flattened the sf100 decade (33× → tf-shuffle
+    # slope). DISK_ONLY: unbounded frame, truncated lineage must survive
+    # eviction (components.py).
+    j = scores.join(langs, id_col).localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     third = 1.0 / 3.0
     # boundaries are ROUNDED to the same 6-dp grid the scores live on:
     # when the interpolation endpoints tie (heavy score ties), engines

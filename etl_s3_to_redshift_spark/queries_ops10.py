@@ -1509,45 +1509,51 @@ def _tokenizer_report_oracle() -> str:
         "chars-per-token compression. This is the measurement a "
         "pipeline runs after training a tokenizer to decide whether the "
         "vocab serves every language/domain slice fairly. One corpus "
-        "scan into the vocabulary-memoized apply (merge fold once per "
-        "DISTINCT word, equi-join back), per-doc counts, one map-side-"
-        "combined groupBy to the #slices-row report. Integer totals are "
-        "exact; ratios are single double divisions rounded 6 dp."
+        "scan into the count-only vocabulary-memoized apply (merge fold "
+        "once per DISTINCT word, size summed straight off the exploded "
+        "word stream — operators/bpe.bpe_token_counts: no per-doc token-"
+        "array reassembly and no corpus-sized doc-key join, the two "
+        "costs that made the report superlinear at the sf100 spill "
+        "decade), doc/word/char totals as a second map-side-combined "
+        "scan aggregate, and a #slices-row join between the two. "
+        "Integer totals are exact; ratios are single double divisions "
+        "rounded 6 dp."
     ),
 )
 def text_tokenizer_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.functions.text import words
-    from etl_s3_to_redshift_spark.operators.bpe import apply_bpe_vocab, train_bpe
+    from etl_s3_to_redshift_spark.operators.bpe import bpe_token_counts, train_bpe
 
     docs = _t(spark, sf_dir, "documents")
     merges_df = train_bpe(docs, n_merges=16)
     merges = [
         (r["left"], r["right"]) for r in merges_df.orderBy("merge_rank").collect()
     ]
-    toked = apply_bpe_vocab(
-        docs.select("doc_id", "lang", "source", "text"),
-        merges,
-        id_cols=["doc_id", "lang", "source"],
+    ntok = bpe_token_counts(
+        docs.select("lang", "source", "text"), merges, group_cols=["lang", "source"]
     )
     w = words(F.lower(F.col("text")))
-    per_doc = docs.select(
-        "doc_id",
+    doc_stats = docs.select(
+        "lang",
+        "source",
         F.size(w).cast("long").alias("__nw"),
         F.aggregate(w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
         .alias("__nc"),
-    )
-    j = toked.join(per_doc, "doc_id").select(
-        "lang",
-        "source",
-        "__nw",
-        "__nc",
-        F.size("bpe_tokens").cast("long").alias("__nt"),
-    )
-    agg = j.groupBy("lang", "source").agg(
+    ).groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("__nw").alias("n_words"),
-        F.sum("__nt").alias("n_tokens"),
         F.sum("__nc").alias("n_chars"),
+    )
+    # left join: a slice whose docs are all wordless has no token rows —
+    # it still reports, with 0 tokens (matching the reassembly form's
+    # empty arrays). #slices-sized join, broadcast.
+    agg = doc_stats.join(F.broadcast(ntok), ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_words",
+        F.coalesce(F.col("n_tokens"), F.lit(0).cast("long")).alias("n_tokens"),
+        "n_chars",
     )
     return agg.select(
         "lang",

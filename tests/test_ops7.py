@@ -269,6 +269,45 @@ def test_bpe_apply_vocab_matches_direct_apply(spark):
     assert got[100001] == [] and got[100002] == []
 
 
+def test_bpe_token_counts_matches_reassembly_apply(spark):
+    """bpe_token_counts (count-only apply: size summed off the exploded
+    word stream, no per-doc reassembly) must equal per-group sums of
+    size(apply_bpe_vocab token arrays) — including wordless docs (count
+    0, slice still reported via the explode_outer row drop)."""
+    from pyspark.sql import functions as F
+
+    from etl_s3_to_redshift_spark.operators.bpe import (
+        apply_bpe_vocab,
+        bpe_token_counts,
+        train_bpe,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    extra = spark.createDataFrame(
+        [(100001, "zz", ""), (100002, "zz", "   ")], ["doc_id", "lang", "text"]
+    )
+    docs = docs.unionByName(extra)
+    merges_df = train_bpe(docs, n_merges=10)
+    merges = [(r["left"], r["right"]) for r in merges_df.orderBy("merge_rank").collect()]
+    toked = apply_bpe_vocab(docs, merges, id_cols=["doc_id", "lang"])
+    want = {
+        r["lang"]: r["n"]
+        for r in toked.groupBy("lang")
+        .agg(F.sum(F.size("bpe_tokens")).cast("long").alias("n"))
+        .collect()
+    }
+    got = {
+        r["lang"]: r["n_tokens"]
+        for r in bpe_token_counts(docs, merges, group_cols=["lang"]).collect()
+    }
+    # all-wordless group: reassembly sums empty arrays to 0; the count
+    # path has no surviving rows for it — absent, reported as 0 upstream
+    assert want.pop("zz") == 0 and "zz" not in got
+    assert got == want
+
+
 def test_bpe_apply_tokenizes_with_learned_merges(spark):
     from etl_s3_to_redshift_spark.operators.bpe import apply_bpe, train_bpe
 
