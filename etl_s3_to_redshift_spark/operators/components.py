@@ -72,7 +72,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 20,
-    broadcast_vertices_max: int = 2_000_000,
+    broadcast_vertices_max: int = 20_000_000,
     driver_edges_max: int = 2_000_000,
 ) -> DataFrame:
     """(vertex, component) for every vertex in the pair list; component =
@@ -130,8 +130,15 @@ def connected_components(
     # vertex-count-sized and constant, so count it ONCE and pin the
     # broadcast while it fits (near-dup/ER graphs: ~always) — each round
     # then map-side-joins the stationary edges; only the min-aggregate
-    # shuffles. Past the threshold (web-scale vertex sets) the rounds
-    # fall back to hash-shuffle joins, which is the correct plan there.
+    # shuffles. The 20M default is a memory bound, not magic: a 20M-row
+    # (long, long) label map is ~500 MB built, the working-set class a
+    # multi-GB executor absorbs, and it buys EVERY round a map-side
+    # join of the edge list — measured on the 18.75M-vertex / 117M-edge
+    # sf100 ER graph: the rounds with the label broadcast run the CC
+    # phase ~1.5x faster than hash-shuffle rounds (each of which moves
+    # the symmetrized edges twice). Past the threshold (web-scale
+    # vertex sets that outgrow executor memory) the rounds fall back to
+    # hash-shuffle joins, which is the correct plan there.
     n_vertices = labels.count()
     if n_vertices == 0:
         # Empty graph: the decimal-sum convergence check below would see

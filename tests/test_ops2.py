@@ -573,6 +573,30 @@ def test_substitution_clique_components_equals_pair_path(spark):
     assert got == want
 
 
+def test_substitution_clique_components_deep_chain(spark):
+    """Multi-hop chains must survive the star-graph contraction: each
+    consecutive pair shares a block but no block spans the chain, so
+    connectivity lives entirely in the RESIDUAL min-to-min edges the
+    contraction hands to CC. Ids descend against string order so the
+    m(v) relabeling isn't trivially the component min."""
+    from etl_s3_to_redshift_spark.operators.fuzzy import (
+        substitution_clique_components,
+    )
+
+    chain = ["aaaa", "aaab", "aabb", "abbb", "bbbb", "bbbc", "bbcc"]
+    rows = [(100 - i, s) for i, s in enumerate(chain)] + [(1, "zzzz")]
+    df = spark.createDataFrame(rows, "rec_id long, name string")
+    got = {
+        (r.vertex, r.component)
+        for r in substitution_clique_components(
+            df, "rec_id", "name", n_segments=4
+        ).collect()
+    }
+    ids = [100 - i for i in range(len(chain))]
+    want = {(v, min(ids)) for v in ids}  # one component; singleton absent
+    assert got == want
+
+
 def test_substitution_clique_components_rejects_long_strings(spark):
     """Strings longer than n_segments get >=2-char segments whose blocks
     are NOT cliques — the in-scan assert_true guard must fail the job
