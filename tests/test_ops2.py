@@ -574,11 +574,14 @@ def test_substitution_clique_components_equals_pair_path(spark):
 
 
 def test_substitution_clique_components_deep_chain(spark):
-    """Multi-hop chains must survive the star-graph contraction: each
-    consecutive pair shares a block but no block spans the chain, so
-    connectivity lives entirely in the RESIDUAL min-to-min edges the
-    contraction hands to CC. Ids descend against string order so the
-    m(v) relabeling isn't trivially the component min."""
+    """Multi-hop chains must collapse to one component: each consecutive
+    pair shares a block but no block spans the chain, so connectivity
+    needs label propagation across blocks, not just the per-block star.
+    Ids descend against string order so block-min relabeling isn't
+    trivially the component min. Implementation-agnostic — pins any
+    future rewrite of the clique-components path (a star-graph
+    contraction variant was measured neutral and reverted; see
+    SCALING.md round-7 second pass)."""
     from etl_s3_to_redshift_spark.operators.fuzzy import (
         substitution_clique_components,
     )
