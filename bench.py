@@ -176,6 +176,10 @@ HEADLINE = [
     # the one-shot shape; the saved-index DPP path is plan-pinned in
     # tests and measured in SCALING.md)
     "sim_hybrid_rrf_ann",
+    # round-8: the amortized shape — probe a SAVED cell-partitioned
+    # index (build once per lake, DPP-pruned scan); the first MEASURED
+    # point where the ANN path beats the brute dense scan
+    "sim_ann_ivf_saved",
 ]
 
 
@@ -260,6 +264,10 @@ DATA_BOUND = [
     # assignment dominate (SCALING.md round-7 — slower than brute by
     # design here; the saved-index path is the lake shape)
     "sim_hybrid_rrf_ann",
+    # round-8: the lake shape MEASURED — saved-index probe, build
+    # amortized out of the timed path (first rep builds, so best-of-2
+    # records the warm probe; the detail file keeps both reps)
+    "sim_ann_ivf_saved",
 ]
 
 

@@ -432,12 +432,18 @@ def bpe_token_counts(
     regroup to rebuild every document's token array in order; a report
     that only needs token COUNTS can sum ``size(tokenized word)``
     straight off the exploded (group, word) stream instead. The merge
-    fold still runs once per DISTINCT word; the corpus pays one explode
-    + one size-driven vocab equi-join + one map-side-combined aggregate
-    to #groups rows — nothing corpus-sized is sorted, collected, or
-    joined back on the doc key. Σ_group n_tokens equals
-    Σ_doc size(apply_bpe_vocab(...)[out_col]) by construction (pinned
-    in tests).
+    fold still runs once per DISTINCT word; the corpus pays the explode
+    TWICE — ``gw`` is unmaterialized and feeds both the vocab distinct
+    (projected to ``__w`` only) and the join probe side, whose differing
+    projections defeat exchange reuse — plus one size-driven vocab
+    equi-join and one map-side-combined aggregate to #groups rows.
+    Two explodes of a narrow projection still beat materializing the
+    token-occurrence-sized ``gw`` (a corpus-sized checkpoint, the exact
+    write-amplification this rewrite removed; sf100 measured the
+    count-only form 467→164 s WITH the double scan). Nothing
+    corpus-sized is sorted, collected, or joined back on the doc key.
+    Σ_group n_tokens equals Σ_doc size(apply_bpe_vocab(...)[out_col])
+    by construction (pinned in tests).
 
     ``explode_outer`` + the generated-column null filter (not plain
     ``explode``) sidesteps InferFiltersFromGenerate re-running the

@@ -275,11 +275,19 @@ def unigram_logprob_scores(
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z]+")).alias("token"),
     ).filter(F.length("token") >= 1)
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # NULL texts must contribute 0 (they contribute no tf rows): coalesce
+    # the TEXT, not the size — with spark.sql.ansi.enabled=false, legacy
+    # size(NULL) returns -1 (not NULL), which a size-side coalesce would
+    # pass through, silently skewing n_total by -1 per null row. split('')
+    # → [''] → length filter → [] → size 0 under BOTH ANSI settings
+    # (pinned by the ansi_off row of tests/test_config_matrix.py).
     n_total_row = df.select(
         F.sum(
             F.size(
                 F.filter(
-                    F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+                    F.split(
+                        F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"
+                    ),
                     lambda t: F.length(t) >= 1,
                 )
             )

@@ -956,72 +956,73 @@ def _load_extensions() -> None:
 
 
 # The external driver verifies at most the first 50 ``queries()`` entries
-# per round.  Cumulative r1|..|r6 coverage is 180/180 registered queries,
+# per round.  Cumulative r1|..|r7 coverage is 181/181 registered queries,
 # every checked row a triple match.  The 50-per-round cap means driver
 # rows go stale, so each round rotates the slate by freshness: queries
 # REGISTERED this round (no driver evidence at all) outrank every
 # refresh, then the cohort whose newest driver row is OLDEST.  After
-# round 6 the freshness census (CORRECTNESS_r0*.json keys) is r3:33,
-# r4:47, r5:50, r6:50 — so the round-7 slate is the 1 query registered
-# this round (sim_hybrid_rrf_ann), the full 33-query r3 cohort, then
-# the first 16 of the r4 cohort; the 31-query r4 remainder leads round
-# 8.  Every query stays verifiable locally via tools/check_oracle.py
-# (no cap).
+# round 7 the freshness census (CORRECTNESS_r0*.json keys) is r4:31,
+# r5:50, r6:50, r7:50 — so the round-8 slate is the queries registered
+# this round (the saved-index IVF probe), the full 31-query r4
+# remainder, then the oldest-registered r5-cohort entries up to the
+# cap.  Every query stays verifiable locally via
+# tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
-    # registered round 7 (zero driver evidence yet): the ANN-backed RRF
-    "sim_hybrid_rrf_ann",
-    # r3 cohort: all 33 queries whose newest driver row is round 3
-    "asof_next_purchase",
-    "data_source_mixture",
-    "funnel_user_conversion",
-    "cohort_retention_weekly",
-    "event_transition_matrix",
-    "text_unigram_logprob",
-    "profile_orders_columns",
-    "text_quality_calibrate",
-    "w5_trailing_hour_window",
-    "merge_upsert_snapshot",
-    "scd2_customer_history",
-    "text_vocab_topk",
-    "seq_pattern_users",
-    "snapshot_diff_customers",
-    "interval_join_shipments",
-    "text_pii_scrub",
-    "ts_interpolate_linear",
-    "data_weighted_sample",
-    "text_bigram_topk",
-    "privacy_k_anonymity",
-    "scale_winsorize",
-    "emb_random_projection",
-    "ts_anomaly_zscore",
-    "attr_multi_touch",
-    "data_split_leakage",
-    "mm_audio_windows",
-    "agg_mode_median",
-    "w6_topk_with_ties",
-    "dedup_containment",
-    "w7_sliding_distinct_users",
-    "w8_moving_median",
-    "events_heatmap_dow_hour",
-    "array_map_suite",
-    # r4 cohort: first 16 of 47 fit the cap; the remaining 31 lead
-    # round 8
-    "r8_count_rows",
-    "r9_top_k",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "w1_top_orders_per_customer",
-    "w2_running_user_value",
-    "t1_hourly_event_rollup",
-    "sessionize_events",
-    "semi_join_active_customers",
-    "anti_join_dormant_customers",
-    "rollup_revenue",
-    "json_extract_props",
-    "set_op_priority_orders",
-    "full_outer_reconcile",
-    "cross_join_region_nation",
+    # registered round 8 (zero driver evidence yet): the saved-index
+    # amortized ANN probe — the lake-scale measured shape
+    "sim_ann_ivf_saved",
+    # r4 cohort: all 31 queries whose newest driver row is round 4
+    "asof_last_purchase",
+    "basket_copurchase_pairs",
+    "customer_rfm_segments",
+    "dedup_embedding_cosine",
+    "dedup_exact_docs",
+    "dedup_groups_connected",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "delta_snapshot_read",
+    "graph_pagerank_nations",
+    "mm_binary_features",
+    "q10_top_returners",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q4_order_priority_check",
+    "q6_revenue_forecast",
+    "range_join_shipments",
+    "sim_topk_cosine",
+    "sql_api_min_cost_supplier",
+    "stream_session_window",
+    "stream_sliding_events",
+    "stream_tumbling_events",
+    "text_chunk_windows",
+    "text_fingerprint",
+    "text_lang_id",
+    "text_quality",
+    "text_tfidf_topterms",
+    "text_token_stats",
+    "text_zipf_fit",
+    "ts_decompose_hourly",
+    "w9_longest_daily_streak",
+    # r5 cohort head: fills the slate to the 50-cap; the remainder
+    # leads round 9
+    "r2_broadcast_enrich",
+    "r2_multikey_left_join",
+    "r4_distinct_projection",
+    "r5_notnull_filter",
+    "r6_time_dim",
+    "q7_nation_trade_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_part_value",
+    "q12_late_shipment_priority",
+    "q13_order_count_distribution",
+    "q15_top_revenue_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q19_bracketed_revenue",
+    "q20_prolific_part_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_value_customers",
 ]
 
 

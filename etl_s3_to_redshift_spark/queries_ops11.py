@@ -9,7 +9,12 @@ three queries carry exact DuckDB oracles.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_s3_to_redshift_spark.queries import _t, register
 
@@ -545,3 +550,140 @@ def sim_hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k_rrf=_RRF_K,
         dense_impl="ivf",
     )
+
+
+# ---------------------------------------------------------------------------
+# Amortized ANN: probe a SAVED IVF index (the lake-scale measured shape)
+# ---------------------------------------------------------------------------
+
+
+def _saved_ivf_index(spark: SparkSession, sf_dir: str):
+    """Load — building at most ONCE per lake — the sf_dir's saved IVF
+    index. The amortized half of the IVF contract
+    (operators/similarity.IvfIndex): ``build_ivf_index`` runs once into
+    a deterministic scratch path keyed by the lake directory
+    (``IvfIndex.save`` lays the cells out as parquet PARTITIONED BY
+    cell); every later probe, in this process or any other on this
+    machine, just ``IvfIndex.load``s and reads ~n_probe/n_lists of the
+    files (DPP partition pruning — plan pinned in
+    tests/test_temporal_scalar.py and on the registered query in
+    tests/test_ops11.py). The build is seeded-deterministic
+    (bit-identical across session shapes, round 5), so a fresh build
+    and a cache hit yield the same index — which is what lets the
+    registered query carry a committed-expectation oracle at all.
+
+    The write is a write-then-publish: Spark's _SUCCESS receipt in
+    ``cells/`` gates reuse, so a torn build is rebuilt, not read. The
+    local testdata lakes are immutable, so the cache never goes stale;
+    point ``SPARK_GRAFT_IVF_CACHE`` at a fresh root (or wipe it) if
+    yours isn't.
+    """
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        IvfIndex,
+        build_ivf_index,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_IVF_CACHE") or os.path.join(
+        tempfile.gettempdir(), "etl_s3_to_redshift_spark_ivf"
+    )
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    base = os.path.join(root, key)
+    if not os.path.exists(os.path.join(base, "cells", "_SUCCESS")):
+        build_ivf_index(_t(spark, sf_dir, "embeddings"), n_lists=16).save(base)
+    return IvfIndex.load(spark, base)
+
+
+@register(
+    "sim_ann_ivf_saved",
+    # Committed-expectation oracle (tools/gen_committed_oracle.py;
+    # REGRESSION PIN generated under Spark 4.1.2 — regenerate on an
+    # engine upgrade before reading a red gate as a regression): the
+    # quantizer is seeded k-means (not SQL-expressible) but the
+    # whole build→save→load→probe pipeline is deterministic —
+    # verified bit-identical across a fresh local[32] build, a
+    # local[5]/17-shuffle-partition cache-hit LOAD, and a local[8]
+    # rebuild (round 8) — so the exact 50-row result at the
+    # driver's sf0.01 gate is frozen here. Valid only at sf0.01;
+    # other SFs fall back to rows-only.
+    """
+    SELECT CAST("query_id" AS BIGINT) AS "query_id",
+           CAST("vec_id" AS BIGINT) AS "vec_id",
+           CAST("cos_sim" AS DOUBLE) AS "cos_sim",
+           CAST("rank" AS INTEGER) AS "rank"
+    FROM (VALUES
+        (5, 33, CAST('0.3109867269549467' AS DOUBLE), 2),
+        (5, 86, CAST('0.220417329838634' AS DOUBLE), 9),
+        (5, 92, CAST('0.23740398072712054' AS DOUBLE), 7),
+        (5, 152, CAST('0.2366666081460323' AS DOUBLE), 8),
+        (5, 157, CAST('0.31125602484760423' AS DOUBLE), 1),
+        (5, 182, CAST('0.2073426508588085' AS DOUBLE), 10),
+        (5, 225, CAST('0.2595149423342309' AS DOUBLE), 5),
+        (5, 316, CAST('0.2911124479112199' AS DOUBLE), 3),
+        (5, 395, CAST('0.2755988285521192' AS DOUBLE), 4),
+        (5, 433, CAST('0.2402548243161461' AS DOUBLE), 6),
+        (6, 11, CAST('0.235948510345278' AS DOUBLE), 8),
+        (6, 145, CAST('0.2976957384094014' AS DOUBLE), 2),
+        (6, 214, CAST('0.2569408403316626' AS DOUBLE), 5),
+        (6, 252, CAST('0.255629792758746' AS DOUBLE), 6),
+        (6, 268, CAST('0.2599415986795585' AS DOUBLE), 3),
+        (6, 270, CAST('0.23277217884149135' AS DOUBLE), 9),
+        (6, 371, CAST('0.24136445905502324' AS DOUBLE), 7),
+        (6, 381, CAST('0.22381108664302957' AS DOUBLE), 10),
+        (6, 395, CAST('0.2591195532405805' AS DOUBLE), 4),
+        (6, 430, CAST('0.32252026548071816' AS DOUBLE), 1),
+        (7, 49, CAST('0.2883516695773273' AS DOUBLE), 9),
+        (7, 209, CAST('0.3944625171493481' AS DOUBLE), 3),
+        (7, 221, CAST('0.32467795263904164' AS DOUBLE), 7),
+        (7, 302, CAST('0.31452389923524804' AS DOUBLE), 8),
+        (7, 332, CAST('0.2854464417580546' AS DOUBLE), 10),
+        (7, 334, CAST('0.3569014029689115' AS DOUBLE), 4),
+        (7, 340, CAST('0.4927657135003488' AS DOUBLE), 1),
+        (7, 381, CAST('0.3451787678585175' AS DOUBLE), 5),
+        (7, 425, CAST('0.4075199341921925' AS DOUBLE), 2),
+        (7, 445, CAST('0.34078247055145644' AS DOUBLE), 6),
+        (8, 39, CAST('0.384696274117943' AS DOUBLE), 1),
+        (8, 102, CAST('0.26657496583161344' AS DOUBLE), 9),
+        (8, 138, CAST('0.35667116396668896' AS DOUBLE), 2),
+        (8, 173, CAST('0.302029603331879' AS DOUBLE), 6),
+        (8, 321, CAST('0.2693105345786595' AS DOUBLE), 8),
+        (8, 326, CAST('0.2662331466852273' AS DOUBLE), 10),
+        (8, 380, CAST('0.3045263882069312' AS DOUBLE), 5),
+        (8, 403, CAST('0.3382375201415271' AS DOUBLE), 3),
+        (8, 494, CAST('0.2840582444228135' AS DOUBLE), 7),
+        (8, 497, CAST('0.31779823647761163' AS DOUBLE), 4),
+        (9, 49, CAST('0.38517053208433855' AS DOUBLE), 1),
+        (9, 107, CAST('0.2844935027707189' AS DOUBLE), 4),
+        (9, 198, CAST('0.2586758655955398' AS DOUBLE), 6),
+        (9, 256, CAST('0.2844743732954765' AS DOUBLE), 5),
+        (9, 302, CAST('0.24766351404606549' AS DOUBLE), 7),
+        (9, 319, CAST('0.24190310903970472' AS DOUBLE), 8),
+        (9, 340, CAST('0.23356491343837918' AS DOUBLE), 9),
+        (9, 386, CAST('0.3221179074351903' AS DOUBLE), 3),
+        (9, 414, CAST('0.3323000623250119' AS DOUBLE), 2),
+        (9, 438, CAST('0.22238069192193285' AS DOUBLE), 10)
+    ) AS t("query_id", "vec_id", "cos_sim", "rank")
+    """,
+    oracle_sf="sf0.01",
+    doc=(
+        "Amortized IVF ANN over a SAVED index (operators/similarity."
+        "IvfIndex.save/load + ivf_probe): the quantizer is trained and "
+        "the corpus cell-assigned ONCE per lake into cell-partitioned "
+        "parquet; this query measures the PROBE alone — load centroids "
+        "(16 tiny JSON rows), broadcast the query cells, and scan only "
+        "the n_probe/n_lists probed cells' files via dynamic partition "
+        "pruning. This is the first registered/benched point of the "
+        "lake-scale ANN claim: sim_ann_ivf and sim_hybrid_rrf_ann "
+        "retrain inline (the one-shot shape, slower than brute force "
+        "by design); a production corpus builds once and probes "
+        "per-query, which is THIS plan."
+    ),
+)
+def sim_ann_ivf_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import ivf_probe
+
+    index = _saved_ivf_index(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_probe(index, queries, k=10, n_probe=4)

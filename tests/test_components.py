@@ -92,6 +92,80 @@ def test_components_raises_on_nonconvergence(spark):
     assert set(got.values()) == {0}
 
 
+def test_components_beyond_broadcast_cap_result_equal(spark, monkeypatch):
+    """The >cap regime — sort-merge rounds against the bucketed edge
+    layout, labels shuffling, edges never — must be result-identical to
+    the label-broadcast regime (VERDICT r7 #7: the cap is a tunable
+    memory bet, so BOTH sides of it need the same answer). Also pins
+    the SPARK_GRAFT_CC_BROADCAST_VERTICES env knob as the cap source."""
+    rng = random.Random(99)
+    edges = list({tuple(sorted(rng.sample(range(80), 2))) for _ in range(150)})
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = union_find(edges)
+    over_cap = {
+        r.vertex: r.component
+        for r in connected_components(
+            df, driver_edges_max=0, broadcast_vertices_max=0
+        ).collect()
+    }
+    assert over_cap == want
+    under_cap = {
+        r.vertex: r.component
+        for r in connected_components(
+            df, driver_edges_max=0, broadcast_vertices_max=10**9
+        ).collect()
+    }
+    assert under_cap == want
+    # env knob: default None reads SPARK_GRAFT_CC_BROADCAST_VERTICES
+    monkeypatch.setenv("SPARK_GRAFT_CC_BROADCAST_VERTICES", "0")
+    via_env = {
+        r.vertex: r.component
+        for r in connected_components(df, driver_edges_max=0).collect()
+    }
+    assert via_env == want
+
+
+def test_cc_edge_layout_elides_per_round_exchange(spark):
+    """The mechanism the >cap regime rides: a join between the bucketed
+    edge table (written exactly the way connected_components lays it
+    out) and a label frame plans NO Exchange above the edge scan — the
+    bucketed layout IS the hash distribution, so per-round shuffle
+    traffic is vertex-sized at any vertex count."""
+    from pyspark.sql import functions as F
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "u long, v long"
+    )
+    name = "cc_edges_plan_pin_test"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (
+        sym.repartition(n_buckets, "v")
+        .write.bucketBy(n_buckets, "v")
+        .sortBy("v")
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = spark.table(name)
+        labels = spark.range(1000).select(
+            F.col("id").alias("v"), F.col("id").alias("component")
+        )
+        j = edges.join(labels, "v").select(
+            F.col("u").alias("vertex"), "component"
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        # exactly one Exchange: the label side; the bucketed scan feeds
+        # the join directly (and, one file per bucket, pre-sorted)
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_incremental_components_equals_full_recompute(spark):
     """For random edge sets split into batches, updating batch 1's
     labeling with batch 2's edges must equal CC over the union — across

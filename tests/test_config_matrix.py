@@ -59,6 +59,9 @@ MATRIX_QUERIES = [
     # quantizer plus a cluster-partitioned rank window; exact-substring
     # coverage is a lag-window interval union over a hash-keyed join
     "text_perplexity_buckets",
+    # the raw-scan n_total is exactly sum(tf) only with the text col
+    # coalesced (legacy size(NULL) = -1 — the ansi_off variant's reason)
+    "text_unigram_logprob",
     "emb_prototypes_prune",
     "dedup_exact_substrings",
     # round-6 fourth batch: the token budget rides exact-DECIMAL div/mod
@@ -86,6 +89,12 @@ VARIANTS = {
     "exchange_reuse_off": {"spark.sql.exchange.reuse": "false"},
     "aqe_off": {"spark.sql.adaptive.enabled": "false"},
     "ansi_on": {"spark.sql.ansi.enabled": "true"},
+    # Spark 4 defaults ANSI ON, so the adversarial direction is OFF:
+    # legacy semantics flip several scalar edge cases (size(NULL) = -1,
+    # silent-NULL casts) that must not be load-bearing (ADVICE r7: the
+    # unigram n_total scan skewed under ansi_off until its text col was
+    # coalesced).
+    "ansi_off": {"spark.sql.ansi.enabled": "false"},
 }
 
 

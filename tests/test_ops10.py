@@ -269,6 +269,39 @@ def test_perplexity_buckets_contract(spark):
         assert len(head) <= n, lang
 
 
+def test_unigram_logprob_null_text_invariant_under_ansi(spark):
+    """A NULL text row contributes no tf rows, so it must not move any
+    other document's score — under EITHER ANSI setting. ADVICE r7: the
+    raw-scan n_total summed size(split(text)) per row, and with
+    spark.sql.ansi.enabled=false legacy size(NULL) returns -1 (not
+    NULL), silently subtracting 1 per null row from the model's token
+    total. The fix coalesces the TEXT to '' (split('') → [''] → length
+    filter → [], size 0 under both settings)."""
+    from etl_s3_to_redshift_spark.operators.textops import unigram_logprob_scores
+
+    base = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb cc")], "doc_id long, text string"
+    )
+    with_null = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "bb cc"), (3, None)], "doc_id long, text string"
+    )
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        for ansi in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            want = {
+                r["doc_id"]: (r["n_tokens"], r["avg_neglogp"])
+                for r in unigram_logprob_scores(base).collect()
+            }
+            got = {
+                r["doc_id"]: (r["n_tokens"], r["avg_neglogp"])
+                for r in unigram_logprob_scores(with_null).collect()
+            }
+            assert set(want) == {1, 2} and got == want, (ansi, got, want)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
+
+
 def test_perplexity_buckets_rowcount_matches_scores(spark):
     from etl_s3_to_redshift_spark.operators.textops import (
         perplexity_buckets,

@@ -507,6 +507,46 @@ def test_hybrid_rrf_rejects_unknown_dense_impl(spark):
         hybrid_rrf_topk(docs, emb, [1], dense_impl="hnsw")
 
 
+def test_sim_ann_ivf_saved_plan_prunes_and_matches_inline(spark, tmp_path, monkeypatch):
+    """The registered amortized-ANN query: (a) its executed plan carries
+    a dynamicpruning PartitionFilter on the cell key (the scan reads only
+    the probed cells' files — the measured lake-scale claim), (b) a probe
+    over the LOADED index is row-identical to the inline-trained
+    ``ivf_topk`` on the same corpus/queries/params (load == build), and
+    (c) a second call hits the on-disk cache (no rebuild) and returns the
+    identical result."""
+    from etl_s3_to_redshift_spark.operators.similarity import ivf_probe, ivf_topk
+    from etl_s3_to_redshift_spark.queries import REGISTRY
+    from etl_s3_to_redshift_spark.queries_ops11 import _saved_ivf_index
+
+    sf = "/root/testdata/sf0.01"
+    monkeypatch.setenv("SPARK_GRAFT_IVF_CACHE", str(tmp_path))
+    df = REGISTRY["sim_ann_ivf_saved"].spark(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    first = {tuple(r) for r in df.collect()}
+    assert len(first) == 50
+
+    # load == build: same queries through the inline one-shot path
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    inline = {
+        tuple(r) for r in ivf_topk(emb, queries, dim=64, k=10, n_probe=4).collect()
+    }
+    assert first == inline
+
+    # cache hit: the index dir is reused, not rebuilt
+    import os as _os
+
+    cells = _os.path.join(str(tmp_path), _os.listdir(str(tmp_path))[0], "cells")
+    mtime = _os.path.getmtime(cells)
+    again = {tuple(r) for r in ivf_probe(_saved_ivf_index(spark, sf), queries, k=10, n_probe=4).collect()}
+    assert again == first
+    assert _os.path.getmtime(cells) == mtime
+
+
 def test_funnel_empty_corpus_null_pct(spark):
     """Empty corpus: five stage rows, zero counts, NULL pct_kept (the
     n0>0 guard — Spark's 0.0/0.0 NULL vs DuckDB's IEEE NaN would
