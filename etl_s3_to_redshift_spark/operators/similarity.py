@@ -1728,6 +1728,7 @@ def kcenter_coreset(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    incremental_rows_max: int = 200_000,
 ) -> DataFrame:
     """Greedy k-center (farthest-first traversal, Gonzalez 1985) coreset
     selection — the classic diversity-sampling / active-learning coreset
@@ -1741,20 +1742,38 @@ def kcenter_coreset(
     Spark-first shape: the corpus projection (id, vec) is cached ONCE
     (MEMORY_AND_DISK) and never rewritten; each of the k-1 rounds is
     one TakeOrderedAndProject for the single farthest row
-    (rounded-distance desc, id asc — deterministic under ties), where
-    mindist is RECOMPUTED from the current center set as a running
-    ``least()`` over <=k center-literal zip_with folds (JVM codegen, no
-    Python, no join). Lineage depth stays 1 from the cached base, so
-    there are ZERO corpus-sized writes — the earlier incremental-state
-    form localCheckpointed a corpus-sized frame DISK_ONLY every round,
-    i.e. O(k*N) disk traffic, which was the measured sf100 spill driver
-    (26x/decade). Recompute costs O(k^2 * N * dim) JVM flops instead —
-    with k fixed and small (the operator's definition), flops beat
-    k corpus-sized disk writes at every scale we probed. Total: k
-    bounded driver round-trips of ONE row each — the BPE/PageRank
-    iteration budget. Output is bit-identical to the incremental form
-    (least-of-rounded == incrementally-folded least; first-match argmin
-    == keep-earlier-center tiebreak), pinned by the committed oracle.
+    (rounded-distance desc, id asc — deterministic under ties). How
+    ``mindist`` is maintained is a two-regime trade, split at
+    ``incremental_rows_max``:
+
+    - **Above the bound (the 100 TB regime):** mindist is RECOMPUTED
+      from the current center set as a running ``least()`` over <=k
+      center-literal zip_with folds on the cached base (JVM, no
+      Python, no join). Lineage depth stays 1, so there are ZERO
+      corpus-sized writes — the earlier form localCheckpointed a
+      corpus-sized frame DISK_ONLY every round, O(k*N) disk traffic,
+      the measured sf100 spill driver (26x/decade, VERDICT r6).
+      Recompute costs O(k^2 * N * dim) flops instead — with k fixed
+      and small, flops beat k corpus-sized disk writes at data-bound
+      scale.
+    - **At or below it:** the k^2 term is all overhead (measured
+      sf0.1: 2000 rows, 7.4 s — every second of it per-round fold
+      eval/compile and job constants, VERDICT r7 #5), so mindist is
+      carried as a CACHED COLUMN instead: each round persists
+      (MEMORY_AND_DISK — a plain cache, never a checkpoint/write)
+      ``prev.select(id, vec, least(mindist, dist_to(new_center)))``,
+      which the round's own TakeOrdered materializes; rounds evaluate
+      ONE new fold, and the two-frame working set (~2x N rows) is by
+      construction under the bound. 200k rows x (8+8+8*dim) bytes
+      ~= 210 MB at dim 64 — the broadcast-class budget.
+
+    Both regimes compute the same expression — ``least(d0..dr)`` ==
+    ``least(least(d0..d(r-1)), dr)`` fold-for-fold (NULL-skipping
+    least is associative; every fold literal, rounding, and tiebreak
+    is shared code) — so the split is invisible in the output
+    (committed pin unchanged; equality over the bound pinned in
+    tests). Total either way: k bounded driver round-trips of ONE row
+    each — the BPE/PageRank iteration budget.
 
     Distances are Euclidean, ROUNDED to ``round_to`` before every
     comparison, so selection and assignment are partition-layout- and
@@ -1803,11 +1822,12 @@ def kcenter_coreset(
 
     seed_id, seed_vec = first[0]["__id"], list(first[0]["__v"])
     center_ids = [seed_id]
-    # one UNRESOLVED distance Column per center, built ONCE when the
-    # center is selected and reused across every later round's plan —
-    # rebuilding them is O(k^2 * dim) Py4J literal round-trips of pure
-    # driver overhead (measured ~0.9 s/round by round 15 at dim=64)
-    center_dists = [dist_to(seed_vec).alias("__d0")]
+    # one UNRESOLVED distance Column per center (kept UN-aliased so the
+    # incremental regime can fold it into least() directly), built ONCE
+    # when the center is selected and reused across every later round's
+    # plan — rebuilding them is O(k^2 * dim) Py4J literal round-trips of
+    # pure driver overhead (measured ~0.9 s/round by round 15 at dim=64)
+    center_dists = [dist_to(seed_vec)]
     base = base.persist(StorageLevel.MEMORY_AND_DISK)
 
     # stage the per-center distance folds as NAMED columns, then derive
@@ -1817,26 +1837,54 @@ def kcenter_coreset(
     # CollapseProject keeps non-cheap multi-use aliases staged, so each
     # fold appears exactly once in the plan
     def staged(extra: list) -> DataFrame:
-        proj = base.select("__id", "__v", *center_dists)
+        proj = base.select(
+            "__id",
+            "__v",
+            *[c.alias(f"__d{r}") for r, c in enumerate(center_dists)],
+        )
         dcols = [F.col(f"__d{r}") for r in range(len(center_dists))]
         mind = dcols[0] if len(dcols) == 1 else F.least(*dcols)
         return proj.select("__id", "__v", mind.alias("mindist"), *extra)
 
+    # regime split (see docstring): count() doubles as the base-cache
+    # materializer, which every path needs before round 1 anyway
+    incremental = base.count() <= incremental_rows_max
+    cur = (
+        base.select("__id", "__v", center_dists[0].alias("mindist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+        if incremental
+        else None
+    )
+    pinned = [cur] if incremental else []
     for _rank in range(1, int(k)):
         far = (
-            staged([])
+            (cur if incremental else staged([]))
             .filter(F.col("mindist").isNotNull())
             .orderBy(F.col("mindist").desc(), F.col("__id").asc())
             .select("__id", "__v", "mindist")
             .limit(1)
             .collect()
         )
+        # the collect above fully materialized the newest frame's cache,
+        # so its parent (two frames back) can release its blocks
+        if len(pinned) >= 2:
+            pinned.pop(0).unpersist()
         if not far or far[0]["mindist"] == 0.0:
             break  # fewer than k distinct points — cover is exact
         center_ids.append(far[0]["__id"])
-        center_dists.append(
-            dist_to(list(far[0]["__v"])).alias(f"__d{len(center_dists)}")
-        )
+        center_dists.append(dist_to(list(far[0]["__v"])))
+        if incremental:
+            cur = cur.select(
+                "__id",
+                "__v",
+                F.least(F.col("mindist"), center_dists[-1]).alias("mindist"),
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+            pinned.append(cur)
+    # the final assignment below recomputes from the cached BASE with all
+    # k folds (both regimes — shared code is what keeps them identical),
+    # so the incremental chain can release before the caller ever runs it
+    for p in pinned:
+        p.unpersist()
     # nearest = FIRST (earliest-rank) center achieving mindist —
     # equivalent to the incremental strict-< update (earlier center wins
     # ties); only the FINAL state needs it, the in-loop far queries

@@ -632,6 +632,23 @@ def test_kcenter_dirty_rows_never_selected(spark):
             assert got[dirty]["center_rank"] is None
 
 
+def test_kcenter_regimes_bit_identical_over_the_bound(spark):
+    """The incremental (cached-mindist-column) and recompute-from-centers
+    regimes split on ``incremental_rows_max`` but compute the same
+    least() fold — the outputs must be row-for-row identical, doubles
+    included, so the committed pin holds whichever side of the bound a
+    deployment lands on (VERDICT r7 #5)."""
+    from etl_s3_to_redshift_spark.operators.similarity import kcenter_coreset
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    inc = sorted(tuple(r) for r in kcenter_coreset(emb, k=8).collect())
+    rec = sorted(
+        tuple(r)
+        for r in kcenter_coreset(emb, k=8, incremental_rows_max=0).collect()
+    )
+    assert inc == rec and len(inc) == 500
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer evaluation report
 # ---------------------------------------------------------------------------
