@@ -435,14 +435,23 @@ class IvfIndex:
 
     def nearest_cells(self, vec: Column, n: int) -> Column:
         """Indices of the n nearest centroids (squared L2) as an array —
-        computed as a sort of (dist, idx) structs, all JVM expressions."""
+        computed as a sort of (dist, idx) structs, all JVM expressions.
+
+        Each centroid ships as ONE ArrayType literal — ``F.lit`` on an
+        ndarray, which classic PySpark converts to a single Literal
+        node (``F.lit(list)`` silently falls back to dim CreateArray'd
+        scalar lits: same doubles, but n_lists*dim Py4J round-trips to
+        BUILD and dim inlined constants for Janino to COMPILE —
+        measured ~1.0 s plan-build + ~1 s codegen per probe call at
+        n_lists=16, dim=64). Values and fold order are identical, so
+        output is bit-identical and the committed pins hold."""
         dists = F.array(
             *[
                 F.struct(
                     F.aggregate(
                         F.zip_with(
                             to_double_array(vec),
-                            F.array(*[F.lit(float(x)) for x in c]),
+                            F.lit(np.asarray(c, dtype=np.float64)),
                             lambda a, b: (a - b) * (a - b),
                         ),
                         F.lit(0.0),
@@ -455,16 +464,54 @@ class IvfIndex:
         )
         return F.slice(F.transform(F.array_sort(dists), lambda s: s["i"]), 1, n)
 
-    def save(self, path: str) -> None:
+    def nearest_cells_sql(self, vec_sql: str, n: int) -> str:
+        """SQL-text twin of ``nearest_cells`` for plan-build hot paths
+        (``ivf_probe``): the Column form converts ~2*n_lists lambda
+        closures through Py4J per CALL (~0.8 s of pure driver latency
+        at n_lists=16) — one expr() string parses JVM-side in ~ms.
+        Same expression tree and the same doubles ('D'-suffixed
+        shortest-repr literals parse correctly-rounded, i.e. exactly),
+        so the output is bit-identical — pinned against the Column
+        form in tests. ``vec_sql`` must be a resolvable column name or
+        SQL expression in the consuming frame."""
+        structs = []
+        for i, c in enumerate(self.centroids):
+            arr = ",".join(repr(float(x)) + "D" for x in c)
+            structs.append(
+                "named_struct('d', aggregate(zip_with(transform("
+                f"{vec_sql}, v -> CAST(v AS DOUBLE)), array({arr}), "
+                "(a, b) -> (a - b) * (a - b)), 0.0D, "
+                f"(acc, x) -> acc + x), 'i', {i})"
+            )
+        return (
+            "slice(transform(array_sort(array("
+            + ",".join(structs)
+            + f")), s -> s.i), 1, {n})"
+        )
+
+    def save(self, path: str, files_per_cell: int = 1) -> None:
         """Persist: cells as parquet PARTITIONED BY cell (a probe then
         reads only n_probe/n_lists of the files — parquet partition
         pruning, the on-disk analogue of the inverted file), centroids as
         a tiny JSON dataset alongside. Works on any Hadoop-visible path
-        (local, S3A, HDFS) — no driver-local filesystem writes."""
+        (local, S3A, HDFS) — no driver-local filesystem writes.
+
+        ``files_per_cell`` sizes the layout: without the repartition,
+        every upstream task writes a sliver into every cell dir
+        (measured 2562 files for 16 cells at the 200k-row lake — the
+        probe then pays file listing/open, not scan). 1 is right when a
+        cell fits one scan task; on a real lake raise it so a cell is
+        many ~128 MB files and a probe still parallelizes within the
+        cells it reads."""
         spark = self.cells.sparkSession
-        self.cells.select(
+        out = self.cells.select(
             F.col(self.id_col), F.col(self.vec_col), F.col("cell")
-        ).write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+        ).repartition(
+            len(self.centroids) * files_per_cell,
+            F.col("cell"),
+            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(files_per_cell)),
+        )
+        out.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
         cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)]
         spark.createDataFrame(cent_rows, "i int, centroid array<double>").coalesce(
             1
@@ -472,7 +519,12 @@ class IvfIndex:
 
     @classmethod
     def load(cls, spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
-        cent = spark.read.json(f"{path}/centroids").collect()
+        # explicit schema: JSON inference is a whole extra pass/job per
+        # load, and the layout is ours (doubles roundtrip exactly —
+        # shortest-repr write, exact parse; pinned in tests)
+        cent = spark.read.schema("i int, centroid array<double>").json(
+            f"{path}/centroids"
+        ).collect()
         centroids = [list(r["centroid"]) for r in sorted(cent, key=lambda r: r["i"])]
         cells = spark.read.parquet(f"{path}/cells")
         return cls(centroids, cells, id_col, vec_col)
@@ -826,28 +878,154 @@ def ivf_probe(
     k: int = 10,
     n_probe: int = 4,
     query_id_col: str = "query_id",
+    rescore: str = "fold",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Probe a built index: each query exact-rescores only the ``n_probe``
     cells nearest its own vector. The cell filter is an equi-join key, so
     on a saved index (cells = partitioned parquet) it prunes at the scan —
     the classic IVF trade of recall for scan fraction (recall pinned in
-    tests)."""
+    tests). The cell-assignment expression rides ``nearest_cells_sql``
+    (one JVM-parsed expr, bit-identical to the Column form) so a probe's
+    driver-side plan-build cost is milliseconds — the serving path is
+    called per query batch, where that constant is the latency floor.
+
+    ``rescore`` picks the candidate-scoring engine:
+
+    - ``'fold'`` (default): per-pair JVM zip_with cosine behind a
+      broadcast cell join, DPP-pruned on a saved index. Exact unrounded
+      doubles — the committed-pin shape (sim_ann_ivf et al.).
+    - ``'arrow'``: the serving/throughput shape, brute_force_topk_np's
+      kernel pointed at the probed fraction. Query (id, vec, probed
+      cells) collect to the driver (one tiny job, cell choice stays the
+      JVM expression — identical candidate sets); the cells scan takes
+      a STATIC ``cell IN (...)`` partition filter (pruning without even
+      a DPP subquery); each scan task matmuls its rows against the
+      cells' query matrices and emits only local top-k, so the window
+      ranks ≤ tasks*k*|queries| rows instead of every candidate pair.
+      Measured sf100 (2M vecs, 5 queries, 4/16 cells): 16.9 s fold →
+      the brute JVM scan itself is 5.8 s — fold's 3-fold-per-pair
+      interpreted cosine erased the 4x scan saving; arrow rescoring is
+      what makes the pruning pay. BLAS summation drifts ~1e-15 from the
+      fold, so pair with ``round_to`` (the sim_topk_cosine_fast
+      contract) for cross-engine/committed-pin stability.
+
+    ``round_to`` rounds the score BEFORE ranking (id tiebreak) on
+    either engine."""
     id_col, vec_col = index.id_col, index.vec_col
+    if rescore == "arrow":
+        return _ivf_probe_arrow(
+            index, queries, k, n_probe, query_id_col, round_to
+        )
+    if rescore != "fold":
+        raise ValueError(f"unknown rescore {rescore!r}")
     q_cells = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(index.nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+        F.col(query_id_col), F.col(vec_col).alias("__qvec")
+    ).select(
+        query_id_col,
+        "__qvec",
+        F.explode(
+            F.expr(index.nearest_cells_sql("__qvec", n_probe))
+        ).alias("cell"),
     )
     c_cells = index.cells.select(F.col(id_col), F.col(vec_col).alias("__cvec"), "cell")
     cand = c_cells.join(F.broadcast(q_cells), "cell").filter(
         F.col(query_id_col) != F.col(id_col)
     )
-    scored = cand.select(
-        query_id_col, id_col, cosine(F.col("__cvec"), F.col("__qvec")).alias("cos_sim")
-    )
+    cos = cosine(F.col("__cvec"), F.col("__qvec"))
+    if round_to is not None:
+        cos = F.round(cos, round_to)
+    scored = cand.select(query_id_col, id_col, cos.alias("cos_sim"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", "rank")
+    )
+
+
+def _ivf_probe_arrow(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    query_id_col: str,
+    round_to: int | None,
+) -> DataFrame:
+    """Arrow-rescored probe (see ivf_probe): static cell pruning + the
+    brute_force_topk_np kernel grouped by cell within each batch."""
+    import pandas as pd
+
+    id_col, vec_col = index.id_col, index.vec_col
+    # probed cells per query, computed by the SAME JVM expression the
+    # fold path uses (identical candidate sets), collected once —
+    # queries ≪ corpus, the standard serving shape
+    q_rows = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        to_double_array(F.col(vec_col)).alias("__qvec"),
+        F.expr(index.nearest_cells_sql(vec_col, n_probe)).alias("__cells"),
+    ).collect()
+    per_cell: dict[int, list] = {}
+    for r in q_rows:
+        if r["__qvec"] is None:
+            continue
+        for cell in r["__cells"]:
+            per_cell.setdefault(int(cell), []).append(
+                (int(r["__qid"]), r["__qvec"])
+            )
+    all_cells = sorted(per_cell)
+    cell_q: dict[int, tuple] = {}
+    for cell, lst in per_cell.items():
+        qids = np.array([q for q, _ in lst], dtype=np.int64)
+        qmat = np.array([v for _, v in lst], dtype=np.float64)
+        qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        cell_q[cell] = (qids, qmat / qn)
+    margin = 1 if round_to is None else 9
+
+    def kernel(batches):
+        for pdf in batches:
+            out_q, out_id, out_s = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                qc = cell_q.get(int(cell))
+                if qc is None:
+                    continue
+                q_ids, q_mat = qc
+                ids = grp[id_col].to_numpy()
+                c = np.array(grp[vec_col].tolist(), dtype=np.float64)
+                norms = np.linalg.norm(c, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                sims = (c / norms) @ q_mat.T
+                kk = min(k + margin, len(ids))
+                for j, qid in enumerate(q_ids):
+                    col = sims[:, j]
+                    top = (
+                        np.argpartition(-col, kk - 1)[:kk]
+                        if kk < len(ids)
+                        else np.arange(len(ids))
+                    )
+                    for i in top:
+                        if ids[i] != qid:
+                            out_q.append(qid)
+                            out_id.append(ids[i])
+                            out_s.append(col[i])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "cos_sim": out_s}
+            )
+
+    scan = index.cells.filter(F.col("cell").isin(all_cells)).select(
+        id_col, to_double_array(F.col(vec_col)).alias(vec_col), "cell"
+    )
+    local = scan.mapInPandas(
+        kernel, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
+    )
+    if round_to is not None:
+        local = local.withColumn("cos_sim", F.round(F.col("cos_sim"), round_to))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cos_sim", "rank")
     )

@@ -508,32 +508,40 @@ def test_hybrid_rrf_rejects_unknown_dense_impl(spark):
 
 
 def test_sim_ann_ivf_saved_plan_prunes_and_matches_inline(spark, tmp_path, monkeypatch):
-    """The registered amortized-ANN query: (a) its executed plan carries
-    a dynamicpruning PartitionFilter on the cell key (the scan reads only
-    the probed cells' files — the measured lake-scale claim), (b) a probe
-    over the LOADED index is row-identical to the inline-trained
-    ``ivf_topk`` on the same corpus/queries/params (load == build), and
-    (c) a second call hits the on-disk cache (no rebuild) and returns the
-    identical result."""
+    """The registered amortized-ANN query: (a) its plan carries a STATIC
+    ``cell IN (...)`` PartitionFilter (the arrow serving path prunes the
+    scan without even a DPP subquery — the measured lake-scale claim),
+    (b) its arrow-rescored output matches the inline-trained fold-path
+    ``ivf_topk`` on the same corpus/queries/params when both rank on the
+    6-dp grid (load == build, kernel == fold at the pinned precision),
+    and (c) a second call hits the on-disk cache (no rebuild) and
+    returns the identical result."""
     from etl_s3_to_redshift_spark.operators.similarity import ivf_probe, ivf_topk
     from etl_s3_to_redshift_spark.queries import REGISTRY
-    from etl_s3_to_redshift_spark.queries_ops11 import _saved_ivf_index
+    from etl_s3_to_redshift_spark.queries_ops11 import _IVF_MEMO, _saved_ivf_index
 
     sf = "/root/testdata/sf0.01"
     monkeypatch.setenv("SPARK_GRAFT_IVF_CACHE", str(tmp_path))
+    _IVF_MEMO.clear()  # other tests may have cached the default path
     df = REGISTRY["sim_ann_ivf_saved"].spark(spark, sf)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "PartitionFilters" in plan and "cell" in plan, plan[:2000]
+    # static pruning: no runtime subquery needed
+    assert "dynamicpruning" not in plan.lower(), plan[:2000]
     first = {tuple(r) for r in df.collect()}
     assert len(first) == 50
 
-    # load == build: same queries through the inline one-shot path
+    # load == build and arrow == fold on the 6-dp grid: same queries
+    # through the inline one-shot path, scores rounded identically
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     queries = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     inline = {
-        tuple(r) for r in ivf_topk(emb, queries, dim=64, k=10, n_probe=4).collect()
+        tuple(r)
+        for r in ivf_topk(emb, queries, dim=64, k=10, n_probe=4)
+        .withColumn("cos_sim", F.round(F.col("cos_sim"), 6))
+        .collect()
     }
     assert first == inline
 
@@ -542,9 +550,20 @@ def test_sim_ann_ivf_saved_plan_prunes_and_matches_inline(spark, tmp_path, monke
 
     cells = _os.path.join(str(tmp_path), _os.listdir(str(tmp_path))[0], "cells")
     mtime = _os.path.getmtime(cells)
-    again = {tuple(r) for r in ivf_probe(_saved_ivf_index(spark, sf), queries, k=10, n_probe=4).collect()}
+    again = {
+        tuple(r)
+        for r in ivf_probe(
+            _saved_ivf_index(spark, sf),
+            queries,
+            k=10,
+            n_probe=4,
+            rescore="arrow",
+            round_to=6,
+        ).collect()
+    }
     assert again == first
     assert _os.path.getmtime(cells) == mtime
+    _IVF_MEMO.clear()  # don't leak the tmp_path index into later tests
 
 
 def test_funnel_empty_corpus_null_pct(spark):

@@ -109,6 +109,13 @@ QUERIES = [
     "data_curation_funnel",
     "approx_heavy_hitters",
     "sim_hybrid_rrf",
+    # round-8: the amortized ANN shape — rep 1 builds+saves the IVF
+    # index (cold), rep 2 probes the saved cell-partitioned layout
+    # (warm), so best-of-2 records the warm probe; compare against the
+    # brute curves (sim_topk_cosine = the JVM fold the RRF dense leg
+    # rides, sim_topk_cosine_fast = the Arrow kernel)
+    "sim_ann_ivf_saved",
+    "sim_topk_cosine",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
