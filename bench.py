@@ -177,9 +177,12 @@ HEADLINE = [
     # tests and measured in SCALING.md)
     "sim_hybrid_rrf_ann",
     # round-8: the amortized shape — probe a SAVED cell-partitioned
-    # index (build once per lake, DPP-pruned scan); the first MEASURED
-    # point where the ANN path beats the brute dense scan
+    # index (build once per lake, statically-pruned arrow rescore);
+    # the first MEASURED points where the ANN path beats the brute
+    # dense scan — plus the full hybrid stack riding it
     "sim_ann_ivf_saved",
+    "sim_hybrid_rrf_ann_saved",
+    "sim_ann_ivf_appended",
 ]
 
 
@@ -266,8 +269,11 @@ DATA_BOUND = [
     "sim_hybrid_rrf_ann",
     # round-8: the lake shape MEASURED — saved-index probe, build
     # amortized out of the timed path (first rep builds, so best-of-2
-    # records the warm probe; the detail file keeps both reps)
+    # records the warm probe; the detail file keeps both reps) — and
+    # the hybrid fusion with its dense leg on that probe
     "sim_ann_ivf_saved",
+    "sim_hybrid_rrf_ann_saved",
+    "sim_ann_ivf_appended",
 ]
 
 

@@ -517,6 +517,33 @@ class IvfIndex:
             1
         ).write.mode("overwrite").json(f"{path}/centroids")
 
+    def append_to_saved(self, new_rows: DataFrame, path: str, files_per_cell: int = 1) -> None:
+        """Incremental index maintenance: assign NEW vectors to their
+        cells with the FROZEN centroids and ``mode('append')`` them into
+        the saved cell-partitioned layout — no retrain, no rewrite of
+        the existing corpus. Because the quantizer is frozen, the
+        probe-visible result is IDENTICAL to re-assigning the whole
+        (old ∪ new) corpus under the same centroids (pinned in tests) —
+        the ``incremental_components`` / ``minhash_append_pairs`` twin
+        for the ANN stack: arriving data costs its own size, never the
+        corpus's. Like every IVF system, distribution drift under a
+        frozen quantizer degrades recall gradually; the remedy is a
+        scheduled rebuild, not a smarter append. Centroids on disk are
+        untouched (they ARE the frozen quantizer); reload after
+        appending if this handle's ``cells`` frame must see the new
+        rows."""
+        assigned = new_rows.select(
+            F.col(self.id_col),
+            F.col(self.vec_col),
+            F.element_at(self.nearest_cells(F.col(self.vec_col), 1), 1).alias("cell"),
+        )
+        compacted = assigned.repartition(
+            len(self.centroids) * files_per_cell,
+            F.col("cell"),
+            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(files_per_cell)),
+        )
+        compacted.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
     @classmethod
     def load(cls, spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
         # explicit schema: JSON inference is a whole extra pass/job per
@@ -2100,6 +2127,7 @@ def hybrid_rrf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    index: "IvfIndex | None" = None,
 ) -> DataFrame:
     """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
     (Cormack, Clarke & Büttcher 2009, k=60 — the fusion every hybrid
@@ -2113,11 +2141,19 @@ def hybrid_rrf_topk(
     baseline (``brute_force_topk`` — full corpus scan per query batch,
     the oracle/serving shape); ``'ivf'`` rides the IVF ANN shortlist
     (``ivf_topk``: seeded coarse quantizer, each query exact-rescores
-    only its ``n_probe``/``n_lists`` nearest cells) — the lake-scale
-    path, where the dense leg reads a fixed fraction of the corpus
-    instead of all of it. RRF itself is agnostic to where the rank
-    lists came from; the recall cost of the ANN leg is pinned by a
-    floor test against the exact fusion.
+    only its ``n_probe``/``n_lists`` nearest cells) — but retrains the
+    quantizer inline, the one-shot shape that is SLOWER than brute at
+    every measured point (SCALING.md round 7/8); ``'ivf_saved'`` takes
+    a pre-built ``index`` (``IvfIndex.save``/``load`` — build once per
+    lake) and probes it with the Arrow rescore on the 6-dp grid
+    (``ivf_probe(rescore='arrow', round_to=6)``) — the amortized
+    lake-scale path, where the dense leg statically prunes to
+    ``n_probe``/``n_lists`` of the corpus and the probe is the
+    measured winner past ~sf1. RRF itself is agnostic to where the
+    rank lists came from (it consumes RANKS — the dense leg's 6-dp
+    score rounding only reorders exact rounding ties, id-broken
+    deterministically); the recall cost of either ANN leg is pinned by
+    floor tests against the exact fusion.
 
     Determinism: RRF is pure RANK arithmetic — each term is
     ``1.0/(k_rrf + int)``, the fusion is ONE addition of two such
@@ -2182,6 +2218,17 @@ def hybrid_rrf_topk(
             id_col=vec_id_col,
             vec_col=vec_col,
             seed=seed,
+        )
+    elif dense_impl == "ivf_saved":
+        if index is None:
+            raise ValueError("dense_impl='ivf_saved' needs a built index=")
+        dense_raw = ivf_probe(
+            index,
+            queries_vec,
+            k=k_list,
+            n_probe=n_probe,
+            rescore="arrow",
+            round_to=6,
         )
     else:
         raise ValueError(f"unknown dense_impl {dense_impl!r}")

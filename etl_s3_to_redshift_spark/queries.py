@@ -969,8 +969,11 @@ def _load_extensions() -> None:
 # tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
     # registered round 8 (zero driver evidence yet): the saved-index
-    # amortized ANN probe — the lake-scale measured shape
+    # amortized ANN probe, the hybrid fusion riding it, and the
+    # frozen-centroid incremental append — the lake-scale shapes
     "sim_ann_ivf_saved",
+    "sim_hybrid_rrf_ann_saved",
+    "sim_ann_ivf_appended",
     # r4 cohort: all 31 queries whose newest driver row is round 4
     "asof_last_purchase",
     "basket_copurchase_pairs",
@@ -1021,8 +1024,6 @@ _DRIVER_FIRST = [
     "q17_small_quantity_revenue",
     "q19_bracketed_revenue",
     "q20_prolific_part_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_value_customers",
 ]
 
 

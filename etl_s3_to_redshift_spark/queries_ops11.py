@@ -709,3 +709,224 @@ def sim_ann_ivf_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fold path (cell choice is the same JVM expression), scores on
     # the sim_topk_cosine_fast rounding contract
     return ivf_probe(index, queries, k=10, n_probe=4, rescore="arrow", round_to=6)
+
+
+@register(
+    "sim_hybrid_rrf_ann_saved",
+    # Committed-expectation oracle (tools/gen_committed_oracle.py;
+    # REGRESSION PIN generated under Spark 4.1.2 — regenerate on an
+    # engine upgrade before reading a red gate as a regression):
+    # quantizer seeded k-means + arrow-rescored dense ranks (6-dp
+    # grid) are not SQL-expressible, but the whole pipeline is
+    # deterministic — verified bit-identical across a fresh
+    # local[32] build, a local[5]/17-shuffle-partition cache-hit
+    # load, and a local[8] rebuild (round 8). Valid only at
+    # sf0.01; other SFs fall back to rows-only.
+    """
+    SELECT CAST("query_id" AS BIGINT) AS "query_id",
+           CAST("doc_id" AS BIGINT) AS "doc_id",
+           CAST("rrf_score" AS DOUBLE) AS "rrf_score",
+           CAST("sparse_rank" AS INTEGER) AS "sparse_rank",
+           CAST("dense_rank" AS INTEGER) AS "dense_rank",
+           CAST("rank" AS INTEGER) AS "rank"
+    FROM (VALUES
+        (7, 32, CAST('0.015873' AS DOUBLE), 3, 0, 7),
+        (7, 56, CAST('0.016393' AS DOUBLE), 1, 0, 3),
+        (7, 60, CAST('0.027313' AS DOUBLE), 9, 18, 1),
+        (7, 209, CAST('0.015873' AS DOUBLE), 0, 3, 8),
+        (7, 280, CAST('0.015625' AS DOUBLE), 4, 0, 9),
+        (7, 319, CAST('0.026501' AS DOUBLE), 17, 14, 2),
+        (7, 334, CAST('0.015625' AS DOUBLE), 0, 4, 10),
+        (7, 340, CAST('0.016393' AS DOUBLE), 0, 1, 4),
+        (7, 425, CAST('0.016129' AS DOUBLE), 0, 2, 5),
+        (7, 453, CAST('0.016129' AS DOUBLE), 2, 0, 6),
+        (42, 27, CAST('0.015873' AS DOUBLE), 0, 3, 6),
+        (42, 264, CAST('0.015625' AS DOUBLE), 4, 0, 8),
+        (42, 270, CAST('0.015873' AS DOUBLE), 3, 0, 7),
+        (42, 294, CAST('0.016129' AS DOUBLE), 2, 0, 5),
+        (42, 311, CAST('0.028629' AS DOUBLE), 20, 2, 1),
+        (42, 328, CAST('0.027778' AS DOUBLE), 12, 12, 2),
+        (42, 376, CAST('0.016393' AS DOUBLE), 0, 1, 3),
+        (42, 403, CAST('0.015385' AS DOUBLE), 0, 5, 10),
+        (42, 453, CAST('0.016393' AS DOUBLE), 1, 0, 4),
+        (42, 467, CAST('0.015625' AS DOUBLE), 0, 4, 9),
+        (123, 4, CAST('0.015873' AS DOUBLE), 3, 0, 5),
+        (123, 10, CAST('0.015385' AS DOUBLE), 0, 5, 9),
+        (123, 56, CAST('0.015625' AS DOUBLE), 4, 0, 7),
+        (123, 88, CAST('0.015873' AS DOUBLE), 0, 3, 6),
+        (123, 101, CAST('0.015625' AS DOUBLE), 0, 4, 8),
+        (123, 151, CAST('0.016129' AS DOUBLE), 2, 0, 3),
+        (123, 224, CAST('0.016393' AS DOUBLE), 1, 0, 1),
+        (123, 288, CAST('0.016393' AS DOUBLE), 0, 1, 2),
+        (123, 327, CAST('0.016129' AS DOUBLE), 0, 2, 4),
+        (123, 328, CAST('0.015385' AS DOUBLE), 5, 0, 10)
+    ) AS t("query_id", "doc_id", "rrf_score", "sparse_rank", "dense_rank", "rank")
+    """,
+    oracle_sf="sf0.01",
+    doc=(
+        "Hybrid RRF retrieval with the dense leg on the SAVED IVF "
+        "index (operators/similarity.hybrid_rrf_topk with "
+        "dense_impl='ivf_saved'): same fusion and exact BM25 sparse "
+        "leg as sim_hybrid_rrf, but the dense shortlist comes from "
+        "ivf_probe(rescore='arrow', round_to=6) over the once-per-lake "
+        "cell-partitioned index — the amortized end-to-end retrieval "
+        "stack. RRF consumes ranks, so the fusion stays pure rank "
+        "arithmetic (cross-engine exact); the dense leg's recall cost "
+        "vs the exact fusion is floor-pinned in tests/test_ops11.py. "
+        "This is the serving shape of the whole retrieval story: "
+        "sim_hybrid_rrf is the brute baseline, sim_hybrid_rrf_ann the "
+        "honest one-shot (train-inline, slower), and THIS the "
+        "build-once/probe-many plan a lake actually runs."
+    ),
+)
+def sim_hybrid_rrf_ann_saved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import hybrid_rrf_topk
+
+    index = _saved_ivf_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return hybrid_rrf_topk(
+        docs,
+        emb,
+        _RRF_QIDS,
+        k_list=_RRF_KLIST,
+        k_final=10,
+        k_rrf=_RRF_K,
+        dense_impl="ivf_saved",
+        index=index,
+    )
+
+
+def _saved_ivf_index_appended(spark: SparkSession, sf_dir: str):
+    """Build-then-append twin of ``_saved_ivf_index`` for the
+    incremental-maintenance query: the quantizer trains on the ~80%
+    hash slice ``pmod(vec_id, 5) != 0`` (build + save), then the
+    remaining ~20% arrives "later" and is ``append_to_saved`` — cell-
+    assigned under the frozen centroids and appended into the layout,
+    never retraining or rewriting the existing corpus. The split is a
+    pure row predicate (scale- and partition-independent), so the
+    whole pipeline is deterministic and pinnable. A python-side
+    receipt marks build+append as one atomic unit for the cache (the
+    parquet _SUCCESS alone would cache a build that hadn't appended
+    yet)."""
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        IvfIndex,
+        build_ivf_index,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_IVF_CACHE") or os.path.join(
+        tempfile.gettempdir(), "etl_s3_to_redshift_spark_ivf"
+    )
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    base = os.path.join(root, key + "_appended")
+    memo_key = (spark.sparkContext.applicationId, base)
+    idx = _IVF_MEMO.get(memo_key)
+    if idx is not None:
+        return idx
+    marker = os.path.join(base, "_APPEND_DONE")
+    if not os.path.exists(marker):
+        emb = _t(spark, sf_dir, "embeddings")
+        seed_rows = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+        late_rows = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+        built = build_ivf_index(seed_rows, n_lists=16)
+        built.save(base)
+        built.append_to_saved(late_rows, base)
+        with open(marker, "w") as f:
+            f.write("build+append complete\n")
+    idx = IvfIndex.load(spark, base)
+    _IVF_MEMO[memo_key] = idx
+    return idx
+
+
+@register(
+    "sim_ann_ivf_appended",
+    # Committed-expectation oracle (tools/gen_committed_oracle.py;
+    # REGRESSION PIN generated under Spark 4.1.2 — regenerate on an
+    # engine upgrade before reading a red gate as a regression):
+    # seeded 80%-slice quantizer + frozen-centroid append + arrow
+    # probe on the 6-dp grid, verified bit-identical across a fresh
+    # local[32] build+append, a local[5]/17-shuffle-partition
+    # cache-hit load, and a local[8] rebuild (round 8). Valid only
+    # at sf0.01; other SFs fall back to rows-only.
+    """
+    SELECT CAST("query_id" AS BIGINT) AS "query_id",
+           CAST("vec_id" AS BIGINT) AS "vec_id",
+           CAST("cos_sim" AS DOUBLE) AS "cos_sim",
+           CAST("rank" AS INTEGER) AS "rank"
+    FROM (VALUES
+        (10, 34, CAST('0.266305' AS DOUBLE), 9),
+        (10, 38, CAST('0.272264' AS DOUBLE), 5),
+        (10, 233, CAST('0.362182' AS DOUBLE), 1),
+        (10, 243, CAST('0.266452' AS DOUBLE), 8),
+        (10, 272, CAST('0.360649' AS DOUBLE), 2),
+        (10, 313, CAST('0.313132' AS DOUBLE), 3),
+        (10, 356, CAST('0.264232' AS DOUBLE), 10),
+        (10, 390, CAST('0.273976' AS DOUBLE), 4),
+        (10, 417, CAST('0.268989' AS DOUBLE), 7),
+        (10, 484, CAST('0.269228' AS DOUBLE), 6),
+        (11, 10, CAST('0.236266' AS DOUBLE), 10),
+        (11, 20, CAST('0.336347' AS DOUBLE), 2),
+        (11, 30, CAST('0.367827' AS DOUBLE), 1),
+        (11, 36, CAST('0.239904' AS DOUBLE), 8),
+        (11, 77, CAST('0.23721' AS DOUBLE), 9),
+        (11, 78, CAST('0.276102' AS DOUBLE), 6),
+        (11, 130, CAST('0.290734' AS DOUBLE), 4),
+        (11, 233, CAST('0.261495' AS DOUBLE), 7),
+        (11, 252, CAST('0.309934' AS DOUBLE), 3),
+        (11, 465, CAST('0.280256' AS DOUBLE), 5),
+        (12, 127, CAST('0.350543' AS DOUBLE), 1),
+        (12, 157, CAST('0.246867' AS DOUBLE), 8),
+        (12, 161, CAST('0.275537' AS DOUBLE), 4),
+        (12, 173, CAST('0.272121' AS DOUBLE), 5),
+        (12, 274, CAST('0.267527' AS DOUBLE), 6),
+        (12, 281, CAST('0.300113' AS DOUBLE), 3),
+        (12, 305, CAST('0.243879' AS DOUBLE), 9),
+        (12, 390, CAST('0.247973' AS DOUBLE), 7),
+        (12, 392, CAST('0.240913' AS DOUBLE), 10),
+        (12, 402, CAST('0.316485' AS DOUBLE), 2),
+        (13, 55, CAST('0.290693' AS DOUBLE), 5),
+        (13, 127, CAST('0.264936' AS DOUBLE), 10),
+        (13, 274, CAST('0.286487' AS DOUBLE), 7),
+        (13, 337, CAST('0.331601' AS DOUBLE), 3),
+        (13, 395, CAST('0.289112' AS DOUBLE), 6),
+        (13, 398, CAST('0.280647' AS DOUBLE), 8),
+        (13, 430, CAST('0.309928' AS DOUBLE), 4),
+        (13, 431, CAST('0.265489' AS DOUBLE), 9),
+        (13, 440, CAST('0.358399' AS DOUBLE), 1),
+        (13, 479, CAST('0.334648' AS DOUBLE), 2),
+        (14, 59, CAST('0.265803' AS DOUBLE), 6),
+        (14, 76, CAST('0.262818' AS DOUBLE), 8),
+        (14, 146, CAST('0.354298' AS DOUBLE), 1),
+        (14, 147, CAST('0.318137' AS DOUBLE), 2),
+        (14, 199, CAST('0.27795' AS DOUBLE), 5),
+        (14, 271, CAST('0.307482' AS DOUBLE), 3),
+        (14, 297, CAST('0.240836' AS DOUBLE), 10),
+        (14, 311, CAST('0.265673' AS DOUBLE), 7),
+        (14, 479, CAST('0.287361' AS DOUBLE), 4),
+        (14, 495, CAST('0.242378' AS DOUBLE), 9)
+    ) AS t("query_id", "vec_id", "cos_sim", "rank")
+    """,
+    oracle_sf="sf0.01",
+    doc=(
+        "Incrementally-maintained IVF ANN (operators/similarity."
+        "IvfIndex.append_to_saved): the index is built+saved on the "
+        "~80% hash slice of the corpus, the remaining ~20% is appended "
+        "later — cell-assigned under the FROZEN centroids, written "
+        "mode('append') into the cell-partitioned layout, no retrain, "
+        "no rewrite. Probe is the arrow serving path over the merged "
+        "layout. Append == full re-assignment under the same centroids "
+        "is pinned in tests; at 100 TB this is what makes the ANN "
+        "stack operable — arriving data costs its own size, never a "
+        "corpus rebuild (the incremental_components / "
+        "minhash_append_pairs twin for embeddings)."
+    ),
+)
+def sim_ann_ivf_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.similarity import ivf_probe
+
+    index = _saved_ivf_index_appended(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return ivf_probe(index, queries, k=10, n_probe=4, rescore="arrow", round_to=6)

@@ -505,6 +505,39 @@ def test_hybrid_rrf_rejects_unknown_dense_impl(spark):
     emb = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="dense_impl"):
         hybrid_rrf_topk(docs, emb, [1], dense_impl="hnsw")
+    with pytest.raises(ValueError, match="index"):
+        hybrid_rrf_topk(docs, emb, [1], dense_impl="ivf_saved")
+
+
+def test_hybrid_rrf_ann_saved_recall_floor_and_sparse_leg(spark):
+    """The amortized fusion (dense leg = saved-index arrow probe) keeps
+    ≥60% of the exact fusion's top-10 per query at sf0.01 — the same
+    floor contract as the inline-ANN variant — and leaves the sparse
+    leg untouched (identical sparse_rank for shared candidates). Its
+    dense CANDIDATE sets come from the same seeded quantizer as
+    sim_hybrid_rrf_ann, so the two ANN variants' dense legs agree on
+    membership (ranks may reorder only on exact 6-dp rounding ties)."""
+    from etl_s3_to_redshift_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+
+    sf = "/root/testdata/sf0.01"
+    exact = REGISTRY["sim_hybrid_rrf"].spark(spark, sf).collect()
+    saved = REGISTRY["sim_hybrid_rrf_ann_saved"].spark(spark, sf).collect()
+    ex_by_q, sv_by_q = {}, {}
+    for r in exact:
+        ex_by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r
+    for r in saved:
+        sv_by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r
+    assert set(sv_by_q) == set(ex_by_q)
+    for q, ex in ex_by_q.items():
+        sv = sv_by_q[q]
+        assert sorted(r["rank"] for r in sv.values()) == list(range(1, 11)), q
+        overlap = len(set(ex) & set(sv)) / len(ex)
+        assert overlap >= 0.6, (q, overlap)
+        for d in set(ex) & set(sv):
+            if ex[d]["sparse_rank"] and sv[d]["sparse_rank"]:
+                assert ex[d]["sparse_rank"] == sv[d]["sparse_rank"], (q, d)
 
 
 def test_sim_ann_ivf_saved_plan_prunes_and_matches_inline(spark, tmp_path, monkeypatch):
@@ -564,6 +597,63 @@ def test_sim_ann_ivf_saved_plan_prunes_and_matches_inline(spark, tmp_path, monke
     assert again == first
     assert _os.path.getmtime(cells) == mtime
     _IVF_MEMO.clear()  # don't leak the tmp_path index into later tests
+
+
+def test_ivf_append_equals_full_reassign(spark, tmp_path):
+    """append_to_saved's contract: probing (saved(seed) + append(late))
+    is row-identical to probing a fresh full save of ALL rows assigned
+    under the SAME frozen centroids — on both rescore engines — and the
+    appended layout stays compact (≤ 2 files/cell: one per write)."""
+    import os
+
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        IvfIndex,
+        build_ivf_index,
+        ivf_probe,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    seed = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    late = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    built = build_ivf_index(seed, n_lists=16)
+    path_a = str(tmp_path / "appended")
+    built.save(path_a)
+    built.append_to_saved(late, path_a)
+
+    # full re-assignment of ALL rows under the same centroids
+    full = IvfIndex(
+        built.centroids,
+        emb.select(
+            F.col("vec_id"),
+            F.col("embedding"),
+            F.element_at(
+                built.nearest_cells(F.col("embedding"), 1), 1
+            ).alias("cell"),
+        ),
+        "vec_id",
+        "embedding",
+    )
+    path_b = str(tmp_path / "full")
+    full.save(path_b)
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a_idx = IvfIndex.load(spark, path_a)
+    b_idx = IvfIndex.load(spark, path_b)
+    for kwargs in ({}, {"rescore": "arrow", "round_to": 6}):
+        a = {tuple(r) for r in ivf_probe(a_idx, queries, k=10, **kwargs).collect()}
+        b = {tuple(r) for r in ivf_probe(b_idx, queries, k=10, **kwargs).collect()}
+        assert a == b and len(a) == 50, kwargs
+
+    # the merged corpus is fully present
+    assert a_idx.cells.count() == emb.count()
+    # layout compactness: at most one file per cell per write
+    for cell_dir in os.listdir(f"{path_a}/cells"):
+        if not cell_dir.startswith("cell="):
+            continue
+        n = len([f for f in os.listdir(f"{path_a}/cells/{cell_dir}") if f.endswith(".parquet")])
+        assert n <= 2, (cell_dir, n)
 
 
 def test_funnel_empty_corpus_null_pct(spark):

@@ -116,6 +116,7 @@ QUERIES = [
     # rides, sim_topk_cosine_fast = the Arrow kernel)
     "sim_ann_ivf_saved",
     "sim_topk_cosine",
+    "sim_hybrid_rrf_ann_saved",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
