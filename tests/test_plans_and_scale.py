@@ -96,6 +96,9 @@ def test_no_cartesian_products_anywhere(spark):
         # corpus-stats (N, avgdl) broadcast of the SPARSE leg; the IVF
         # dense leg joins on cell keys (hash join), never nested-loop
         "sim_hybrid_rrf_ann",
+        # identical sparse leg; the saved-index dense leg is a
+        # statically-pruned scan + arrow kernel — no join at all
+        "sim_hybrid_rrf_ann_saved",
     }
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))
