@@ -556,12 +556,20 @@ def bigram_logprob_scores(
     bigram key, so both engines iterate identical values; the per-doc
     mean rounds 6 dp (libm ``ln`` drift sits ~10 orders below).
 
-    Scale shape mirrors the unigram scorer: ONE corpus tokenization into
-    the per-(doc, w1, w2) tf aggregate, model counts derived from that
-    frame by windows over the bigram/context keys (bigram-vocab-sized
-    shuffles, never a corpus rescan, no model broadcast). ``vocab_size``
-    (V = distinct second words) is a scalar; passing it skips the
-    driver-side distinct-count job.
+    Scale shape: ONE corpus tokenization into the per-(doc, w1, w2) tf
+    aggregate; the MODEL is derived as map-side-combined groupBy
+    aggregates (bigram-key-sized ``c12``, context-key-sized ``c1``) and
+    joined back as a per-KEY ``neglogp`` scores frame — never
+    broadcast, never a corpus rescan. The earlier form computed the
+    model with ``sum() OVER (PARTITION BY w1[, w2])`` windows on the
+    corpus-sized tf frame: besides shuffling that frame twice more, the
+    context window put EVERY tf row of a stopword context ('the', ...)
+    into ONE window task — a single-key sort that dominated the sf100
+    decade (465 s, 13.6×/decade; the aggregate+join form measures
+    9.7×/decade — see SCALING.md round 8). Aggregates combine before
+    the exchange and AQE splits skewed join keys, so no single task
+    ever owns a context. ``vocab_size`` (V = distinct second words) is
+    a scalar; passing it skips the driver-side distinct-count job.
     """
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
@@ -579,19 +587,21 @@ def bigram_logprob_scores(
     tf = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
     if vocab_size is None:
         vocab_size = tf.select("w2").distinct().count()  # scalar model size
-    wbg = Window.partitionBy("w1", "w2")
-    wctx = Window.partitionBy("w1")
-    scored = (
-        tf.withColumn("c12", F.sum("tf").over(wbg))
-        .withColumn("c1", F.sum("tf").over(wctx))
-        .withColumn(
-            "neglogp",
+    # model counts: same integers the windows produced (Σ tf per key),
+    # so neglogp is the identical double per (w1, w2) key
+    model12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    model1 = model12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scores = model12.join(model1, "w1").select(
+        "w1",
+        "w2",
+        (
             -F.log(
                 (2 * F.col("c12") + 1).cast("double")
                 / (2 * F.col("c1") + F.lit(int(vocab_size))).cast("double")
-            ),
-        )
+            )
+        ).alias("neglogp"),
     )
+    scored = tf.join(scores, ["w1", "w2"])
     return scored.groupBy(id_col).agg(
         F.sum("tf").alias("n_bigrams"),
         F.round(F.sum(F.col("tf") * F.col("neglogp")) / F.sum("tf"), 6).alias(
