@@ -296,6 +296,14 @@ def unigram_logprob_scores(
     # empty/tokenless corpus: the scored frame below is empty whatever
     # literal we use — 1 keeps log's argument finite so the plan compiles
     n_total = int(n_total_row) if n_total_row else 1
+    # The token-key WINDOW is deliberate here — the bigram scorer's
+    # aggregate+join rewrite was A/B'd on this operator and measured
+    # SLOWER (sf100 45.0 → 83.1 s): a token partition is bounded by the
+    # DOC count (a word counts once per doc in tf), so the hot-stopword
+    # sort the bigram contexts suffered is mild here, while the join
+    # form re-evaluates the unmaterialized tf chain (a second full
+    # tokenization) on its second consumer. One window = one tf
+    # shuffle, one tokenization.
     wtok = Window.partitionBy("token")
     scored = (
         tf.withColumn("n_w", F.sum("tf").over(wtok))
@@ -384,7 +392,7 @@ def dsir_logratio_weights(
     lowercase-alpha split shared with ``vocab_top_terms``.
 
     Scale shape: the plan is the unigram-surprisal scorer's with one
-    extra windowed sum — ONE corpus tokenization into the per-(doc,
+    extra model sum — ONE corpus tokenization into the per-(doc,
     token) tf aggregate (localCheckpointed DISK_ONLY: it is re-read by
     the scalar aggregate and the scoring pass), target/raw model
     counts as two sums over the token-key window (vocabulary-sized
@@ -413,6 +421,12 @@ def dsir_logratio_weights(
         F.count_distinct(F.col("token")).alias("v"),
     ).collect()[0]
     n_t, n_all, vocab = int(s["nt"] or 0), int(s["na"] or 0), int(s["v"])
+    # The token-key WINDOW is deliberate — the bigram scorer's
+    # aggregate+join rewrite was A/B'd here too and measured SLOWER
+    # (sf100 83.6 → 94.0 s): token partitions are doc-count-bounded
+    # (mild skew, unlike bigram contexts), and the window computes both
+    # model sums in the single token shuffle of the already-
+    # checkpointed tf.
     wtok = Window.partitionBy("token")
     logratio = F.log(
         (F.sum(F.col("tf") * F.col("__tgt")).over(wtok) + 1).cast("double")
@@ -566,9 +580,9 @@ def bigram_logprob_scores(
     context window put EVERY tf row of a stopword context ('the', ...)
     into ONE window task — a single-key sort that dominated the sf100
     decade (465 s, 13.6×/decade; the aggregate+join form measures
-    9.7×/decade — see SCALING.md round 8). Aggregates combine before
-    the exchange and AQE splits skewed join keys, so no single task
-    ever owns a context. ``vocab_size`` (V = distinct second words) is
+    233.7 s, 11.2×/decade, and sf10 34.2 → 20.9 s — see SCALING.md
+    round 8). Aggregates combine before the exchange and AQE splits
+    skewed join keys, so no single task ever owns a context. ``vocab_size`` (V = distinct second words) is
     a scalar; passing it skips the driver-side distinct-count job.
     """
     arr = F.filter(
@@ -585,6 +599,14 @@ def bigram_logprob_scores(
         ).alias("p"),
     ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
     tf = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is consumed by BOTH the model derivation and the scoring join
+    # (so the tokenize+groupBy chain evaluates twice). A DISK_ONLY
+    # localCheckpoint of tf (the DSIR precedent) was A/B'd: sf100
+    # 229.5 → 192.0 s but sf10 22.3 → 49.0 s — the bigram tf frame is
+    # near-corpus-sized, so the write+barrier costs more than the
+    # re-tokenization until deep into the spill regime. Reverted; the
+    # double evaluation is the cheaper side at every probed point but
+    # the last, and the last still beats the window form by 2×.
     if vocab_size is None:
         vocab_size = tf.select("w2").distinct().count()  # scalar model size
     # model counts: same integers the windows produced (Σ tf per key),
