@@ -183,6 +183,7 @@ HEADLINE = [
     "sim_ann_ivf_saved",
     "sim_hybrid_rrf_ann_saved",
     "sim_ann_ivf_appended",
+    "dedup_minhash_staged",
 ]
 
 
@@ -274,6 +275,7 @@ DATA_BOUND = [
     "sim_ann_ivf_saved",
     "sim_hybrid_rrf_ann_saved",
     "sim_ann_ivf_appended",
+    "dedup_minhash_staged",
 ]
 
 

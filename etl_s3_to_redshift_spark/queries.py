@@ -969,11 +969,13 @@ def _load_extensions() -> None:
 # tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
     # registered round 8 (zero driver evidence yet): the saved-index
-    # amortized ANN probe, the hybrid fusion riding it, and the
-    # frozen-centroid incremental append — the lake-scale shapes
+    # amortized ANN probe, the hybrid fusion riding it, the
+    # frozen-centroid incremental append, and the staged-signature
+    # dedup — the lake-scale amortized shapes
     "sim_ann_ivf_saved",
     "sim_hybrid_rrf_ann_saved",
     "sim_ann_ivf_appended",
+    "dedup_minhash_staged",
     # r4 cohort: all 31 queries whose newest driver row is round 4
     "asof_last_purchase",
     "basket_copurchase_pairs",
@@ -1023,7 +1025,6 @@ _DRIVER_FIRST = [
     "q16_supplier_part_count",
     "q17_small_quantity_revenue",
     "q19_bracketed_revenue",
-    "q20_prolific_part_suppliers",
 ]
 
 

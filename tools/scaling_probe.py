@@ -117,6 +117,7 @@ QUERIES = [
     "sim_ann_ivf_saved",
     "sim_topk_cosine",
     "sim_hybrid_rrf_ann_saved",
+    "dedup_minhash_staged",
 ]
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIRS = {
