@@ -46,7 +46,6 @@ HEADLINE = [
     "r4_distinct_projection",
     "r9_top_k",
     "dedup_exact_docs",
-    "dedup_minhash_lsh",
     "sim_topk_cosine",
     "text_quality",
     "text_fingerprint",
@@ -172,10 +171,6 @@ HEADLINE = [
     "approx_heavy_hitters",
     # hybrid RRF fusion: both retrieval legs + a rank-frame join
     "sim_hybrid_rrf",
-    # round-7: the ANN-backed fusion (IVF train→assign→probe inline —
-    # the one-shot shape; the saved-index DPP path is plan-pinned in
-    # tests and measured in SCALING.md)
-    "sim_hybrid_rrf_ann",
     # round-8: the amortized shape — probe a SAVED cell-partitioned
     # index (build once per lake, statically-pruned arrow rescore);
     # the first MEASURED points where the ANN path beats the brute
@@ -184,6 +179,22 @@ HEADLINE = [
     "sim_hybrid_rrf_ann_saved",
     "sim_ann_ivf_appended",
     "dedup_minhash_staged",
+    # round-9: the sparse leg's amortized form (term-bucketed staged
+    # postings probe) and the hybrid whose BOTH legs ride saved
+    # structures — the recommended end-to-end retrieval plan
+    "text_bm25_topk_staged",
+    "sim_hybrid_rrf_staged",
+]
+
+# Negative-control group (VERDICT r8 #2): inline one-shot shapes that are
+# strictly dominated by their saved/staged twins at every measured point.
+# They stay benched (1 rep, recorded in the detail file) so the inline-vs-
+# amortized A/B history stays measurable, but they are OUT of the headline
+# total — headline artifacts track recommended plans, and at 100x a
+# per-query index rebuild is a full corpus scan nobody should ship.
+NEGATIVE_CONTROL = [
+    "sim_hybrid_rrf_ann",  # inline IVF retrain per call
+    "dedup_minhash_lsh",   # 4x inline shingle re-derivation per call
 ]
 
 
@@ -203,7 +214,6 @@ DATA_BOUND = [
     "t1_hourly_event_rollup",
     "sessionize_events",
     "dedup_exact_docs",
-    "dedup_minhash_lsh",
     "text_tfidf_topterms",
     "fuzzy_customer_match",
     "agg_corr_regression",
@@ -264,10 +274,6 @@ DATA_BOUND = [
     # hybrid fusion's dense leg is the brute-force broadcast scan (the
     # sim_topk_cosine class); corpus-linear, fusion join is rank-sized
     "sim_hybrid_rrf",
-    # ANN-backed fusion, one-shot shape: quantizer train + corpus cell
-    # assignment dominate (SCALING.md round-7 — slower than brute by
-    # design here; the saved-index path is the lake shape)
-    "sim_hybrid_rrf_ann",
     # round-8: the lake shape MEASURED — saved-index probe, build
     # amortized out of the timed path (first rep builds, so best-of-2
     # records the warm probe; the detail file keeps both reps) — and
@@ -276,11 +282,86 @@ DATA_BOUND = [
     "sim_hybrid_rrf_ann_saved",
     "sim_ann_ivf_appended",
     "dedup_minhash_staged",
+    # round-9: staged-BM25 probe and the all-saved hybrid (corpus-scan-
+    # free retrieval: cost scales with the query terms, not the lake)
+    "text_bm25_topk_staged",
+    "sim_hybrid_rrf_staged",
 ]
 
 
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+# Paired-gate baseline (VERDICT r8 #4): cross-round BENCH totals compare
+# across sessions, and byte-identical code measured ±10-15% host spread
+# (SCALING.md drift study) — an unfalsifiable gate below that band. The
+# fix is the same-session protocol the scaling A/Bs already use: load the
+# LAST ROUND's registry from a detached git worktree of this tag, and for
+# every common query alternate HEAD/PIN reps back-to-back in ONE Spark
+# session. The per-query paired ratios share host state, so the gate's
+# signal floor drops to per-rep jitter instead of cross-session drift.
+# Bump the tag (git tag -f) when a round's bench artifact is finalized.
+PAIRED_BASELINE_REF = "bench-r8-baseline"
+
+
+def _pinned_registry(ref: str):
+    """Load the pinned ref's query registry alongside HEAD's in this
+    process: check out ``ref`` into a temp detached worktree, import its
+    package under a temporarily-swapped sys.modules/sys.path, keep the
+    registry object (its closures hold their own modules alive), then
+    restore HEAD's modules. Returns (registry, cleanup_fn) or (None,
+    None) when the ref doesn't resolve (fresh clone without the tag —
+    the gate degrades to the old cross-session compare, loudly)."""
+    import importlib
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if os.path.isdir(ref):
+        path, wt = ref, None
+    else:
+        probe = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--verify", "--quiet", ref + "^{commit}"],
+            capture_output=True,
+            text=True,
+        )
+        if probe.returncode != 0:
+            return None, None
+        path = tempfile.mkdtemp(prefix="bench_pin_")
+        add = subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--force", "--detach", path, ref],
+            capture_output=True,
+            text=True,
+        )
+        if add.returncode != 0:
+            print(f"WARNING: paired worktree failed: {add.stderr[-300:]}", file=sys.stderr)
+            return None, None
+        wt = path
+
+    pkg = "etl_s3_to_redshift_spark"
+    saved = {k: v for k, v in sys.modules.items() if k.split(".")[0] == pkg}
+    for k in saved:
+        del sys.modules[k]
+    sys.path.insert(0, path)
+    try:
+        q = importlib.import_module(f"{pkg}.queries")
+        q._load_extensions()
+        pinned = dict(q.REGISTRY)
+    finally:
+        sys.path.remove(path)
+        for k in [k for k in sys.modules if k.split(".")[0] == pkg]:
+            del sys.modules[k]
+        sys.modules.update(saved)
+
+    def cleanup() -> None:
+        if wt is not None:
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "remove", "--force", wt],
+                capture_output=True,
+            )
+
+    return pinned, cleanup
 
 
 def main() -> None:
@@ -290,6 +371,9 @@ def main() -> None:
 
     data_bound_pass = sf >= 1
     source = DATA_BOUND if data_bound_pass else HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # debug subset: comma-separated query names
+        source = [n for n in source if n in set(only.split(","))]
     names = [n for n in source if n in REGISTRY]
     missing = [n for n in source if n not in REGISTRY]
     if missing:
@@ -308,16 +392,39 @@ def main() -> None:
     # median separates noise from regression where a minimum hides both);
     # the detail file keeps every rep plus the min so the r1–r5 best-of
     # series stays comparable.
+    # Paired gate: interleave a pinned-baseline rep immediately after
+    # each HEAD rep of every common query (H,P,H,P,H,P) so the ratio is
+    # same-session, same-host-state — see PAIRED_BASELINE_REF. Opt out
+    # with SPARK_GRAFT_PAIRED=0; off at sf>=1 (that pass is about data
+    # scaling, and doubling it would push the wall past the budget).
+    paired_on = os.environ.get("SPARK_GRAFT_PAIRED", "1") != "0" and not data_bound_pass
+    pinned, pin_cleanup = (None, None)
+    if paired_on:
+        pinned, pin_cleanup = _pinned_registry(
+            os.environ.get("SPARK_GRAFT_PAIRED_REF", PAIRED_BASELINE_REF)
+        )
+        if pinned is None:
+            print("WARNING: paired baseline unavailable; gate is cross-session only", file=sys.stderr)
+
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
+    pin_reps: dict[str, list[float]] = {}
     reps = 2 if data_bound_pass else 3
     for name in names:
         ts = []
+        ps = []
+        pin_spec = pinned.get(name) if pinned else None
         for _ in range(reps):
             t0 = time.time()
             materialize(REGISTRY[name].spark(spark, sf_dir))
             ts.append(round(time.time() - t0, 3))
+            if pin_spec is not None:
+                t0 = time.time()
+                materialize(pin_spec.spark(spark, sf_dir))
+                ps.append(round(time.time() - t0, 3))
         all_reps[name] = ts
+        if ps:
+            pin_reps[name] = ps
         # isolate queries: drop SQL-cached relations and let the
         # ContextCleaner reap lineage-truncating localCheckpoint RDDs
         # whose Python references just went out of scope — a 100+-query
@@ -329,6 +436,45 @@ def main() -> None:
         # median for odd reps; for 2 reps the min (matches the prior
         # BENCH_sf1_r03..r05 best-of-2 series)
         timings[name] = ordered[len(ordered) // 2] if reps % 2 else ordered[0]
+
+    # negative-control group: the dominated inline shapes, 1 rep each,
+    # OUT of the headline total (they exist so the inline-vs-amortized
+    # A/B history stays measurable in the detail artifact)
+    neg_control: dict[str, float] = {}
+    if not data_bound_pass:
+        for name in NEGATIVE_CONTROL:
+            if name not in REGISTRY:
+                continue
+            t0 = time.time()
+            materialize(REGISTRY[name].spark(spark, sf_dir))
+            neg_control[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            gc.collect()
+
+    if pin_cleanup is not None:
+        pin_cleanup()
+
+    paired = None
+    if pin_reps:
+        med = lambda xs: sorted(xs)[len(xs) // 2] if len(xs) % 2 else sorted(xs)[len(xs) // 2 - 1]  # noqa: E731
+        head_tot = sum(med(all_reps[n]) for n in pin_reps)
+        pin_tot = sum(med(ps) for ps in pin_reps.values())
+        # noise floor: median across queries of each query's per-rep
+        # paired-ratio spread — the band below which a total ratio says
+        # nothing (states the gate's resolution next to its value)
+        spreads = []
+        for n, ps in pin_reps.items():
+            rs = [h / p for h, p in zip(all_reps[n], ps) if p > 0]
+            if len(rs) >= 2:
+                spreads.append((max(rs) - min(rs)) / (sorted(rs)[len(rs) // 2]))
+        paired = {
+            "ref": os.environ.get("SPARK_GRAFT_PAIRED_REF", PAIRED_BASELINE_REF),
+            "n_common": len(pin_reps),
+            "head_sec": round(head_tot, 3),
+            "pin_sec": round(pin_tot, 3),
+            "ratio": round(head_tot / pin_tot, 4) if pin_tot else None,
+            "noise": round(sorted(spreads)[len(spreads) // 2], 4) if spreads else None,
+        }
 
     metric = "data_bound_queries_total_sec" if data_bound_pass else "headline_queries_total_sec"
     total = round(sum(timings.values()), 3)
@@ -343,6 +489,10 @@ def main() -> None:
         "best": {n: min(ts) for n, ts in all_reps.items()},
         "sf": sf,
     }
+    if paired is not None:
+        detail["paired"] = {**paired, "pin_reps": pin_reps}
+    if neg_control:
+        detail["negative_control"] = neg_control
     # the sf>=1 data-bound pass writes its own detail file so it can't
     # clobber the headline artifact (it did, once)
     detail_name = "BENCH_DETAIL_sf1.json" if data_bound_pass else "BENCH_DETAIL.json"
@@ -364,6 +514,10 @@ def main() -> None:
         "detail": detail_name,
         "sf": sf,
     }
+    if paired is not None:
+        out["paired"] = paired
+    if neg_control:
+        out["neg_control_sec"] = round(sum(neg_control.values()), 2)
     by_time = sorted(timings, key=lambda n: (-timings[n], n))
     for i, name in enumerate(by_time):
         trial = dict(out)

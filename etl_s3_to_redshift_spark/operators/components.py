@@ -177,6 +177,16 @@ def connected_components(
             n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except ValueError:  # e.g. "auto" on some deployments
             n_buckets = 32
+        # Opportunistic crash-leak sweep (ADVICE r8): if a prior run died
+        # between saveAsTable and the finally-DROP below, its edge-sized
+        # scratch table (distinctive cc_edges_<hex> prefix) persists in
+        # the warehouse forever. Drop any such stragglers on entry —
+        # single-writer-per-warehouse is the operator's contract (these
+        # are per-call scratch layouts, never shared state), so anything
+        # matching the prefix at entry is by definition an orphan.
+        for t in spark.catalog.listTables():
+            if t.name.startswith("cc_edges_"):
+                spark.sql(f"DROP TABLE IF EXISTS {t.name}")
         edge_table = f"cc_edges_{uuid.uuid4().hex[:12]}"
         (
             edges.repartition(n_buckets, "v")

@@ -76,6 +76,44 @@ def brute_force_topk(
     )
 
 
+def _tie_safe_top_idx(col: "np.ndarray", k: int, round_to: int | None) -> "np.ndarray":
+    """Partition-local candidate cut for the Arrow top-k kernels: indices
+    of every row that can still reach the GLOBAL top-k, i.e. all rows
+    whose (rounded) score ties or beats this task's k-th largest
+    (rounded) score. Variable-length on purpose — the old fixed k+9
+    margin silently dropped smaller-id rows whenever >9 candidates in
+    one task rounded into the k-th boundary bin, making results
+    partition-layout-dependent on duplicate-heavy corpora (ADVICE r8).
+    Lossless: a row cut here is outranked by >=k same-task rows under
+    the global (score DESC, id ASC) ordering, whatever its id. The cut
+    key uses numpy's round; it can disagree with Spark's HALF_UP only
+    for a score EXACTLY on a half-grid double (measure-zero for summed
+    floats), and disagreement only widens/narrows the candidate set at
+    the boundary the global rank re-sorts anyway."""
+    n = len(col)
+    if n <= k:
+        return np.arange(n)
+    key = np.round(col, round_to) if round_to is not None else col
+    thresh = -np.partition(-key, k - 1)[k - 1]
+    return np.nonzero(key >= thresh)[0]
+
+
+def _arrow_id_type(df: DataFrame, col: str) -> str:
+    """Validated id-column DDL type for the Arrow kernels' output schema.
+    The kernels round-trip ids through pandas; integral and string types
+    survive that exactly. Anything else (decimal, struct, ...) used to be
+    silently coerced to long by a hardcoded schema (ADVICE r8) — now a
+    clear error pointing at the fold path, which handles any orderable
+    id type JVM-side."""
+    t = df.schema[col].dataType.simpleString()
+    if t not in ("tinyint", "smallint", "int", "bigint", "string"):
+        raise TypeError(
+            f"arrow top-k kernel requires integral or string ids; "
+            f"{col!r} is {t} — use the exact/fold rescore path instead"
+        )
+    return t
+
+
 def brute_force_topk_np(
     corpus: DataFrame,
     queries: DataFrame,
@@ -97,43 +135,50 @@ def brute_force_topk_np(
     Same results as brute_force_topk up to float summation order (BLAS
     pairwise vs sequential fold) — ranks are identical except for exact
     ties, which both variants break by id. ``round_to`` rounds the score
-    BEFORE the global rank (and widens the local fetch so candidates tied
-    at the rounded precision survive the partition-local cut), making the
-    ordering — hence the full output — cross-engine exact, same contract
-    as brute_force_topk(round_to=...).
+    BEFORE the global rank (and the partition-local cut keeps EVERY row
+    tied with the task's k-th rounded score — variable-length, see
+    ``_tie_safe_top_idx`` — so no rounded-tie candidate is dropped),
+    making the ordering — hence the full output — cross-engine exact,
+    same contract as brute_force_topk(round_to=...).
     """
     import pandas as pd
 
+    id_t = _arrow_id_type(corpus, id_col)
+    qid_t = _arrow_id_type(queries, query_id_col)
     q_rows = queries.select(query_id_col, vec_col).collect()
-    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
-    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
-    # +1: the query vector itself may occupy a local slot and is filtered
-    # below. +8 under rounding: a candidate just outside the raw local
-    # top-k can tie a kept one after rounding and win the id tiebreak.
-    margin = 1 if round_to is None else 9
+    q_ids = [r[0] for r in q_rows]
+    q_mat = _dense_or_zero([r[1] for r in q_rows])
+    qn = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    q_mat = q_mat / qn
 
     def kernel(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            c = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(c, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (c / norms) @ q_mat.T  # (batch, n_queries)
+            if len(ids) == 0:
+                continue
+            # module-wide dirty-data contract (_dense_or_zero): NULL or
+            # ragged embeddings become zero rows → cos 0 → lose ranking
+            c = _dense_or_zero(pdf[vec_col].tolist())
+            if c.shape[1] != q_mat.shape[1]:
+                sims = np.zeros((len(ids), len(q_ids)))
+            else:
+                norms = np.linalg.norm(c, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                sims = (c / norms) @ q_mat.T  # (batch, n_queries)
             out_q, out_id, out_s = [], [], []
-            kk = min(k + margin, len(ids))
             for j, qid in enumerate(q_ids):
-                col = sims[:, j]
-                top = np.argpartition(-col, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-                for i in top:
-                    if ids[i] != qid:
-                        out_q.append(qid)
-                        out_id.append(ids[i])
-                        out_s.append(col[i])
+                # exclude the self-match BEFORE the cut (it used to
+                # consume the +1 margin slot)
+                sel = np.nonzero(ids != qid)[0]
+                for i in sel[_tie_safe_top_idx(sims[sel, j], k, round_to)]:
+                    out_q.append(qid)
+                    out_id.append(ids[i])
+                    out_s.append(sims[i, j])
             yield pd.DataFrame({query_id_col: out_q, id_col: out_id, "cos_sim": out_s})
 
     local = corpus.select(id_col, vec_col).mapInPandas(
-        kernel, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
+        kernel, schema=f"{query_id_col} {qid_t}, {id_col} {id_t}, cos_sim double"
     )
     if round_to is not None:
         local = local.withColumn("cos_sim", F.round(F.col("cos_sim"), round_to))
@@ -473,9 +518,25 @@ class IvfIndex:
         shortest-repr literals parse correctly-rounded, i.e. exactly),
         so the output is bit-identical — pinned against the Column
         form in tests. ``vec_sql`` must be a resolvable column name or
-        SQL expression in the consuming frame."""
+        SQL expression in the consuming frame; a plain identifier is
+        backtick-quoted here (protects reserved-word column names —
+        names needing more exotic quoting must arrive pre-backticked)."""
+        import math
+        import re
+
+        if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", vec_sql):
+            vec_sql = f"`{vec_sql}`"
         structs = []
         for i, c in enumerate(self.centroids):
+            if not all(math.isfinite(float(x)) for x in c):
+                # a NaN/Inf component would render as 'nanD'/'infD' and
+                # fail at PARSE time with an opaque error (ADVICE r8) —
+                # degenerate/dirty training data should fail loudly here
+                raise ValueError(
+                    f"centroid {i} has non-finite components "
+                    "(degenerate quantizer training data?) — "
+                    "cannot render nearest-cells SQL"
+                )
             arr = ",".join(repr(float(x)) + "D" for x in c)
             structs.append(
                 "named_struct('d', aggregate(zip_with(transform("
@@ -984,6 +1045,8 @@ def _ivf_probe_arrow(
     import pandas as pd
 
     id_col, vec_col = index.id_col, index.vec_col
+    id_t = _arrow_id_type(index.cells, id_col)
+    qid_t = _arrow_id_type(queries, query_id_col)
     # probed cells per query, computed by the SAME JVM expression the
     # fold path uses (identical candidate sets), collected once —
     # queries ≪ corpus, the standard serving shape
@@ -998,17 +1061,16 @@ def _ivf_probe_arrow(
             continue
         for cell in r["__cells"]:
             per_cell.setdefault(int(cell), []).append(
-                (int(r["__qid"]), r["__qvec"])
+                (r["__qid"], r["__qvec"])
             )
     all_cells = sorted(per_cell)
     cell_q: dict[int, tuple] = {}
     for cell, lst in per_cell.items():
-        qids = np.array([q for q, _ in lst], dtype=np.int64)
-        qmat = np.array([v for _, v in lst], dtype=np.float64)
+        qids = [q for q, _ in lst]
+        qmat = _dense_or_zero([v for _, v in lst])
         qn = np.linalg.norm(qmat, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
         cell_q[cell] = (qids, qmat / qn)
-    margin = 1 if round_to is None else 9
 
     def kernel(batches):
         for pdf in batches:
@@ -1019,23 +1081,25 @@ def _ivf_probe_arrow(
                     continue
                 q_ids, q_mat = qc
                 ids = grp[id_col].to_numpy()
-                c = np.array(grp[vec_col].tolist(), dtype=np.float64)
-                norms = np.linalg.norm(c, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                sims = (c / norms) @ q_mat.T
-                kk = min(k + margin, len(ids))
+                if len(ids) == 0:
+                    continue
+                # module-wide dirty-data contract (_dense_or_zero): a
+                # NULL/ragged embedding that build/append assigned to a
+                # probed cell scores 0 and loses ranking instead of
+                # crashing the worker (ADVICE r8)
+                c = _dense_or_zero(grp[vec_col].tolist())
+                if c.shape[1] != q_mat.shape[1]:
+                    sims = np.zeros((len(ids), len(q_ids)))
+                else:
+                    norms = np.linalg.norm(c, axis=1, keepdims=True)
+                    norms[norms == 0] = 1.0
+                    sims = (c / norms) @ q_mat.T
                 for j, qid in enumerate(q_ids):
-                    col = sims[:, j]
-                    top = (
-                        np.argpartition(-col, kk - 1)[:kk]
-                        if kk < len(ids)
-                        else np.arange(len(ids))
-                    )
-                    for i in top:
-                        if ids[i] != qid:
-                            out_q.append(qid)
-                            out_id.append(ids[i])
-                            out_s.append(col[i])
+                    sel = np.nonzero(ids != qid)[0]
+                    for i in sel[_tie_safe_top_idx(sims[sel, j], k, round_to)]:
+                        out_q.append(qid)
+                        out_id.append(ids[i])
+                        out_s.append(sims[i, j])
             yield pd.DataFrame(
                 {query_id_col: out_q, id_col: out_id, "cos_sim": out_s}
             )
@@ -1044,7 +1108,7 @@ def _ivf_probe_arrow(
         id_col, to_double_array(F.col(vec_col)).alias(vec_col), "cell"
     )
     local = scan.mapInPandas(
-        kernel, schema=f"{query_id_col} long, {id_col} long, cos_sim double"
+        kernel, schema=f"{query_id_col} {qid_t}, {id_col} {id_t}, cos_sim double"
     )
     if round_to is not None:
         local = local.withColumn("cos_sim", F.round(F.col("cos_sim"), round_to))
@@ -2128,6 +2192,8 @@ def hybrid_rrf_topk(
     n_probe: int = 4,
     seed: int = 42,
     index: "IvfIndex | None" = None,
+    sparse_impl: str = "inline",
+    bm25_path: str | None = None,
 ) -> DataFrame:
     """Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
     (Cormack, Clarke & Büttcher 2009, k=60 — the fusion every hybrid
@@ -2174,15 +2240,32 @@ def hybrid_rrf_topk(
     rank): list ranks are 0 when the candidate is absent from that leg
     (never NULL — the keep-list contract of curation_flags).
     """
-    from etl_s3_to_redshift_spark.operators.textops import bm25_topk
+    from etl_s3_to_redshift_spark.operators.textops import (
+        bm25_topk,
+        bm25_topk_staged,
+    )
 
     qids = list(query_doc_ids)
     queries_text = docs.filter(F.col(id_col).isin(qids)).select(
         F.col(id_col).alias("query_id"), F.col(text_col).alias("query_text")
     )
-    sparse_raw = bm25_topk(docs, queries_text, k=k_list + 1).filter(
-        F.col(id_col) != F.col("query_id")
-    )
+    # sparse leg: 'inline' re-derives postings from the corpus per call
+    # (the one-shot shape); 'staged' probes a stage_bm25 inverted index
+    # (bit-identical scores via the shared _bm25_score_topk tail) — the
+    # amortized lake-scale path matching the 'ivf_saved' dense leg
+    if sparse_impl == "inline":
+        sparse_unranked = bm25_topk(
+            docs, queries_text, k=k_list + 1, text_col=text_col, id_col=id_col
+        )
+    elif sparse_impl == "staged":
+        if bm25_path is None:
+            raise ValueError("sparse_impl='staged' needs a staged bm25_path=")
+        sparse_unranked = bm25_topk_staged(
+            docs.sparkSession, bm25_path, queries_text, k=k_list + 1, id_col=id_col
+        )
+    else:
+        raise ValueError(f"unknown sparse_impl {sparse_impl!r}")
+    sparse_raw = sparse_unranked.filter(F.col(id_col) != F.col("query_id"))
     w_q = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col(id_col).asc()
     )

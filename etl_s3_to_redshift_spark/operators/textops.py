@@ -5,6 +5,8 @@ run inside the scan stage, shuffle-free, at any scale.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -984,7 +986,28 @@ def bm25_topk(
         F.count(F.lit(1)).alias("__tf")
     )
     df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    return _bm25_score_topk(
+        tf, df_counts, stats, qterms, k, k1, b, id_col, salt_parts
+    )
 
+
+def _bm25_score_topk(
+    tf: DataFrame,
+    df_counts: DataFrame,
+    stats: DataFrame,
+    qterms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    id_col: str,
+    salt_parts: int,
+) -> DataFrame:
+    """BM25 scoring + two-phase top-k over pre-derived postings frames —
+    the seam between the inline (``bm25_topk``) and staged
+    (``bm25_topk_staged``) paths, so both produce bit-identical scores
+    by construction (the ``_lsh_pairs_from`` precedent in dedup).
+    Inputs: ``tf`` (id, term, __dl, __tf), ``df_counts`` (term, __df),
+    ``stats`` 1-row (__n_docs, __avgdl), ``qterms`` (query_id, term)."""
     scored = (
         tf.join(F.broadcast(df_counts), "term")
         .join(F.broadcast(qterms), "term")
@@ -1026,4 +1049,136 @@ def bm25_topk(
         .select(
             "query_id", F.col(id_col), "score", F.col("rank").cast("int").alias("rank")
         )
+    )
+
+
+def stage_bm25(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    files_per_bucket: int = 1,
+) -> None:
+    """Materialize the BM25 inverted index ONCE: full-vocabulary postings
+    ``(doc_id, term, tf, dl)`` PARTITIONED BY a term-hash ``bucket``
+    (probes statically prune to the query terms' buckets — the on-disk
+    inverted-file access path, the ``IvfIndex.save`` analogue for the
+    sparse leg), per-term document frequencies ``(term, df)`` under the
+    same bucketing, and the corpus scalars ``(n_docs, avgdl, n_buckets)``
+    as a 1-row dataset written LAST (write-then-publish: ``stats``'s
+    _SUCCESS is the reuse receipt, so a torn build is rebuilt, not read).
+
+    This is the 100 TB form of ``bm25_topk``: the inline path
+    re-tokenizes the WHOLE corpus per retrieval call (the last
+    unamortized scan in the retrieval stack — VERDICT r8 #1); staging
+    pays one tokenize + one shuffle on (doc, term) + one write, and
+    every later query reads only its terms' buckets — a
+    vocabulary-partition-pruned scan whose cost scales with the query,
+    not the corpus. ``files_per_bucket`` sizes the layout exactly like
+    ``IvfIndex.save``: without compaction every upstream task writes a
+    sliver into every bucket dir and probes pay file listing, not scan.
+
+    Unlike the query-dependent inline semi-join, the staged postings
+    cover the FULL vocabulary (queries aren't known at stage time), so
+    stats/df/tf are identical to the inline derivation restricted to any
+    query-term set — staged==inline is pinned in tests."""
+    toked = docs.select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("__toks")
+    ).select(F.col(id_col), F.col("__toks"), F.size("__toks").alias("dl"))
+
+    tf = (
+        toked.select(F.col(id_col), F.col("dl"), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)))
+    )
+    (
+        tf.repartition(n_buckets * files_per_bucket, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    dfc = (
+        tf.groupBy("term", "bucket")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .repartition(n_buckets * files_per_bucket, "bucket")
+    )
+    dfc.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "df")
+    )
+    toked.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "avgdl"
+        ),
+        F.lit(n_buckets).cast("int").alias("n_buckets"),
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def bm25_topk_staged(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    salt_parts: int = 32,
+) -> DataFrame:
+    """BM25 retrieval over a ``stage_bm25`` index: identical output to
+    ``bm25_topk`` on the staged corpus (same tokenization, same stats,
+    same decimal score sums — the shared ``_bm25_score_topk`` tail;
+    pinned in tests), but the corpus-sized tokenize→explode→aggregate
+    pipeline is replaced by a statically partition-pruned scan of the
+    query terms' buckets. The query-term set is collected once to plan
+    the pruning (queries ≪ corpus — the same tiny-queries serving
+    contract as ``ivf_probe``); terms are pushed as both a ``bucket``
+    partition filter (directory pruning) and a ``term IN`` data filter
+    (parquet row-group stats within the probed buckets)."""
+    stats_all = spark.read.parquet(os.path.join(path, "stats"))
+    st = stats_all.collect()[0]
+    n_buckets = int(st["n_buckets"])
+    stats = stats_all.select(
+        F.col("n_docs").alias("__n_docs"), F.col("avgdl").alias("__avgdl")
+    )
+
+    qterms = queries.select(
+        F.col("query_id"),
+        F.explode(
+            F.array_distinct(words(F.lower(F.col("query_text"))))
+        ).alias("term"),
+    )
+    # static pruning values, hashed by the SAME JVM expression used at
+    # stage time (xxhash64 is seed-stable across sessions)
+    q_rows = (
+        qterms.select("term")
+        .distinct()
+        .select(
+            "term", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("b")
+        )
+        .collect()
+    )
+    terms = [r["term"] for r in q_rows]
+    buckets = sorted({int(r["b"]) for r in q_rows})
+    # no special case for an empty term set: isin([]) is FALSE, so the
+    # pruned scans go empty and the result is the correctly-typed
+    # zero-row frame
+    tf = (
+        spark.read.parquet(os.path.join(path, "postings"))
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.col("dl").alias("__dl"),
+            F.col("tf").alias("__tf"),
+        )
+    )
+    df_counts = (
+        spark.read.parquet(os.path.join(path, "df"))
+        .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+        .select(F.col("term"), F.col("df").alias("__df"))
+    )
+    return _bm25_score_topk(
+        tf, df_counts, stats, qterms, k, k1, b, id_col, salt_parts
     )

@@ -956,75 +956,73 @@ def _load_extensions() -> None:
 
 
 # The external driver verifies at most the first 50 ``queries()`` entries
-# per round.  Cumulative r1|..|r7 coverage is 181/181 registered queries,
+# per round.  Cumulative r1|..|r8 coverage is 185/185 registered queries,
 # every checked row a triple match.  The 50-per-round cap means driver
 # rows go stale, so each round rotates the slate by freshness: queries
 # REGISTERED this round (no driver evidence at all) outrank every
 # refresh, then the cohort whose newest driver row is OLDEST.  After
-# round 7 the freshness census (CORRECTNESS_r0*.json keys) is r4:31,
-# r5:50, r6:50, r7:50 — so the round-8 slate is the queries registered
-# this round (the saved-index IVF probe), the full 31-query r4
-# remainder, then the oldest-registered r5-cohort entries up to the
-# cap.  Every query stays verifiable locally via
-# tools/check_oracle.py (no cap).
+# round 8 the freshness census (CORRECTNESS_r0*.json keys) is r5:35,
+# r6:50, r7:50, r8:50 — so the round-9 slate is the queries registered
+# this round (the staged BM25 probe and the all-saved hybrid), the full
+# 35-query r5 remainder (exactly the cohort VERDICT r8 prescribed),
+# then the oldest-registered r6-cohort entries up to the cap.  Every
+# query stays verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
-    # registered round 8 (zero driver evidence yet): the saved-index
-    # amortized ANN probe, the hybrid fusion riding it, the
-    # frozen-centroid incremental append, and the staged-signature
-    # dedup — the lake-scale amortized shapes
-    "sim_ann_ivf_saved",
-    "sim_hybrid_rrf_ann_saved",
-    "sim_ann_ivf_appended",
-    "dedup_minhash_staged",
-    # r4 cohort: all 31 queries whose newest driver row is round 4
-    "asof_last_purchase",
-    "basket_copurchase_pairs",
-    "customer_rfm_segments",
-    "dedup_embedding_cosine",
-    "dedup_exact_docs",
-    "dedup_groups_connected",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "delta_snapshot_read",
-    "graph_pagerank_nations",
-    "mm_binary_features",
-    "q10_top_returners",
-    "q14_promo_share",
-    "q18_large_orders",
-    "q4_order_priority_check",
-    "q6_revenue_forecast",
-    "range_join_shipments",
-    "sim_topk_cosine",
-    "sql_api_min_cost_supplier",
-    "stream_session_window",
-    "stream_sliding_events",
-    "stream_tumbling_events",
-    "text_chunk_windows",
-    "text_fingerprint",
-    "text_lang_id",
-    "text_quality",
-    "text_tfidf_topterms",
-    "text_token_stats",
-    "text_zipf_fit",
-    "ts_decompose_hourly",
-    "w9_longest_daily_streak",
-    # r5 cohort head: fills the slate to the 50-cap; the remainder
-    # leads round 9
-    "r2_broadcast_enrich",
-    "r2_multikey_left_join",
-    "r4_distinct_projection",
-    "r5_notnull_filter",
-    "r6_time_dim",
-    "q7_nation_trade_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_part_value",
-    "q12_late_shipment_priority",
-    "q13_order_count_distribution",
-    "q15_top_revenue_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q19_bracketed_revenue",
+    # registered round 9 (zero driver evidence yet): the staged-BM25
+    # sparse probe and the hybrid whose BOTH legs ride saved structures
+    "text_bm25_topk_staged",
+    "sim_hybrid_rrf_staged",
+    # r5 cohort: all 35 queries whose newest driver row is round 5
+    "agg_argminmax",
+    "agg_collect_ordered",
+    "agg_exact_moments",
+    "basket_association_rules",
+    "cube_order_stats",
+    "data_group_aware_split",
+    "delta_change_feed",
+    "dq_drift_psi",
+    "dq_orders_expectations",
+    "entity_groups_fuzzy",
+    "events_top_paths",
+    "fuzzy_customer_match",
+    "hist_order_values",
+    "lateral_posexplode",
+    "orders_yoy_growth",
+    "percentile_order_value",
+    "pivot_event_counts",
+    "q20_prolific_part_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_value_customers",
+    "scalar_string_suite",
+    "sim_ann_ivf",
+    "sim_ann_ivfpq",
+    "sim_ann_pq",
+    "sim_ann_recall_report",
+    "skew_salted_event_agg",
+    "stream_interval_join",
+    "supplier_pareto_revenue",
+    "text_bigram_logprob",
+    "text_bpe_merges",
+    "text_bpe_tokenize",
+    "ts_inflight_shipments_daily",
+    "ts_seasonal_anomalies",
+    "unpivot_lineitem_measures",
+    "w3_window_shapes",
+    # r6 cohort head: fills the slate to the 50-cap; the remainder
+    # leads round 10
+    "r1_projection",
+    "dedup_simhash",
+    "sim_topk_cosine_fast",
+    "sim_ann_lsh",
+    "mm_frame_sample",
+    "data_hash_split",
+    "data_stratified_sample",
+    "data_pack_sequences",
+    "text_repetition",
+    "text_decontaminate",
+    "ts_gapfill_hourly",
+    "emb_label_centroids",
+    "data_training_order",
 ]
 
 

@@ -211,3 +211,153 @@ def test_lsh_signature_arrow_null_and_ragged_rows(spark):
     a = S.lsh_bucketize(clean, 4, 8, 2, impl="arrow").select("vec_id", "band", "bucket")
     j = S.lsh_bucketize(clean, 4, 8, 2, impl="jvm").select("vec_id", "band", "bucket")
     assert a.exceptAll(j).count() == 0 and j.exceptAll(a).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Arrow top-k kernel hardening (round 9 — ADVICE r8)
+# ---------------------------------------------------------------------------
+
+
+def test_arrow_topk_keeps_all_boundary_ties(spark):
+    """The tie-safe partition-local cut: with 30 IDENTICAL vectors (every
+    cosine ties on the 6-dp grid) scattered across many partitions, the
+    global top-k must be the k smallest ids — the old fixed k+9 margin
+    kept an arbitrary 19 of a task's 30 tied rows, dropping small-id
+    winners depending on partition layout (duplicate-heavy corpora are
+    the dedup target, so this shape is realistic, not adversarial)."""
+    base = [1.0, 2.0, 3.0]
+    rows = [(i, base) for i in range(1, 31)] + [(99, [3.0, -1.0, 0.5])]
+    emb = spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    ).repartition(8)
+    queries = spark.createDataFrame(
+        [(0, base)], "query_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    got = S.brute_force_topk_np(emb, queries, k=10, round_to=6).collect()
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == list(
+        range(1, 11)
+    )
+    # and in ONE partition (all 30 ties in a single task — the exact
+    # regression: >9 rows rounding into the k-th boundary bin)
+    got1 = S.brute_force_topk_np(
+        emb.coalesce(1), queries, k=10, round_to=6
+    ).collect()
+    assert {tuple(r) for r in got1} == {tuple(r) for r in got}
+    # fold path agrees (the kernel's ground truth)
+    exact = S.brute_force_topk(emb, queries, k=10, round_to=6).collect()
+    assert {(r.query_id, r.vec_id, r.rank) for r in exact} == {
+        (r.query_id, r.vec_id, r.rank) for r in got
+    }
+
+
+def test_ivf_arrow_probe_keeps_all_boundary_ties(spark):
+    """Same regression through the saved-index arrow probe: one probed
+    cell holding >k+9 rounded-tied candidates must still yield the
+    smallest-id winners."""
+    base = [1.0, 0.0]
+    rows = [(i, base) for i in range(1, 31)] + [
+        (90, [0.0, 1.0]),
+        (91, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    idx = S.build_ivf_index(emb, n_lists=2)
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.1])], "query_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    got = S.ivf_probe(idx, queries, k=10, n_probe=2, rescore="arrow", round_to=6)
+    fold = S.ivf_probe(idx, queries, k=10, n_probe=2, rescore="fold", round_to=6)
+    g = sorted((r.vec_id, r.rank) for r in got.collect())
+    f = sorted((r.vec_id, r.rank) for r in fold.collect())
+    assert g == f
+    assert [v for v, _ in g] == list(range(1, 11))
+
+
+def test_arrow_topk_dirty_embeddings_lose_ranking(spark):
+    """_dense_or_zero contract in the arrow kernels: NULL and ragged
+    embeddings score 0 and lose ranking instead of crashing the
+    worker (ADVICE r8 — build/append can assign such rows to a probed
+    cell)."""
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, None),
+        (4, [1.0, 0.0, 5.0]),  # ragged vs corpus dim
+        (5, [0.8, 0.2]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    got = sorted(
+        S.brute_force_topk_np(emb, queries, k=3, round_to=6).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.vec_id for r in got] == [1, 2, 5]
+
+    idx = S.build_ivf_index(emb.filter("vec_id IN (1, 2, 5)"), n_lists=2)
+    # force a NULL and a ragged row INTO probed cells (what an append of
+    # dirty data can produce)
+    idx.cells = idx.cells.unionByName(
+        spark.createDataFrame(
+            [(3, None, 0), (4, [1.0, 0.0, 5.0], 1)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>, cell INT",
+        )
+    )
+    probed = sorted(
+        S.ivf_probe(idx, queries, k=3, n_probe=2, rescore="arrow", round_to=6).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.vec_id for r in probed] == [1, 2, 5]
+
+
+def test_arrow_topk_string_ids_and_type_validation(spark):
+    """Arrow kernels derive their output schema from the inputs' actual
+    id types (string ids round-trip; decimal ids fail loudly pointing at
+    the fold path) — the old hardcoded '<id> long' silently coerced or
+    crashed (ADVICE r8)."""
+    emb = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("c", [0.0, 1.0])],
+        "vec_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    queries = spark.createDataFrame(
+        [("q1", [1.0, 0.0])], "query_id STRING, embedding ARRAY<DOUBLE>"
+    )
+    got = sorted(
+        S.brute_force_topk_np(emb, queries, k=2, round_to=6).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.query_id, r.vec_id) for r in got] == [("q1", "a"), ("q1", "b")]
+
+    import pytest as _pytest
+
+    from decimal import Decimal as _D
+
+    dec = spark.createDataFrame(
+        [(_D(1), [1.0, 0.0])], "vec_id DECIMAL(10,0), embedding ARRAY<DOUBLE>"
+    )
+    with _pytest.raises(TypeError, match="fold"):
+        S.brute_force_topk_np(dec, queries, k=1)
+
+
+def test_nearest_cells_sql_guards(spark):
+    """nearest_cells_sql fails loudly on non-finite centroid components
+    (they'd render as 'nanD' and die at parse time with an opaque error)
+    and backtick-quotes plain-identifier vec_sql so reserved-word column
+    names parse (ADVICE r8)."""
+    import pytest as _pytest
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0]), (4, [-1.0, 0.0])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    idx = S.build_ivf_index(emb, n_lists=2)
+    # reserved-word column name: parses only if backticked
+    frame = emb.select(F.col("vec_id"), F.col("embedding").alias("order"))
+    cells = frame.select(
+        F.expr(idx.nearest_cells_sql("order", 1)).alias("c")
+    ).collect()
+    assert all(len(r["c"]) == 1 for r in cells)
+
+    idx.centroids = [[1.0, float("nan")], [0.0, 1.0]]
+    with _pytest.raises(ValueError, match="non-finite"):
+        idx.nearest_cells_sql("embedding", 1)

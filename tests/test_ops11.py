@@ -668,3 +668,93 @@ def test_funnel_empty_corpus_null_pct(spark):
     for r in rows:
         assert r["n_docs"] == 0 and r["n_removed"] == 0
         assert r["pct_kept"] is None
+
+
+# ---------------------------------------------------------------------------
+# Staged BM25 — the sparse leg's amortized form (round 9)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_staged_equals_inline(spark, tmp_path):
+    """stage_bm25 + bm25_topk_staged must reproduce bm25_topk verbatim
+    (shared _bm25_score_topk tail; full-vocabulary staging restricted to
+    any query-term set equals the inline semi-joined derivation) —
+    including the missing-term query and dirty docs (empty text,
+    whitespace-only text, NULL text)."""
+    from etl_s3_to_redshift_spark.operators.textops import (
+        bm25_topk,
+        bm25_topk_staged,
+        stage_bm25,
+    )
+
+    dirty = _DOCS + [(6, ""), (7, "   "), (8, None)]
+    docs = spark.createDataFrame(dirty, "doc_id INT, text STRING")
+    qs = spark.createDataFrame(_QUERIES, "query_id INT, query_text STRING")
+    base = str(tmp_path / "bm25")
+    stage_bm25(docs, base, n_buckets=8)
+    inline = {tuple(r) for r in bm25_topk(docs, qs, k=3).collect()}
+    staged = {tuple(r) for r in bm25_topk_staged(spark, base, qs, k=3).collect()}
+    assert staged == inline and len(staged) > 0
+
+    # empty query-term set: zero rows, correct schema, no crash
+    empty_q = spark.createDataFrame(
+        [(9, "   ")], "query_id INT, query_text STRING"
+    )
+    out = bm25_topk_staged(spark, base, empty_q, k=3)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "doc_id", "score", "rank"]
+
+
+def test_bm25_staged_plan_prunes_buckets(spark, tmp_path, monkeypatch):
+    """The registered staged query's postings scan carries a STATIC
+    bucket PartitionFilter (directory pruning to the query terms'
+    buckets — the inverted-file access path on disk) plus a term-IN
+    data filter pushed to parquet; and a second call reuses the staged
+    index (receipt hit, no re-stage)."""
+    import os as _os
+
+    from etl_s3_to_redshift_spark.queries import REGISTRY, _load_extensions
+
+    _load_extensions()
+    monkeypatch.setenv("SPARK_GRAFT_BM25_CACHE", str(tmp_path))
+    sf = "/root/testdata/sf0.01"
+    df = REGISTRY["text_bm25_topk_staged"].spark(spark, sf)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan[:3000]
+    assert "dynamicpruning" not in plan.lower(), plan[:3000]
+    # the term filter reaches the parquet scan
+    assert "PushedFilters" in plan and "term" in plan, plan[:3000]
+    first = {tuple(r) for r in df.collect()}
+    assert len(first) == 30
+
+    key = _os.listdir(str(tmp_path))[0]
+    receipt = _os.path.join(str(tmp_path), key, "stats", "_SUCCESS")
+    mtime = _os.path.getmtime(receipt)
+    again = {
+        tuple(r) for r in REGISTRY["text_bm25_topk_staged"].spark(spark, sf).collect()
+    }
+    assert again == first
+    assert _os.path.getmtime(receipt) == mtime
+
+
+def test_hybrid_staged_equals_saved(spark, tmp_path, monkeypatch):
+    """sim_hybrid_rrf_staged (both legs saved) is row-identical to
+    sim_hybrid_rrf_ann_saved (dense saved, sparse inline) — the staged
+    sparse leg changes the access path, never the scores — which is what
+    licenses reusing that query's committed-expectation oracle."""
+    from etl_s3_to_redshift_spark.queries import REGISTRY
+    from etl_s3_to_redshift_spark.queries_ops11 import _IVF_MEMO
+
+    monkeypatch.setenv("SPARK_GRAFT_BM25_CACHE", str(tmp_path / "bm25"))
+    monkeypatch.setenv("SPARK_GRAFT_IVF_CACHE", str(tmp_path / "ivf"))
+    _IVF_MEMO.clear()
+    sf = "/root/testdata/sf0.01"
+    staged = {
+        tuple(r) for r in REGISTRY["sim_hybrid_rrf_staged"].spark(spark, sf).collect()
+    }
+    saved = {
+        tuple(r)
+        for r in REGISTRY["sim_hybrid_rrf_ann_saved"].spark(spark, sf).collect()
+    }
+    assert staged == saved and len(staged) == 30
+    _IVF_MEMO.clear()
