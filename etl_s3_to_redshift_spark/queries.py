@@ -969,9 +969,11 @@ def _load_extensions() -> None:
 # query stays verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
     # registered round 9 (zero driver evidence yet): the staged-BM25
-    # sparse probe and the hybrid whose BOTH legs ride saved structures
+    # sparse probe, the hybrid whose BOTH legs ride saved structures,
+    # and the sparse-chain ER topology twin
     "text_bm25_topk_staged",
     "sim_hybrid_rrf_staged",
+    "entity_groups_sparse_chain",
     # r5 cohort: all 35 queries whose newest driver row is round 5
     "agg_argminmax",
     "agg_collect_ordered",
@@ -1022,7 +1024,6 @@ _DRIVER_FIRST = [
     "text_decontaminate",
     "ts_gapfill_hourly",
     "emb_label_centroids",
-    "data_training_order",
 ]
 
 

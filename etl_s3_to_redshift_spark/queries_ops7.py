@@ -1792,3 +1792,123 @@ def dq_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = o.filter(F.col("o_orderdate") < "1998-01-01")
     cur = o.filter(F.col("o_orderdate") >= "1998-01-01")
     return psi_report(ref, cur, bucket)
+
+
+# Variant-name expression for the SPARSE entity-resolution fixture: the
+# 8-char digit window (positions 11-18 of the salted name) with 'x'
+# substituted at the offsets whose residue ((o - ck) % 8) falls in 1..j —
+# variant j of a chain has exactly its first j offsets corrupted, so
+# consecutive variants differ by EXACTLY one substitution (a path graph)
+# and non-consecutive ones by >= 2. The text is dialect-common: the same
+# string feeds F.expr on Spark and the DuckDB oracle.
+def _chain_variant_name_sql() -> str:
+    cases = ", ".join(
+        f"(CASE WHEN (({o} - ck) % 8 + 8) % 8 BETWEEN 1 AND j THEN 'x' "
+        f"ELSE substring(name, {11 + o}, 1) END)"
+        for o in range(8)
+    )
+    return f"concat(substring(name, 1, 10), {cases}, substring(name, 19))"
+
+
+@register(
+    "entity_groups_sparse_chain",
+    f"""
+    WITH RECURSIVE base AS (
+        SELECT CAST(c_custkey AS BIGINT) * 10 AS rec_id,
+               concat(c_name, '-',
+                      substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS name,
+               c_custkey AS ck
+        FROM customer
+    ), chain0 AS (
+        SELECT rec_id, name, ck, unnest(range(1, 3 + (ck % 6))) AS j
+        FROM base WHERE ck % 4 = 0
+    ), chain AS (
+        SELECT rec_id + j AS rec_id, {_chain_variant_name_sql()} AS name
+        FROM chain0
+    ), recs AS (
+        SELECT rec_id, name FROM base
+        UNION ALL SELECT rec_id, name FROM chain
+    ), pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b
+        FROM recs a JOIN recs b
+          ON a.rec_id < b.rec_id
+         AND length(a.name) = length(b.name)
+         AND levenshtein(a.name, b.name) <= 1
+    ), edges AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ), cc(vertex, component) AS (
+        SELECT u, u FROM edges
+        UNION
+        SELECT e.u, c.component FROM edges e JOIN cc c ON c.vertex = e.v
+    ), comp AS (SELECT vertex, min(component) AS component FROM cc GROUP BY vertex)
+    SELECT CAST(coalesce(comp.component, r.rec_id) AS BIGINT) AS entity_id,
+           CAST(r.rec_id AS BIGINT) AS member_id,
+           (coalesce(comp.component, r.rec_id) = r.rec_id) AS is_canonical
+    FROM recs r LEFT JOIN comp ON comp.vertex = r.rec_id
+    """,
+    doc=(
+        "Entity resolution on a SPARSE typo graph (VERDICT r8 #5): the "
+        "dense entity_groups_fuzzy fixture is an adversarial "
+        "near-hypercube (avg degree ~31 — every digit substitution "
+        "collides across customers), so its sf100 wall measures dense-"
+        "graph CC, not the operator's general slope. This twin salts "
+        "every base name with an 8-hex md5 tail (cross-customer "
+        "distances >= 2 w.h.p.) and plants per-customer TYPO CHAINS: "
+        "customer ck%4==0 gets 2+(ck%6) variants, variant j corrupting "
+        "exactly its first j digit-window offsets — consecutive "
+        "variants differ by one substitution, so each chain is a PATH "
+        "(components of 3-8 records, diameter up to 7: long chains, "
+        "small components — realistic OCR/typo noise). Same operator, "
+        "same relation (same-length AND levenshtein<=1 via "
+        "substitution_clique_components), same recursive-CTE oracle as "
+        "the dense twin; what changes is the topology — blocks are "
+        "2-3 records instead of cliques of hundreds, and CC must "
+        "propagate labels down chains instead of flooding a clique. "
+        "SCALING.md carries both rows so the slope claim generalizes."
+    ),
+)
+def entity_groups_sparse_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.fuzzy import (
+        substitution_clique_components,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        (F.col("c_custkey").cast("long") * 10).alias("rec_id"),
+        F.expr(
+            "concat(c_name, '-', substring(md5(cast(c_custkey as string)), 1, 8))"
+        ).alias("name"),
+        F.col("c_custkey").alias("ck"),
+    )
+    # per-row chain expansion via sequence+explode (no join, no BNLJ):
+    # j = 1..(2 + ck % 6)
+    chain = (
+        base.filter(F.col("ck") % 4 == 0)
+        .select(
+            "rec_id",
+            "name",
+            "ck",
+            F.explode(
+                F.sequence(F.lit(1), (F.lit(2) + F.col("ck") % 6).cast("int"))
+            ).alias("j"),
+        )
+        .select(
+            (F.col("rec_id") + F.col("j")).alias("rec_id"),
+            F.expr(_chain_variant_name_sql()).alias("name"),
+        )
+    )
+    records = base.select("rec_id", "name").unionByName(chain)
+    n_seg = records.agg(F.max(F.length("name"))).first()[0]
+    comp = substitution_clique_components(
+        records, id_col="rec_id", s_col="name", n_segments=int(n_seg)
+    )
+    return records.join(
+        comp.withColumnRenamed("vertex", "rec_id"), "rec_id", "left"
+    ).select(
+        F.coalesce(F.col("component"), F.col("rec_id")).alias("entity_id"),
+        F.col("rec_id").alias("member_id"),
+        (
+            F.coalesce(F.col("component"), F.col("rec_id")) == F.col("rec_id")
+        ).alias("is_canonical"),
+    )

@@ -640,3 +640,32 @@ def test_bpe_batched_fold_equals_sequential_folds(spark):
     row = {r["w"]: r["bat"] for r in both.collect()}
     assert row["abab"] == ["ab", "ab", "</w>"]
     assert row["aabb"] == ["a", "ab", "b", "</w>"]
+
+
+def test_bigram_spill_gate_result_identical(spark):
+    """The spill-regime-gated tf materialization (VERDICT r8 #6) must be
+    result-invisible: forcing the session's shuffle-partitions knob over
+    the gate threshold (the sf100 protocol's 128) yields row-identical
+    scores to the ungated shape — localCheckpoint truncates lineage,
+    never changes rows. Also pins the gate's signal: OFF at the local
+    default, ON at the protocol's 128."""
+    from etl_s3_to_redshift_spark.operators.textops import (
+        _session_spill_regime,
+        bigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta doc {i} alpha beta") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        assert not _session_spill_regime(spark)
+        ungated = {tuple(r) for r in bigram_logprob_scores(docs).collect()}
+        spark.conf.set("spark.sql.shuffle.partitions", "128")
+        assert _session_spill_regime(spark)
+        gated = {tuple(r) for r in bigram_logprob_scores(docs).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert gated == ungated and len(gated) == 50

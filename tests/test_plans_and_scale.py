@@ -73,37 +73,47 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+# BNLJ allowlist for the registry-wide cartesian audit, name -> one-line
+# justification (VERDICT r8 #7: justifications are DATA so the liveness
+# test below can report them; a dead entry — renamed query or a plan that
+# no longer carries the BNLJ — fails test_allowlist_entries_are_live).
+ALLOWED_BNL = {
+    "sim_topk_cosine": "deliberate broadcast-streamed exact similarity scan",
+    "sim_topk_cosine_fast": "deliberate broadcast-streamed exact similarity scan",
+    "emb_hard_negatives": "deliberate broadcast-streamed similarity scan",
+    "cross_join_region_nation": "deliberate bounded×bounded cross join",
+    "q22_dormant_value_customers": "1-row global-average broadcast (scalar subquery)",
+    "q11_important_part_value": "1-row global-threshold broadcast (scalar subquery)",
+    "text_zipf_fit": "1-row totals × 1-row regression cross join",
+    "customer_rfm_segments": "1-row percentile-boundary broadcast",
+    "graph_pagerank_nations": "1-row dangling-mass broadcast per iteration",
+    "sim_ann_recall_report": "contains the exact brute-force baseline scan",
+    "ts_seasonal_anomalies": "1-row residual-stddev broadcast",
+    "text_bm25_topk": "1-row corpus-stats (N, avgdl) broadcast",
+    "approx_heavy_hitters": "1-row total-count broadcast",
+    "sim_hybrid_rrf": "BM25 1-row stats broadcast + brute dense-leg query scan",
+    # same bounded frames as sim_hybrid_rrf: the BNLJ is the 1-row
+    # corpus-stats (N, avgdl) broadcast of the SPARSE leg; the IVF
+    # dense leg joins on cell keys (hash join), never nested-loop
+    "sim_hybrid_rrf_ann": "sparse-leg 1-row corpus-stats broadcast",
+    # identical sparse leg; the saved-index dense leg is a
+    # statically-pruned scan + arrow kernel — no join at all
+    "sim_hybrid_rrf_ann_saved": "sparse-leg 1-row corpus-stats broadcast",
+    # the staged sparse leg keeps the same 1-row stats crossJoin — the
+    # scalar frame now reads from the staged stats parquet
+    "text_bm25_topk_staged": "1-row staged corpus-stats (N, avgdl) broadcast",
+    "sim_hybrid_rrf_staged": "staged-sparse-leg 1-row corpus-stats broadcast",
+}
+
+
 def test_no_cartesian_products_anywhere(spark):
     """No registered query may plan a CartesianProduct; the only
-    broadcast-nested-loops allowed are the deliberate similarity scans."""
-    allowed_bnl = {
-        "sim_topk_cosine",
-        "sim_topk_cosine_fast",
-        "emb_hard_negatives",  # deliberate broadcast-streamed similarity scan
-
-        "cross_join_region_nation",  # deliberate bounded×bounded cross join
-        "q22_dormant_value_customers",  # 1-row global-average broadcast (scalar subquery)
-        "q11_important_part_value",  # 1-row global-threshold broadcast (scalar subquery)
-        "text_zipf_fit",  # 1-row totals × 1-row regression cross join
-        "customer_rfm_segments",  # 1-row percentile-boundary broadcast
-        "graph_pagerank_nations",  # 1-row dangling-mass broadcast per iteration
-        "sim_ann_recall_report",  # contains the exact brute-force baseline scan
-        "ts_seasonal_anomalies",  # 1-row residual-stddev broadcast
-        "text_bm25_topk",  # 1-row corpus-stats (N, avgdl) broadcast
-        "approx_heavy_hitters",  # 1-row total-count broadcast
-        "sim_hybrid_rrf",  # BM25 stats broadcast + dense-leg query scan
-        # same bounded frames as sim_hybrid_rrf: the BNLJ is the 1-row
-        # corpus-stats (N, avgdl) broadcast of the SPARSE leg; the IVF
-        # dense leg joins on cell keys (hash join), never nested-loop
-        "sim_hybrid_rrf_ann",
-        # identical sparse leg; the saved-index dense leg is a
-        # statically-pruned scan + arrow kernel — no join at all
-        "sim_hybrid_rrf_ann_saved",
-    }
+    broadcast-nested-loops allowed are the ALLOWED_BNL entries (each a
+    deliberate bounded-build scan or 1-row scalar broadcast)."""
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
-        if name not in allowed_bnl:
+        if name not in ALLOWED_BNL:
             assert "BroadcastNestedLoopJoin" not in plan, name
 
 
@@ -411,32 +421,53 @@ def test_no_unpartitioned_windows_outside_allowlist(spark):
     row count is bounded by a dimension of the data (bucket counts, group
     counts, top-k limits), never by the row count. A future query adding
     an unbounded global window fails here by name."""
-    allowed_global_window = {
-        # window over per-source quota frame (≤ #distinct sources rows)
-        "data_source_mixture",
-        # totals over the group-count frame (≤ #distinct keys rows)
-        "skew_key_profile",
-        # top-1000 vocab via TakeOrderedAndProject feeds the window
-        "text_zipf_fit",
-        # hour-bucket frames (≤ 24·#days rows post-aggregation)
-        "ts_decompose_hourly",
-        "ts_seasonal_anomalies",
-        # day-bucket running net (≤ #days rows post-aggregation)
-        "ts_inflight_shipments_daily",
-        # year×month frame (≤ 12·#years rows post-aggregation)
-        "orders_yoy_growth",
-        # token-budget apportionment windows over the per-source token-
-        # total frame (≤ #distinct sources rows — the data_source_mixture
-        # machinery via sampling._apportion)
-        "data_token_budget",
-    }
     flagged = {}
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.spark(spark, SF_SMOKE))
         hits = _global_windows(plan)
-        if hits and name not in allowed_global_window:
+        if hits and name not in ALLOWED_GLOBAL_WINDOW:
             flagged[name] = hits
     assert not flagged, (
         "unpartitioned global Window outside the bounded-frame allowlist "
         f"(single-task funnel at scale): {flagged}"
     )
+
+
+# Global-window allowlist, name -> one-line justification (same liveness
+# contract as ALLOWED_BNL): every entry's window input is a
+# POST-AGGREGATION frame bounded by a data dimension, never row count.
+ALLOWED_GLOBAL_WINDOW = {
+    "data_source_mixture": "window over per-source quota frame (≤ #distinct sources rows)",
+    "skew_key_profile": "totals over the group-count frame (≤ #distinct keys rows)",
+    "text_zipf_fit": "top-1000 vocab via TakeOrderedAndProject feeds the window",
+    "ts_decompose_hourly": "hour-bucket frame (≤ 24·#days rows post-aggregation)",
+    "ts_seasonal_anomalies": "hour-bucket frame (≤ 24·#days rows post-aggregation)",
+    "ts_inflight_shipments_daily": "day-bucket running net (≤ #days rows post-aggregation)",
+    "orders_yoy_growth": "year×month frame (≤ 12·#years rows post-aggregation)",
+    "data_token_budget": "apportionment windows over the per-source token-total frame",
+}
+
+
+def test_allowlist_entries_are_live(spark):
+    """Every allowlist entry must still match a LIVE plan (VERDICT r8
+    #7): an entry whose query is gone, or whose plan no longer contains
+    the allowed construct at the audit SF, is dead weight that would
+    silently re-admit the construct if the query ever regrew it — fail
+    loudly with the entry's recorded justification so removal is a
+    one-line diff."""
+    dead = []
+    for name, why in ALLOWED_BNL.items():
+        if name not in REGISTRY:
+            dead.append((name, "not in REGISTRY", why))
+            continue
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        if "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan:
+            dead.append((name, "plans no BroadcastNestedLoopJoin", why))
+    for name, why in ALLOWED_GLOBAL_WINDOW.items():
+        if name not in REGISTRY:
+            dead.append((name, "not in REGISTRY", why))
+            continue
+        plan = plan_of(REGISTRY[name].spark(spark, SF_SMOKE))
+        if not _global_windows(plan):
+            dead.append((name, "plans no global Window", why))
+    assert not dead, f"dead allowlist entries — remove them: {dead}"
