@@ -78,8 +78,10 @@ def test_topk_uses_take_ordered(spark):
 # test below can report them; a dead entry — renamed query or a plan that
 # no longer carries the BNLJ — fails test_allowlist_entries_are_live).
 ALLOWED_BNL = {
+    # (sim_topk_cosine_fast was here until r9: its Arrow mapInPandas
+    # kernel replaced the BNLJ scan — the liveness test flagged the
+    # dead entry on its first run, exactly the rot it exists to catch)
     "sim_topk_cosine": "deliberate broadcast-streamed exact similarity scan",
-    "sim_topk_cosine_fast": "deliberate broadcast-streamed exact similarity scan",
     "emb_hard_negatives": "deliberate broadcast-streamed similarity scan",
     "cross_join_region_nation": "deliberate bounded×bounded cross join",
     "q22_dormant_value_customers": "1-row global-average broadcast (scalar subquery)",
