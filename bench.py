@@ -328,6 +328,8 @@ def _pinned_registry(ref: str):
         )
         if probe.returncode != 0:
             return None, None
+        # drop registrations of earlier pin dirs that died mid-run
+        subprocess.run(["git", "-C", repo, "worktree", "prune"], capture_output=True)
         path = tempfile.mkdtemp(prefix="bench_pin_")
         add = subprocess.run(
             ["git", "-C", repo, "worktree", "add", "--force", "--detach", path, ref],

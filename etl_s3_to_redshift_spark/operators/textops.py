@@ -1131,12 +1131,92 @@ def stage_bm25(
     dfc.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "df")
     )
+    # sum_dl rides along as the EXACT integer total so append_to_staged_bm25
+    # can update avgdl without re-scanning the staged corpus (recovering
+    # the sum from the avgdl double would not be exact)
     toked.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
             "avgdl"
         ),
         F.lit(n_buckets).cast("int").alias("n_buckets"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+
+
+def append_to_staged_bm25(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Append NEW documents into a ``stage_bm25`` index without
+    re-tokenizing the staged corpus — the sparse-leg member of the
+    incremental-maintenance triple (``minhash append`` /
+    ``IvfIndex.append_to_saved``): arriving data costs its own size,
+    never a corpus re-stage. The new docs' postings rows are written
+    ``mode('append')`` into the existing bucket layout (same
+    ``pmod(xxhash64(term), n_buckets)`` hashing — read from the staged
+    stats, so the bucketing always matches); per-term df merges old+delta;
+    N/avgdl update from the EXACT integer ``sum_dl`` the stage recorded.
+    Result == a full re-stage of the union corpus (pinned in tests):
+    tf/dl are per-doc, df/N/avgdl are sums — all associative.
+
+    Caller contract (the ``append_to_saved`` one): ``new_docs`` ids are
+    disjoint from the staged corpus. The three writes are NOT atomic
+    (postings append, then df, then stats) — a crash mid-append leaves
+    scores computed against stale df/N until re-run; production callers
+    gate reuse on their own receipt (the registered query's
+    ``_APPEND_DONE`` marker pattern), same as the IVF append."""
+    spark = new_docs.sparkSession
+    st_frame = spark.read.parquet(os.path.join(path, "stats"))
+    if "sum_dl" not in st_frame.columns:
+        raise ValueError(
+            "staged BM25 index predates append support (no sum_dl in "
+            "stats) — re-run stage_bm25 before appending"
+        )
+    st = st_frame.collect()[0]
+    n_buckets = int(st["n_buckets"])
+
+    toked = new_docs.select(
+        F.col(id_col), words(F.lower(F.col(text_col))).alias("__toks")
+    ).select(F.col(id_col), F.col("__toks"), F.size("__toks").alias("dl"))
+    tf_new = (
+        toked.select(F.col(id_col), F.col("dl"), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)))
+    )
+    (
+        tf_new.repartition(n_buckets, "bucket")
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(path, "postings"))
+    )
+    df_delta = tf_new.groupBy("term", "bucket").agg(F.count(F.lit(1)).alias("df"))
+    df_old = spark.read.parquet(os.path.join(path, "df"))
+    merged = (
+        df_old.unionByName(df_delta)
+        .groupBy("term", "bucket")
+        .agg(F.sum("df").cast("long").alias("df"))
+        # vocabulary-sized (bounded), and the overwrite below reads the
+        # path it replaces — truncate lineage so the write plan has no
+        # file source on the target (the read-overwrite conflict)
+        .localCheckpoint(eager=True)
+    )
+    merged.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "df"))
+
+    new_agg = toked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+    ).collect()[0]
+    n_total = int(st["n_docs"]) + int(new_agg["n"])
+    sum_total = int(st["sum_dl"]) + int(new_agg["s"])
+    spark.createDataFrame(
+        [(float(n_total), float(sum_total) / float(n_total), n_buckets, sum_total)],
+        "n_docs double, avgdl double, n_buckets int, sum_dl long",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
 
 

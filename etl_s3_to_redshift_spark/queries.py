@@ -974,6 +974,7 @@ _DRIVER_FIRST = [
     "text_bm25_topk_staged",
     "sim_hybrid_rrf_staged",
     "entity_groups_sparse_chain",
+    "text_bm25_topk_appended",
     # r5 cohort: all 35 queries whose newest driver row is round 5
     "agg_argminmax",
     "agg_collect_ordered",
@@ -1023,7 +1024,6 @@ _DRIVER_FIRST = [
     "text_repetition",
     "text_decontaminate",
     "ts_gapfill_hourly",
-    "emb_label_centroids",
 ]
 
 

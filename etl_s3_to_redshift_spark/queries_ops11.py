@@ -1045,3 +1045,67 @@ def sim_hybrid_rrf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         sparse_impl="staged",
         bm25_path=bm25_path,
     )
+
+
+def _saved_bm25_path_appended(spark: SparkSession, sf_dir: str) -> str:
+    """Stage-then-append twin of ``_saved_bm25_path`` for the
+    incremental-maintenance query: the index is staged on the ~80% hash
+    slice ``pmod(doc_id, 5) != 0`` of documents, then the remaining ~20%
+    arrives "later" and is ``append_to_staged_bm25``-ed — postings
+    appended into the bucket layout, df merged, N/avgdl updated from the
+    exact integer sums, never a corpus re-stage. Pure row-predicate
+    split (scale- and partition-independent), so the result is
+    deterministic and equals a full stage of the whole corpus (pinned in
+    tests). A python-side ``_APPEND_DONE`` receipt marks stage+append as
+    one atomic unit for the cache — the parquet receipts alone would
+    cache a stage that hadn't appended yet (the
+    ``_saved_ivf_index_appended`` pattern)."""
+    from etl_s3_to_redshift_spark.operators.textops import (
+        append_to_staged_bm25,
+        stage_bm25,
+    )
+
+    root = os.environ.get("SPARK_GRAFT_BM25_CACHE") or os.path.join(
+        tempfile.gettempdir(), "etl_s3_to_redshift_spark_bm25"
+    )
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    base = os.path.join(root, key + "_appended")
+    marker = os.path.join(base, "_APPEND_DONE")
+    if not os.path.exists(marker):
+        docs = _t(spark, sf_dir, "documents")
+        seed = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) != 0)
+        late = docs.filter(F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+        stage_bm25(seed, base)
+        append_to_staged_bm25(late, base)
+        with open(marker, "w") as f:
+            f.write("stage+append complete\n")
+    return base
+
+
+@register(
+    "text_bm25_topk_appended",
+    _oracle_of("text_bm25_topk"),
+    doc=(
+        "Incrementally-maintained BM25 index (operators/textops."
+        "append_to_staged_bm25): the inverted index is staged on the "
+        "~80% hash slice of documents, the remaining ~20% is appended "
+        "later — new postings rows land in the existing term-hash "
+        "bucket layout, per-term df merges old+delta, N/avgdl update "
+        "from the exact integer sums — no re-tokenize of the staged "
+        "corpus, no rewrite. The probe is the standard bucket-pruned "
+        "bm25_topk_staged over the merged layout, so the oracle is the "
+        "inline full-corpus SQL twin VERBATIM (appended index == "
+        "full-corpus stage, pinned in tests). Completes the "
+        "incremental-maintenance triple — MinHash append, IVF append, "
+        "and now the sparse-retrieval index: at 100 TB arriving data "
+        "costs its own size on every saved structure this engine ships."
+    ),
+)
+def text_bm25_topk_appended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.textops import bm25_topk_staged
+
+    path = _saved_bm25_path_appended(spark, sf_dir)
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id INT, query_text STRING"
+    )
+    return bm25_topk_staged(spark, path, queries, k=_BM25_K)

@@ -758,3 +758,54 @@ def test_hybrid_staged_equals_saved(spark, tmp_path, monkeypatch):
     }
     assert staged == saved and len(staged) == 30
     _IVF_MEMO.clear()
+
+
+def test_bm25_append_equals_full_stage(spark, tmp_path):
+    """append_to_staged_bm25's contract: (stage(seed) + append(late)) is
+    indistinguishable from stage(seed ∪ late) — postings rows, merged
+    df, exact stats (sum_dl makes avgdl exact), and probe output all
+    equal; and appending an EMPTY frame is a no-op."""
+    from etl_s3_to_redshift_spark.operators.textops import (
+        append_to_staged_bm25,
+        bm25_topk_staged,
+        stage_bm25,
+    )
+
+    extra = [(20, "spark join appended later"), (21, "rare appended words")]
+    all_docs = spark.createDataFrame(_DOCS + extra, "doc_id INT, text STRING")
+    seed = all_docs.filter("doc_id < 20")
+    late = all_docs.filter("doc_id >= 20")
+    full_p, inc_p = str(tmp_path / "full"), str(tmp_path / "inc")
+    stage_bm25(all_docs, full_p, n_buckets=8)
+    stage_bm25(seed, inc_p, n_buckets=8)
+    append_to_staged_bm25(late, inc_p)
+
+    for sub in ("postings", "df", "stats"):
+        a = {tuple(r) for r in spark.read.parquet(f"{full_p}/{sub}").collect()}
+        b = {tuple(r) for r in spark.read.parquet(f"{inc_p}/{sub}").collect()}
+        assert a == b, sub
+    qs = spark.createDataFrame(
+        _QUERIES + [(9, "appended")], "query_id INT, query_text STRING"
+    )
+    full_out = {tuple(r) for r in bm25_topk_staged(spark, full_p, qs, k=3).collect()}
+    inc_out = {tuple(r) for r in bm25_topk_staged(spark, inc_p, qs, k=3).collect()}
+    assert inc_out == full_out and len(inc_out) > 0
+
+    append_to_staged_bm25(late.filter("doc_id < 0"), inc_p)  # empty append
+    again = {tuple(r) for r in bm25_topk_staged(spark, inc_p, qs, k=3).collect()}
+    assert again == full_out
+
+    # pre-append-format index (no sum_dl) fails loudly
+    import pytest as _pytest
+
+    legacy = str(tmp_path / "legacy")
+    stage_bm25(seed, legacy, n_buckets=8)
+    spark.read.parquet(f"{legacy}/stats").drop("sum_dl").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "legacy_stats"))
+    import shutil
+
+    shutil.rmtree(f"{legacy}/stats")
+    shutil.move(str(tmp_path / "legacy_stats"), f"{legacy}/stats")
+    with _pytest.raises(ValueError, match="re-run stage_bm25"):
+        append_to_staged_bm25(late, legacy)
