@@ -302,7 +302,7 @@ def materialize(df) -> None:
 # session. The per-query paired ratios share host state, so the gate's
 # signal floor drops to per-rep jitter instead of cross-session drift.
 # Bump the tag (git tag -f) when a round's bench artifact is finalized.
-PAIRED_BASELINE_REF = "bench-r8-baseline"
+PAIRED_BASELINE_REF = "bench-r9-baseline"
 
 
 def _pinned_registry(ref: str):
