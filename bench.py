@@ -184,6 +184,11 @@ HEADLINE = [
     # structures — the recommended end-to-end retrieval plan
     "text_bm25_topk_staged",
     "sim_hybrid_rrf_staged",
+    # round-9 second batch: web curation — canonical-URL dedup (narrow
+    # in-scan normalization + one groupBy) and the per-domain quota
+    # (salted two-phase top-k over maximally hot domain keys)
+    "web_url_dedup",
+    "web_domain_quota",
 ]
 
 # Negative-control group (VERDICT r8 #2): inline one-shot shapes that are
@@ -283,9 +288,12 @@ DATA_BOUND = [
     "sim_ann_ivf_appended",
     "dedup_minhash_staged",
     # round-9: staged-BM25 probe and the all-saved hybrid (corpus-scan-
-    # free retrieval: cost scales with the query terms, not the lake)
+    # free retrieval: cost scales with the query terms, not the lake),
+    # plus the corpus-linear web-curation pair
     "text_bm25_topk_staged",
     "sim_hybrid_rrf_staged",
+    "web_url_dedup",
+    "web_domain_quota",
 ]
 
 

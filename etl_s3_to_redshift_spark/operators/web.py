@@ -1,0 +1,173 @@
+"""Web-corpus curation: URL canonicalization, URL-level dedup, and
+per-domain quotas.
+
+Web-scale training pipelines (C4, Raffel et al. 2020; RefinedWeb,
+Penedo et al. 2023; CCNet) deduplicate on the CANONICAL form of a
+page's URL before any content-level pass — the same page is crawled
+under scheme/case/port/tracking-param/fragment variants — and then cap
+how much any one registered domain contributes (domain quotas), since
+a handful of template-heavy hosts otherwise dominate the token budget.
+
+North-star extension (no reference counterpart —
+/root/reference/sql_queries.py has no web surface). All operators here
+are narrow per-row expressions plus bounded aggregations: canonical
+form computes inside the scan stage at any corpus size; dedup is one
+groupBy on the canonical key; quotas use the salted two-phase top-k
+(the bm25_topk pattern) so no domain's row set ever funnels through a
+single task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def canonical_url(url: Column) -> Column:
+    """RFC-3986-style normalization of the equivalence class web dedup
+    keys on: lowercase scheme and host, default ports stripped (:80
+    http / :443 https), fragment dropped, duplicate path slashes
+    collapsed, trailing slash stripped (non-root), tracking params
+    (utm_*, gclid, fbclid) dropped, remaining query params SORTED
+    (param order is not semantic for the dedup key — C4/RefinedWeb
+    precedent; technically lossy for exotic servers, which is why this
+    is the DEDUP key, not a rewrite of the stored URL).
+
+    Pure narrow expressions — no UDF, no shuffle; the param filter uses
+    startswith tests (no regex inside the higher-order function — HOFs
+    are interpreted, so keep their lambdas cheap)."""
+    no_frag = F.regexp_replace(url, "#.*$", "")
+    base = F.regexp_replace(no_frag, r"\?.*$", "")
+    query = F.when(
+        no_frag.contains("?"), F.regexp_replace(no_frag, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    scheme = F.lower(F.regexp_extract(base, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after = F.regexp_replace(base, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, "^([^/]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(after, "^[^/]*", "")
+    path = F.regexp_replace(path, "//+", "/")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.when(
+        (F.length(path) > 1), F.regexp_replace(path, "/$", "")
+    ).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("gclid=")
+            & ~p.startswith("fbclid="),
+        )
+    )
+    qcanon = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(F.lit("")),
+    )
+
+
+def registered_domain(host_or_url: Column) -> Column:
+    """Naive registered domain: the last two dot-labels of the host
+    (example.com from a.b.example.com). A production system consults the
+    Public Suffix List (co.uk et al.) — that is a ~10k-row broadcast
+    TABLE lookup, deliberately out of scope here; the two-label rule is
+    the standard approximation when no PSL is shipped, and the quota
+    operator takes ANY domain column, so a PSL-derived one drops in."""
+    host = F.lower(
+        F.regexp_extract(host_or_url, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/:?#]*)", 1)
+    )
+    return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def url_dedup_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup report: one row per canonical URL with the kept
+    (minimum-id) document and the duplicate count. ONE map-side-combined
+    groupBy on the canonical key — the cheapest dedup in the whole stack,
+    which is exactly why web pipelines run it before any content pass.
+    Returns (canonical_url, domain, n_docs, kept_id)."""
+    canon = df.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url")
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("kept_id"),
+        )
+        .select(
+            "canonical_url",
+            registered_domain(F.col("canonical_url")).alias("domain"),
+            "n_docs",
+            "kept_id",
+        )
+    )
+
+
+def domain_quota_report(
+    df: DataFrame,
+    domain_col: str,
+    quota: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    salt_parts: int = 32,
+) -> DataFrame:
+    """Per-domain contribution cap (the RefinedWeb quota): keep at most
+    ``quota`` documents per domain, best-first by (order_col DESC,
+    id ASC — unique tiebreak), and report what the cap did. Returns
+    (domain, n_total, n_kept, n_dropped, min_kept_order) — the frame a
+    curation run logs before materializing the kept set.
+
+    Scale shape: the keep decision is the salted TWO-PHASE top-k
+    (bm25_topk's ranking pattern): rank within (domain, id-hash salt)
+    first, then rank the <= salt_parts*quota survivors per domain — a
+    single window partitioned by only the domain would funnel a
+    template-heavy host's entire row set through one task (the Zipf
+    window trap, measured on bigram contexts). Totals come from a
+    map-side-combined groupBy, joined domain-to-domain (domain-count
+    sized — broadcastable in any real corpus)."""
+    rows = df.select(
+        F.col(domain_col).alias("domain"), F.col(id_col).alias("__id"),
+        F.col(order_col).cast("double").alias("__ord"),
+    )
+    w_salt = Window.partitionBy(
+        "domain", F.pmod(F.xxhash64(F.col("__id")), F.lit(salt_parts))
+    ).orderBy(F.col("__ord").desc(), F.col("__id").asc())
+    w_d = Window.partitionBy("domain").orderBy(
+        F.col("__ord").desc(), F.col("__id").asc()
+    )
+    kept = (
+        rows.withColumn("__r0", F.row_number().over(w_salt))
+        .filter(F.col("__r0") <= quota)
+        .withColumn("__r", F.row_number().over(w_d))
+        .filter(F.col("__r") <= quota)
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("__ord").alias("min_kept_order"),
+        )
+    )
+    totals = rows.groupBy("domain").agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        totals.join(kept, "domain", "left")
+        .select(
+            "domain",
+            "n_total",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            (F.round(F.col("min_kept_order"), 6) + F.lit(0.0)).alias(
+                "min_kept_order"
+            ),
+        )
+    )

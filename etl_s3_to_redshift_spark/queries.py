@@ -950,6 +950,7 @@ def _load_extensions() -> None:
         queries_ops9,
         queries_ops10,
         queries_ops11,
+        queries_ops12,
         queries_scalar,
         queries_tpch2,
     )
@@ -975,6 +976,8 @@ _DRIVER_FIRST = [
     "sim_hybrid_rrf_staged",
     "entity_groups_sparse_chain",
     "text_bm25_topk_appended",
+    "web_url_dedup",
+    "web_domain_quota",
     # r5 cohort: all 35 queries whose newest driver row is round 5
     "agg_argminmax",
     "agg_collect_ordered",
@@ -1022,8 +1025,6 @@ _DRIVER_FIRST = [
     "data_stratified_sample",
     "data_pack_sequences",
     "text_repetition",
-    "text_decontaminate",
-    "ts_gapfill_hourly",
 ]
 
 

@@ -104,6 +104,7 @@ ALLOWED_BNL = {
     # the staged sparse leg keeps the same 1-row stats crossJoin — the
     # scalar frame now reads from the staged stats parquet
     "text_bm25_topk_staged": "1-row staged corpus-stats (N, avgdl) broadcast",
+    "text_bm25_topk_appended": "1-row staged corpus-stats (N, avgdl) broadcast",
     "sim_hybrid_rrf_staged": "staged-sparse-leg 1-row corpus-stats broadcast",
 }
 

@@ -1,0 +1,123 @@
+"""Web-curation operator semantics (operators/web.py): URL
+canonicalization edge cases, URL dedup groups, domain quota vs the
+naive window, and the quota's scale plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_s3_to_redshift_spark.operators import web as W
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], ["i", "url"])
+    rows = df.select("i", W.canonical_url(F.col("url")).alias("c")).collect()
+    return [r["c"] for r in sorted(rows, key=lambda r: r["i"])]
+
+
+def test_canonical_url_rules(spark):
+    got = _canon(
+        spark,
+        [
+            "HTTPS://WWW.Example.COM:443/a/b#frag",      # case+port+fragment
+            "https://www.example.com/a/b",               # already canonical
+            "http://host.com:80/",                        # http default port, root
+            "http://host.com",                            # empty path -> /
+            "https://h.com//x///y/",                      # slash collapse + trailing
+            "https://h.com/x/y",
+            "https://h.com/p?utm_source=x&b=2&a=1",       # tracking drop + sort
+            "https://h.com/p?a=1&b=2",
+            "https://h.com/p?utm_campaign=z&gclid=1&fbclid=2",  # all dropped
+            "https://h.com/p",
+            "https://host.com:8443/a",                    # NON-default port kept
+        ],
+    )
+    assert got[0] == got[1] == "https://www.example.com/a/b"
+    assert got[2] == got[3] == "http://host.com/"
+    assert got[4] == got[5] == "https://h.com/x/y"
+    assert got[6] == got[7] == "https://h.com/p?a=1&b=2"
+    assert got[8] == got[9] == "https://h.com/p"
+    assert got[10] == "https://host.com:8443/a"
+
+
+def test_registered_domain(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://a.b.example.com/x"),
+            (1, "deep.sub.host.org"),
+            (2, "https://single/x"),  # no dot: no registered domain
+        ],
+        ["i", "u"],
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", W.registered_domain(F.col("u")).alias("d")).collect()
+    }
+    assert got[0] == "example.com"
+    assert got[1] == "host.org"
+    assert got[2] == ""
+
+
+def test_url_dedup_groups_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://h.com/a?b=2&a=1"),
+            (2, "HTTPS://H.com:443/a/?a=1&b=2#f"),  # same canonical
+            (3, "https://h.com/b"),
+        ],
+        ["doc_id", "url"],
+    )
+    got = {r["canonical_url"]: r for r in W.url_dedup_groups(df).collect()}
+    a = got["https://h.com/a?a=1&b=2"]
+    assert a["n_docs"] == 2 and a["kept_id"] == 1 and a["domain"] == "h.com"
+    assert got["https://h.com/b"]["n_docs"] == 1
+
+
+def test_domain_quota_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    rows = [
+        (f"d{g}.com", g * 1000 + i, float((i * 37) % 19))
+        for g in range(3)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["domain", "doc_id", "score"]).repartition(8)
+    got = {
+        r["domain"]: (r["n_total"], r["n_kept"], r["n_dropped"], r["min_kept_order"])
+        for r in W.domain_quota_report(
+            df, "domain", quota=25, order_col="score"
+        ).collect()
+    }
+    w = Window.partitionBy("domain").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    naive = (
+        df.withColumn("r", F.row_number().over(w))
+        .filter("r <= 25")
+        .groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("k"), F.round(F.min("score"), 6).alias("m"))
+        .collect()
+    )
+    for r in naive:
+        t, k, dr, m = got[r["domain"]]
+        assert (t, k, dr) == (200, 25, 175)
+        assert m == r["m"]
+
+    # quota >= group size: nothing dropped, floor = group min
+    small = W.domain_quota_report(df, "domain", quota=500, order_col="score").collect()
+    assert all(r["n_dropped"] == 0 and r["n_kept"] == 200 for r in small)
+
+
+def test_domain_quota_plan_has_no_unsalted_domain_window_first(spark):
+    """The first (bulk) ranking window must be partitioned by
+    (domain, salt) — the corpus-sized row stream never funnels through a
+    per-domain task; only the <= salt_parts*quota survivors hit the
+    per-domain window."""
+    df = spark.createDataFrame(
+        [("d.com", 1, 1.0)], ["domain", "doc_id", "score"]
+    )
+    plan = (
+        W.domain_quota_report(df, "domain", quota=5, order_col="score")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "pmod" in plan and "xxhash64" in plan, plan[:2000]
