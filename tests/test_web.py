@@ -121,3 +121,61 @@ def test_domain_quota_plan_has_no_unsalted_domain_window_first(spark):
         .toString()
     )
     assert "pmod" in plan and "xxhash64" in plan, plan[:2000]
+
+
+def test_canonical_url_idempotent_property(spark):
+    """Canonicalization must be IDEMPOTENT — canon(canon(u)) == canon(u)
+    for arbitrary URL-shaped inputs (hypothesis-generated scheme / host
+    case / ports / duplicate slashes / params incl. tracking / fragments).
+    A non-idempotent normalizer means the dedup key depends on how many
+    times a pipeline stage ran — silent group splits."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    label = st.text(alphabet="abcDEF09-", min_size=1, max_size=6).filter(
+        lambda s: not s.startswith("-") and not s.endswith("-")
+    )
+    param = st.one_of(
+        st.just("utm_source=x"),
+        st.just("gclid=1"),
+        st.tuples(
+            st.text(alphabet="abzQ9", min_size=1, max_size=4),
+            st.text(alphabet="abz19", min_size=0, max_size=4),
+        ).map(lambda kv: f"{kv[0]}={kv[1]}"),
+    )
+    urls = st.builds(
+        lambda scheme, labels, port, segs, slash, params, frag: (
+            scheme
+            + "://"
+            + ".".join(labels)
+            + port
+            + "".join("/" * sl + seg for sl, seg in segs)
+            + ("/" if slash else "")
+            + ("?" + "&".join(params) if params else "")
+            + ("#frag" if frag else "")
+        ),
+        scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        labels=st.lists(label, min_size=1, max_size=3),
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        segs=st.lists(
+            st.tuples(st.integers(1, 3), st.text(alphabet="abzC2._~", min_size=1, max_size=5)),
+            min_size=0,
+            max_size=3,
+        ),
+        slash=st.booleans(),
+        params=st.lists(param, max_size=4),
+        frag=st.booleans(),
+    )
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(batch=st.lists(urls, min_size=1, max_size=30))
+    def run(batch):
+        df = spark.createDataFrame([(i, u) for i, u in enumerate(batch)], ["i", "url"])
+        once = df.select("i", W.canonical_url(F.col("url")).alias("c1"))
+        twice = once.select(
+            "i", "c1", W.canonical_url(F.col("c1")).alias("c2")
+        ).collect()
+        bad = [(r["c1"], r["c2"]) for r in twice if r["c1"] != r["c2"]]
+        assert not bad, bad[:5]
+
+    run()
