@@ -166,11 +166,8 @@ HEADLINE = [
     # curation funnel (gates fused into one scan + coverage shuffles
     # over survivors + one 5-count aggregate), and Misra-Gries heavy
     # hitters (bounded-memory mapInPandas sketch + exact rescore)
-    "text_bm25_topk",
     "data_curation_funnel",
     "approx_heavy_hitters",
-    # hybrid RRF fusion: both retrieval legs + a rank-frame join
-    "sim_hybrid_rrf",
     # round-8: the amortized shape — probe a SAVED cell-partitioned
     # index (build once per lake, statically-pruned arrow rescore);
     # the first MEASURED points where the ANN path beats the brute
@@ -200,6 +197,12 @@ HEADLINE = [
 NEGATIVE_CONTROL = [
     "sim_hybrid_rrf_ann",  # inline IVF retrain per call
     "dedup_minhash_lsh",   # 4x inline shingle re-derivation per call
+    # round-10 demotions (VERDICT r9 #3): both are dominated at every
+    # measured point by their staged twins (inline BM25 53 s vs probe
+    # 2.3 s at sf100; brute hybrid 80.8 s vs all-saved 4.5 s) — exact
+    # oracle baselines, kept registered and measurable, out of headline
+    "text_bm25_topk",      # per-call full-corpus tokenize
+    "sim_hybrid_rrf",      # brute dense leg + inline sparse leg
 ]
 
 
@@ -310,7 +313,35 @@ def materialize(df) -> None:
 # session. The per-query paired ratios share host state, so the gate's
 # signal floor drops to per-rep jitter instead of cross-session drift.
 # Bump the tag (git tag -f) when a round's bench artifact is finalized.
+# Provenance (VERDICT r9 #4): tags MOVE — the artifact records the
+# resolved SHA ("ref_sha") next to the name, so a reader can always tell
+# exactly which commit the ratio was measured against. The tag must
+# point at the PREVIOUS round's final commit when a round's bench is
+# finalized (bench-r9-baseline -> be827db, r9-final).
 PAIRED_BASELINE_REF = "bench-r9-baseline"
+
+
+def _resolve_sha(ref: str) -> str | None:
+    """Resolved commit SHA of ``ref`` (None for directory pins / unknown
+    refs) — recorded in the paired artifact for provenance."""
+    import subprocess
+
+    if os.path.isdir(ref):
+        return None
+    probe = subprocess.run(
+        [
+            "git",
+            "-C",
+            os.path.dirname(os.path.abspath(__file__)),
+            "rev-parse",
+            "--verify",
+            "--quiet",
+            ref + "^{commit}",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    return probe.stdout.strip() or None if probe.returncode == 0 else None
 
 
 def _pinned_registry(ref: str):
@@ -477,8 +508,10 @@ def main() -> None:
             rs = [h / p for h, p in zip(all_reps[n], ps) if p > 0]
             if len(rs) >= 2:
                 spreads.append((max(rs) - min(rs)) / (sorted(rs)[len(rs) // 2]))
+        ref_used = os.environ.get("SPARK_GRAFT_PAIRED_REF", PAIRED_BASELINE_REF)
         paired = {
-            "ref": os.environ.get("SPARK_GRAFT_PAIRED_REF", PAIRED_BASELINE_REF),
+            "ref": ref_used,
+            "ref_sha": _resolve_sha(ref_used),
             "n_common": len(pin_reps),
             "head_sec": round(head_tot, 3),
             "pin_sec": round(pin_tot, 3),

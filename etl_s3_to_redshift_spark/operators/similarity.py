@@ -86,15 +86,27 @@ def _tie_safe_top_idx(col: "np.ndarray", k: int, round_to: int | None) -> "np.nd
     partition-layout-dependent on duplicate-heavy corpora (ADVICE r8).
     Lossless: a row cut here is outranked by >=k same-task rows under
     the global (score DESC, id ASC) ordering, whatever its id. The cut
-    key uses numpy's round; it can disagree with Spark's HALF_UP only
-    for a score EXACTLY on a half-grid double (measure-zero for summed
-    floats), and disagreement only widens/narrows the candidate set at
-    the boundary the global rank re-sorts anyway."""
+    key uses numpy's round (half-to-even); Spark's global rank rounds
+    HALF_UP — for a score landing exactly on a representable half-grid
+    double the two can disagree by exactly ONE grid step, and a
+    strictly-local threshold could then NARROW the candidate set below
+    what the global rounded ordering keeps (ADVICE r9). Guard: relax
+    the threshold by one grid step, so any rounding-semantics
+    disagreement only WIDENS the cut (one extra boundary bin of
+    candidates at most — the global rank re-sorts them anyway)."""
     n = len(col)
     if n <= k:
         return np.arange(n)
-    key = np.round(col, round_to) if round_to is not None else col
-    thresh = -np.partition(-key, k - 1)[k - 1]
+    if round_to is not None:
+        key = np.round(col, round_to)
+        # 1.5 grid steps: one step covers the semantics disagreement,
+        # the extra half-step absorbs float error in the subtraction
+        # itself (so the adjacent bin is included with slack, never
+        # clipped by an ulp)
+        thresh = -np.partition(-key, k - 1)[k - 1] - 1.5 * 10.0 ** (-round_to)
+    else:
+        key = col
+        thresh = -np.partition(-key, k - 1)[k - 1]
     return np.nonzero(key >= thresh)[0]
 
 
@@ -158,14 +170,13 @@ def brute_force_topk_np(
             if len(ids) == 0:
                 continue
             # module-wide dirty-data contract (_dense_or_zero): NULL or
-            # ragged embeddings become zero rows → cos 0 → lose ranking
-            c = _dense_or_zero(pdf[vec_col].tolist())
-            if c.shape[1] != q_mat.shape[1]:
-                sims = np.zeros((len(ids), len(q_ids)))
-            else:
-                norms = np.linalg.norm(c, axis=1, keepdims=True)
-                norms[norms == 0] = 1.0
-                sims = (c / norms) @ q_mat.T  # (batch, n_queries)
+            # ragged embeddings become zero rows → cos 0 → lose ranking.
+            # q_mat's width is authoritative — a ragged batch-first row
+            # must zero only itself, never the batch (ADVICE r9)
+            c = _dense_or_zero(pdf[vec_col].tolist(), q_mat.shape[1])
+            norms = np.linalg.norm(c, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (c / norms) @ q_mat.T  # (batch, n_queries)
             out_q, out_id, out_s = [], [], []
             for j, qid in enumerate(q_ids):
                 # exclude the self-match BEFORE the cut (it used to
@@ -666,13 +677,23 @@ def build_ivf_index(
     return idx
 
 
-def _dense_or_zero(vals: list) -> "np.ndarray":
+def _dense_or_zero(vals: list, dim: int | None = None) -> "np.ndarray":
     """Dense float64 matrix from a list of embedding rows, with NULL or
-    off-length rows replaced by zero vectors (dim = the first sane
-    row's). Zero rows have zero norm, which every cosine consumer in
-    this module already excludes from matching — the uniform dirty-data
-    contract (see the signature-kernel guard)."""
-    dim = next((len(v) for v in vals if v is not None), 0)
+    off-length rows replaced by zero vectors. Zero rows have zero norm,
+    which every cosine consumer in this module already excludes from
+    matching — the uniform dirty-data contract (see the
+    signature-kernel guard).
+
+    ``dim`` is the authoritative matrix width (the query matrix / index
+    dim) and MUST be passed by kernels operating on Arrow batches:
+    inferring it from a batch whose FIRST row happens to be ragged
+    would zero every valid row of that batch, making results
+    partition-layout-dependent (ADVICE r9). With ``dim`` given, a
+    ragged row zeroes only itself. ``dim=None`` (infer from the first
+    non-null row) is for driver-side collections that themselves DEFINE
+    the width (a collected query/target matrix)."""
+    if dim is None:
+        dim = next((len(v) for v in vals if v is not None), 0)
     mat = np.zeros((len(vals), dim), dtype=np.float64)
     for i, v in enumerate(vals):
         if v is not None and len(v) == dim:
@@ -747,9 +768,10 @@ def semantic_dedup(
     registered query uses τ=0.3 to exercise the prune path; on real
     data τ≈0.95.
     """
-    cells, _ = _deterministic_cells(
+    cells, _cents = _deterministic_cells(
         corpus, n_clusters, id_col, vec_col, target_cluster_rows
     )
+    _dim = len(_cents[0]) if _cents else 0
     # Per-cluster Arrow kernel instead of a pair-exploding self-join:
     # one BLAS gram matrix per cluster replaces cluster_size² zip_with
     # folds (the sim_ann_lsh signature-kernel precedent; measured
@@ -768,8 +790,10 @@ def semantic_dedup(
         # NULL / wrong-length embeddings would crash np.array; map them
         # to the zero vector instead — zero-norm rows are excluded from
         # matching below, so dirty rows are always KEPT and never block
-        # a neighbor (the lsh signature-kernel guard, ADVICE r5)
-        mat = _dense_or_zero(pdf["__vec"].tolist())
+        # a neighbor (the lsh signature-kernel guard, ADVICE r5). The
+        # centroid dim is authoritative (ADVICE r9: never infer from a
+        # group whose first row might be ragged)
+        mat = _dense_or_zero(pdf["__vec"].tolist(), _dim)
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         safe = np.where(norms == 0, 1.0, norms)
         sims = np.round((mat / safe) @ (mat / safe).T, r)
@@ -861,10 +885,9 @@ def _deterministic_cells(
         def assign(batches):
             for pdf in batches:
                 # dirty rows become zero vectors → argmin of |c|², one
-                # deterministic cell; the prune kernel then keeps them
-                m = _dense_or_zero(pdf[vec_col].tolist())
-                if m.shape[1] != cmat.shape[1]:
-                    m = np.zeros((m.shape[0], cmat.shape[1]))
+                # deterministic cell; the prune kernel then keeps them.
+                # centroid width authoritative (ADVICE r9)
+                m = _dense_or_zero(pdf[vec_col].tolist(), cmat.shape[1])
                 d2 = c2[None, :] - 2.0 * (m @ cmat.T)
                 pdf = pdf[[id_col, vec_col]].copy()
                 pdf["cell"] = d2.argmin(axis=1).astype("int32")
@@ -1064,10 +1087,13 @@ def _ivf_probe_arrow(
                 (r["__qid"], r["__qvec"])
             )
     all_cells = sorted(per_cell)
+    # the index's centroid width is the authoritative dim for both the
+    # query matrices and the corpus batches (ADVICE r9)
+    idx_dim = len(index.centroids[0]) if index.centroids else 0
     cell_q: dict[int, tuple] = {}
     for cell, lst in per_cell.items():
         qids = [q for q, _ in lst]
-        qmat = _dense_or_zero([v for _, v in lst])
+        qmat = _dense_or_zero([v for _, v in lst], idx_dim)
         qn = np.linalg.norm(qmat, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
         cell_q[cell] = (qids, qmat / qn)
@@ -1086,14 +1112,13 @@ def _ivf_probe_arrow(
                 # module-wide dirty-data contract (_dense_or_zero): a
                 # NULL/ragged embedding that build/append assigned to a
                 # probed cell scores 0 and loses ranking instead of
-                # crashing the worker (ADVICE r8)
-                c = _dense_or_zero(grp[vec_col].tolist())
-                if c.shape[1] != q_mat.shape[1]:
-                    sims = np.zeros((len(ids), len(q_ids)))
-                else:
-                    norms = np.linalg.norm(c, axis=1, keepdims=True)
-                    norms[norms == 0] = 1.0
-                    sims = (c / norms) @ q_mat.T
+                # crashing the worker (ADVICE r8); width pinned to the
+                # index dim so a ragged group-first row zeroes only
+                # itself (ADVICE r9)
+                c = _dense_or_zero(grp[vec_col].tolist(), q_mat.shape[1])
+                norms = np.linalg.norm(c, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                sims = (c / norms) @ q_mat.T
                 for j, qid in enumerate(q_ids):
                     sel = np.nonzero(ids != qid)[0]
                     for i in sel[_tie_safe_top_idx(sims[sel, j], k, round_to)]:

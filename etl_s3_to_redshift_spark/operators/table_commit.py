@@ -147,6 +147,138 @@ class SnapshotTable:
                 shutil.rmtree(self.version_path(v), ignore_errors=True)
 
 
+class SnapshotIndex:
+    """Atomic write-audit-publish for MULTI-DATASET index directories —
+    the staged BM25 index (postings/df/stats) and the saved IVF index
+    (cells/centroids). ``SnapshotTable`` commits one DataFrame;
+    a retrieval index is several datasets whose writes must become
+    visible TOGETHER: ``stage_bm25``'s three writes and
+    ``IvfIndex.append_to_saved``'s layout append were the last
+    non-atomic publishes in the engine (VERDICT r9 #5 — a crash
+    mid-append left scores computed against stale df/N until re-run).
+
+    Protocol (same pointer discipline as ``SnapshotTable``): every
+    version is an immutable directory ``v=<n>/`` holding ALL the
+    index's datasets; writers stage into the next unpublished version,
+    then one write-temp → fsync → ``os.replace`` swap of ``_CURRENT``
+    publishes every dataset at once. A crash between any two dataset
+    writes leaves the previous version published and fully readable —
+    there is no torn state a reader can observe.
+
+    Appends publish a NEW version whose unchanged data files are
+    HARDLINKED from the previous version (``link_from_current``):
+    O(#files) metadata operations, zero data copy — the local-
+    filesystem analogue of a manifest re-reference (a Delta/Iceberg
+    append likewise publishes a new snapshot that points at the old
+    data files). Hardlinks require staging dir and old version on one
+    filesystem, true by construction (same parent directory); on an
+    object store this module is replaced by a real table format, as
+    the module docstring says.
+    """
+
+    def __init__(self, path: str, keep_versions: int = 2):
+        self.path = path
+        self.keep_versions = max(1, keep_versions)
+        os.makedirs(path, exist_ok=True)
+
+    # -- pointer (same protocol as SnapshotTable) --------------------------
+
+    def current_version(self) -> int | None:
+        try:
+            with open(os.path.join(self.path, _MANIFEST)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
+    def exists(self) -> bool:
+        return self.current_version() is not None
+
+    def version_path(self, version: int) -> str:
+        return os.path.join(self.path, f"v={version}")
+
+    def current_path(self) -> str:
+        """Published version directory (the root the index's datasets
+        live under). Raises if nothing has been published."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"no published index at {self.path}")
+        return self.version_path(v)
+
+    def _staged_versions(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.path):
+            m = _VDIR.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    # -- write-audit-publish ----------------------------------------------
+
+    def begin(self) -> str:
+        """Create and return the next unpublished ``v=<n>`` staging
+        directory. Invisible to readers until ``publish``."""
+        current = self.current_version()
+        staged = self._staged_versions()
+        version = max([current if current is not None else -1, *staged, -1]) + 1
+        vpath = self.version_path(version)
+        os.makedirs(vpath, exist_ok=True)
+        return vpath
+
+    def link_from_current(self, staging: str, dataset: str) -> None:
+        """Hardlink ``dataset``'s data files from the published version
+        into ``staging`` (append path: old files carried by reference).
+        Hidden files (``_SUCCESS``, ``.crc``) are skipped — Spark's
+        committer will write fresh ones, and truncating a hardlinked
+        marker would reach back into the published version's inode."""
+        src_root = os.path.join(self.current_path(), dataset)
+        dst_root = os.path.join(staging, dataset)
+        for dirpath, _dirs, files in os.walk(src_root):
+            rel = os.path.relpath(dirpath, src_root)
+            tgt = dst_root if rel == "." else os.path.join(dst_root, rel)
+            os.makedirs(tgt, exist_ok=True)
+            for f in files:
+                if f.startswith(("_", ".")):
+                    continue
+                os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
+
+    def publish(self, staging: str) -> int:
+        """Atomically publish a staged version directory; returns the
+        version number. Retires versions older than ``keep_versions``
+        (pinned readers keep their already-resolved directory)."""
+        name = os.path.basename(staging.rstrip("/"))
+        m = _VDIR.match(name)
+        if not m or os.path.dirname(staging.rstrip("/")) != self.path.rstrip("/"):
+            raise ValueError(f"{staging!r} is not a staging dir of {self.path!r}")
+        version = int(m.group(1))
+        tmp = os.path.join(self.path, _MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, _MANIFEST))
+        keep_floor = version - self.keep_versions + 1
+        for v in self._staged_versions():
+            if v < keep_floor:
+                shutil.rmtree(self.version_path(v), ignore_errors=True)
+        return version
+
+    def abort(self, staging: str) -> None:
+        """Discard a staged version; the published version is untouched."""
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def resolve_index_root(path: str) -> str:
+    """Root directory a reader should scan for an index at ``path``:
+    the published ``v=<n>`` directory when ``path`` is a
+    ``SnapshotIndex``, else ``path`` itself (pre-r10 unversioned
+    layouts stay readable)."""
+    try:
+        with open(os.path.join(path, _MANIFEST)) as f:
+            return os.path.join(path, f"v={int(f.read().strip())}")
+    except (FileNotFoundError, ValueError):
+        return path
+
+
 def compact_snapshot(
     spark: SparkSession,
     table: SnapshotTable,

@@ -1102,6 +1102,10 @@ def stage_bm25(
     not the corpus. ``files_per_bucket`` sizes the layout exactly like
     ``IvfIndex.save``: without compaction every upstream task writes a
     sliver into every bucket dir and probes pay file listing, not scan.
+    The repartition key must include an in-bucket splitter —
+    ``pmod(xxhash64(id), files_per_bucket)`` — because hashing the
+    bucket value alone lands ALL of a bucket's rows in one partition
+    (one file per bucket dir regardless of the knob; ADVICE r9).
 
     Unlike the query-dependent inline semi-join, the staged postings
     cover the FULL vocabulary (queries aren't known at stage time), so
@@ -1117,8 +1121,9 @@ def stage_bm25(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)))
     )
+    split = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket))
     (
-        tf.repartition(n_buckets * files_per_bucket, "bucket")
+        tf.repartition(n_buckets * files_per_bucket, "bucket", split)
         .write.mode("overwrite")
         .partitionBy("bucket")
         .parquet(os.path.join(path, "postings"))
@@ -1126,7 +1131,11 @@ def stage_bm25(
     dfc = (
         tf.groupBy("term", "bucket")
         .agg(F.count(F.lit(1)).alias("df"))
-        .repartition(n_buckets * files_per_bucket, "bucket")
+        .repartition(
+            n_buckets * files_per_bucket,
+            "bucket",
+            F.pmod(F.xxhash64(F.col("term")), F.lit(files_per_bucket)),
+        )
     )
     dfc.write.mode("overwrite").partitionBy("bucket").parquet(
         os.path.join(path, "df")
@@ -1149,6 +1158,7 @@ def append_to_staged_bm25(
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    files_per_bucket: int = 1,
 ) -> None:
     """Append NEW documents into a ``stage_bm25`` index without
     re-tokenizing the staged corpus — the sparse-leg member of the
@@ -1188,7 +1198,12 @@ def append_to_staged_bm25(
         .withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)))
     )
     (
-        tf_new.repartition(n_buckets, "bucket")
+        tf_new.repartition(
+            n_buckets * files_per_bucket,
+            "bucket",
+            # in-bucket splitter, same layout rule as stage_bm25
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
+        )
         .write.mode("append")
         .partitionBy("bucket")
         .parquet(os.path.join(path, "postings"))
@@ -1204,9 +1219,11 @@ def append_to_staged_bm25(
         # file source on the target (the read-overwrite conflict)
         .localCheckpoint(eager=True)
     )
-    merged.repartition(n_buckets, "bucket").write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(os.path.join(path, "df"))
+    merged.repartition(
+        n_buckets * files_per_bucket,
+        "bucket",
+        F.pmod(F.xxhash64(F.col("term")), F.lit(files_per_bucket)),
+    ).write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "df"))
 
     new_agg = toked.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -33,8 +33,10 @@ def canonical_url(url: Column) -> Column:
     precedent; technically lossy for exotic servers, which is why this
     is the DEDUP key, not a rewrite of the stored URL).
 
-    Pure narrow expressions — no UDF, no shuffle; the param filter uses
-    startswith tests (no regex inside the higher-order function — HOFs
+    Pure narrow expressions — no UDF, no shuffle; the param filter keys
+    on the param NAME (substring before '=', or the whole token when no
+    '=' is present — a bare '?gclid' must not split a dedup group) via
+    substring_index (no regex inside the higher-order function — HOFs
     are interpreted, so keep their lambdas cheap)."""
     no_frag = F.regexp_replace(url, "#.*$", "")
     base = F.regexp_replace(no_frag, r"\?.*$", "")
@@ -55,15 +57,16 @@ def canonical_url(url: Column) -> Column:
     path = F.when(
         (F.length(path) > 1), F.regexp_replace(path, "/$", "")
     ).otherwise(path)
-    params = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != "")
-            & ~p.startswith("utm_")
-            & ~p.startswith("gclid=")
-            & ~p.startswith("fbclid="),
+    def _keep(p: Column) -> Column:
+        key = F.substring_index(p, "=", 1)
+        return (
+            (p != "")
+            & ~key.startswith("utm_")
+            & (key != "gclid")
+            & (key != "fbclid")
         )
-    )
+
+    params = F.array_sort(F.filter(F.split(query, "&"), _keep))
     qcanon = F.array_join(params, "&")
     return F.concat(
         scheme,

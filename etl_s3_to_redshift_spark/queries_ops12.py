@@ -93,9 +93,9 @@ def _synth_url() -> F.Column:
                   WHEN length(p1) > 1 THEN regexp_replace(p1, '/$', '')
                   ELSE p1 END AS path,
              array_to_string(list_sort(list_filter(string_split(q, '&'),
-               p -> p != '' AND NOT starts_with(p, 'utm_')
-                    AND NOT starts_with(p, 'gclid=')
-                    AND NOT starts_with(p, 'fbclid='))), '&') AS qc
+               p -> p != '' AND NOT starts_with(split_part(p, '=', 1), 'utm_')
+                    AND split_part(p, '=', 1) != 'gclid'
+                    AND split_part(p, '=', 1) != 'fbclid')), '&') AS qc
       FROM parts4
     ), canon AS (
       SELECT doc_id,

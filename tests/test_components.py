@@ -166,6 +166,63 @@ def test_cc_edge_layout_elides_per_round_exchange(spark):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_components_topology_adaptive_switch_result_equal(spark, monkeypatch):
+    """The online regime switch (VERDICT r9: broadcast rounds → bucketed
+    SMJ when labels are still changing after switch_rounds) must be
+    result-identical to staying on the broadcast regime, on exactly the
+    high-diameter chain topology that triggers it."""
+    chain = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    want = union_find(chain)
+    switched = {
+        r.vertex: r.component
+        for r in connected_components(
+            df, driver_edges_max=0, switch_rounds=1, max_iter=40
+        ).collect()
+    }
+    stay_bcast = {
+        r.vertex: r.component
+        for r in connected_components(
+            df, driver_edges_max=0, switch_rounds=10**6, max_iter=40
+        ).collect()
+    }
+    assert switched == stay_bcast == want
+    # default None reads the SPARK_GRAFT_CC_SWITCH_ROUNDS env knob
+    monkeypatch.setenv("SPARK_GRAFT_CC_SWITCH_ROUNDS", "1")
+    via_env = {
+        r.vertex: r.component
+        for r in connected_components(
+            df, driver_edges_max=0, max_iter=40
+        ).collect()
+    }
+    assert via_env == want
+
+
+def test_cc_scratch_sweep_spares_live_app_tables(spark):
+    """The orphan sweep must drop dead-app leftovers (including pre-r10
+    names with no app token) but NEVER a table embedding the CURRENT
+    applicationId — a concurrent call's live scratch (ADVICE r9) — and
+    must skip temp views that happen to match the prefix."""
+    from etl_s3_to_redshift_spark.operators import components as C
+
+    token = C._app_token(spark)
+    live = f"cc_edges_{token}_deadbeef0001"
+    orphan = "cc_edges_aabbccddeeff"  # pre-r10 format: no app token
+    one = spark.createDataFrame([(1,)], "x long")
+    one.write.mode("overwrite").saveAsTable(live)
+    one.write.mode("overwrite").saveAsTable(orphan)
+    one.createOrReplaceTempView("cc_edges_tempview")
+    try:
+        C._sweep_orphan_edge_tables(spark)
+        names = {t.name for t in spark.catalog.listTables()}
+        assert live in names, "live-app scratch must survive the sweep"
+        assert orphan not in names, "dead-app orphan must be swept"
+        assert "cc_edges_tempview" in names, "temp views must be skipped"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {live}")
+        spark.catalog.dropTempView("cc_edges_tempview")
+
+
 def test_incremental_components_equals_full_recompute(spark):
     """For random edge sets split into batches, updating batch 1's
     labeling with batch 2's edges must equal CC over the union — across

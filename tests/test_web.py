@@ -30,6 +30,9 @@ def test_canonical_url_rules(spark):
             "https://h.com/p?utm_campaign=z&gclid=1&fbclid=2",  # all dropped
             "https://h.com/p",
             "https://host.com:8443/a",                    # NON-default port kept
+            "https://h.com/p?gclid&a=1",                  # BARE tracking param (no '=')
+            "https://h.com/p?fbclid&utm_x&a=1",
+            "https://h.com/p?gclidx=1",                   # prefix-only is NOT gclid
         ],
     )
     assert got[0] == got[1] == "https://www.example.com/a/b"
@@ -38,6 +41,8 @@ def test_canonical_url_rules(spark):
     assert got[6] == got[7] == "https://h.com/p?a=1&b=2"
     assert got[8] == got[9] == "https://h.com/p"
     assert got[10] == "https://host.com:8443/a"
+    assert got[11] == got[12] == "https://h.com/p?a=1"
+    assert got[13] == "https://h.com/p?gclidx=1"
 
 
 def test_registered_domain(spark):
