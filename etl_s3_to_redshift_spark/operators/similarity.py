@@ -574,20 +574,37 @@ class IvfIndex:
         probe then pays file listing/open, not scan). 1 is right when a
         cell fits one scan task; on a real lake raise it so a cell is
         many ~128 MB files and a probe still parallelizes within the
-        cells it reads."""
+        cells it reads.
+
+        Cells and centroids stage into one unpublished ``SnapshotIndex``
+        version and publish with a single atomic pointer swap
+        (VERDICT r9 #5): a crash mid-save leaves either no published
+        index or the previous version fully readable — never a
+        cells/centroids mix from different saves."""
+        from etl_s3_to_redshift_spark.operators.table_commit import SnapshotIndex
+
         spark = self.cells.sparkSession
-        out = self.cells.select(
-            F.col(self.id_col), F.col(self.vec_col), F.col("cell")
-        ).repartition(
-            len(self.centroids) * files_per_cell,
-            F.col("cell"),
-            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(files_per_cell)),
-        )
-        out.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
-        cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.centroids)]
-        spark.createDataFrame(cent_rows, "i int, centroid array<double>").coalesce(
-            1
-        ).write.mode("overwrite").json(f"{path}/centroids")
+        snap = SnapshotIndex(path)
+        stage = snap.begin()
+        try:
+            out = self.cells.select(
+                F.col(self.id_col), F.col(self.vec_col), F.col("cell")
+            ).repartition(
+                len(self.centroids) * files_per_cell,
+                F.col("cell"),
+                F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(files_per_cell)),
+            )
+            out.write.mode("overwrite").partitionBy("cell").parquet(f"{stage}/cells")
+            cent_rows = [
+                (i, [float(x) for x in c]) for i, c in enumerate(self.centroids)
+            ]
+            spark.createDataFrame(
+                cent_rows, "i int, centroid array<double>"
+            ).coalesce(1).write.mode("overwrite").json(f"{stage}/centroids")
+        except BaseException:
+            snap.abort(stage)
+            raise
+        snap.publish(stage)
 
     def append_to_saved(self, new_rows: DataFrame, path: str, files_per_cell: int = 1) -> None:
         """Incremental index maintenance: assign NEW vectors to their
@@ -600,24 +617,57 @@ class IvfIndex:
         for the ANN stack: arriving data costs its own size, never the
         corpus's. Like every IVF system, distribution drift under a
         frozen quantizer degrades recall gradually; the remedy is a
-        scheduled rebuild, not a smarter append. Centroids on disk are
-        untouched (they ARE the frozen quantizer); reload after
-        appending if this handle's ``cells`` frame must see the new
-        rows."""
+        scheduled rebuild, not a smarter append. Centroids are carried
+        into the new version by reference (they ARE the frozen
+        quantizer); reload after appending if this handle's ``cells``
+        frame must see the new rows.
+
+        Atomic (VERDICT r9 #5): existing cell files and centroids
+        hardlink into a fresh unpublished ``SnapshotIndex`` version,
+        the delta rows land next to them, and ONE pointer swap
+        publishes — a crash mid-append leaves the previous version
+        published and internally consistent."""
+        from etl_s3_to_redshift_spark.operators.table_commit import SnapshotIndex
+
+        snap = SnapshotIndex(path)
+        if not snap.exists():
+            raise FileNotFoundError(
+                f"no published SnapshotIndex at {path} (pre-r10 "
+                "unversioned layouts cannot be appended atomically) — "
+                "save() before appending"
+            )
         assigned = new_rows.select(
             F.col(self.id_col),
             F.col(self.vec_col),
             F.element_at(self.nearest_cells(F.col(self.vec_col), 1), 1).alias("cell"),
         )
-        compacted = assigned.repartition(
-            len(self.centroids) * files_per_cell,
-            F.col("cell"),
-            F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(files_per_cell)),
-        )
-        compacted.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+        stage = snap.begin()
+        try:
+            snap.link_from_current(stage, "cells")
+            snap.link_from_current(stage, "centroids")
+            compacted = assigned.repartition(
+                len(self.centroids) * files_per_cell,
+                F.col("cell"),
+                F.pmod(F.xxhash64(F.col(self.id_col)), F.lit(files_per_cell)),
+            )
+            compacted.write.mode("append").partitionBy("cell").parquet(
+                f"{stage}/cells"
+            )
+        except BaseException:
+            snap.abort(stage)
+            raise
+        snap.publish(stage)
 
     @classmethod
     def load(cls, spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
+        # resolve the SnapshotIndex pointer ONCE: both datasets read one
+        # immutable version even if a concurrent append publishes
+        # mid-load (pre-r10 unversioned layouts resolve to themselves)
+        from etl_s3_to_redshift_spark.operators.table_commit import (
+            resolve_index_root,
+        )
+
+        path = resolve_index_root(path)
         # explicit schema: JSON inference is a whole extra pass/job per
         # load, and the layout is ours (doubles roundtrip exactly —
         # shortest-repr write, exact parse; pinned in tests)

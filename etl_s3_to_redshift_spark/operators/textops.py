@@ -1090,8 +1090,11 @@ def stage_bm25(
     inverted-file access path, the ``IvfIndex.save`` analogue for the
     sparse leg), per-term document frequencies ``(term, df)`` under the
     same bucketing, and the corpus scalars ``(n_docs, avgdl, n_buckets)``
-    as a 1-row dataset written LAST (write-then-publish: ``stats``'s
-    _SUCCESS is the reuse receipt, so a torn build is rebuilt, not read).
+    as a 1-row dataset. All three datasets stage into one unpublished
+    ``SnapshotIndex`` version and publish with a single atomic pointer
+    swap (VERDICT r9 #5 — the three writes used to be sequentially
+    visible), so a crash anywhere mid-stage leaves either no published
+    index (fresh stage) or the previous version fully readable.
 
     This is the 100 TB form of ``bm25_topk``: the inline path
     re-tokenizes the WHOLE corpus per retrieval call (the last
@@ -1111,6 +1114,8 @@ def stage_bm25(
     cover the FULL vocabulary (queries aren't known at stage time), so
     stats/df/tf are identical to the inline derivation restricted to any
     query-term set — staged==inline is pinned in tests."""
+    from etl_s3_to_redshift_spark.operators.table_commit import SnapshotIndex
+
     toked = docs.select(
         F.col(id_col), words(F.lower(F.col(text_col))).alias("__toks")
     ).select(F.col(id_col), F.col("__toks"), F.size("__toks").alias("dl"))
@@ -1121,36 +1126,44 @@ def stage_bm25(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)))
     )
-    split = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket))
-    (
-        tf.repartition(n_buckets * files_per_bucket, "bucket", split)
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "postings"))
-    )
-    dfc = (
-        tf.groupBy("term", "bucket")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .repartition(
-            n_buckets * files_per_bucket,
-            "bucket",
-            F.pmod(F.xxhash64(F.col("term")), F.lit(files_per_bucket)),
+    snap = SnapshotIndex(path)
+    stage = snap.begin()
+    try:
+        split = F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket))
+        (
+            tf.repartition(n_buckets * files_per_bucket, "bucket", split)
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(stage, "postings"))
         )
-    )
-    dfc.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "df")
-    )
-    # sum_dl rides along as the EXACT integer total so append_to_staged_bm25
-    # can update avgdl without re-scanning the staged corpus (recovering
-    # the sum from the avgdl double would not be exact)
-    toked.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "avgdl"
-        ),
-        F.lit(n_buckets).cast("int").alias("n_buckets"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+        dfc = (
+            tf.groupBy("term", "bucket")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .repartition(
+                n_buckets * files_per_bucket,
+                "bucket",
+                F.pmod(F.xxhash64(F.col("term")), F.lit(files_per_bucket)),
+            )
+        )
+        dfc.write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(stage, "df")
+        )
+        # sum_dl rides along as the EXACT integer total so
+        # append_to_staged_bm25 can update avgdl without re-scanning the
+        # staged corpus (recovering the sum from the avgdl double would
+        # not be exact)
+        toked.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avgdl"
+            ),
+            F.lit(n_buckets).cast("int").alias("n_buckets"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "stats"))
+    except BaseException:
+        snap.abort(stage)
+        raise
+    snap.publish(stage)
 
 
 def append_to_staged_bm25(
@@ -1173,13 +1186,25 @@ def append_to_staged_bm25(
     tf/dl are per-doc, df/N/avgdl are sums — all associative.
 
     Caller contract (the ``append_to_saved`` one): ``new_docs`` ids are
-    disjoint from the staged corpus. The three writes are NOT atomic
-    (postings append, then df, then stats) — a crash mid-append leaves
-    scores computed against stale df/N until re-run; production callers
-    gate reuse on their own receipt (the registered query's
-    ``_APPEND_DONE`` marker pattern), same as the IVF append."""
+    disjoint from the staged corpus. The append is ATOMIC
+    (VERDICT r9 #5): old postings files are hardlinked into a fresh
+    unpublished ``SnapshotIndex`` version (metadata-only — arriving
+    data still costs its own size), the delta postings / merged df /
+    updated stats are written there, and ONE pointer swap publishes all
+    three together — a crash anywhere mid-append leaves the previous
+    version published with internally consistent postings/df/N."""
+    from etl_s3_to_redshift_spark.operators.table_commit import SnapshotIndex
+
     spark = new_docs.sparkSession
-    st_frame = spark.read.parquet(os.path.join(path, "stats"))
+    snap = SnapshotIndex(path)
+    if not snap.exists():
+        raise ValueError(
+            "no published SnapshotIndex at this path (pre-r10 "
+            "unversioned layouts cannot be appended atomically) — "
+            "re-run stage_bm25 before appending"
+        )
+    cur_root = snap.current_path()
+    st_frame = spark.read.parquet(os.path.join(cur_root, "stats"))
     if "sum_dl" not in st_frame.columns:
         raise ValueError(
             "staged BM25 index predates append support (no sum_dl in "
@@ -1197,44 +1222,64 @@ def append_to_staged_bm25(
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)))
     )
-    (
-        tf_new.repartition(
+    stage = snap.begin()
+    try:
+        # carry the staged corpus by reference: hardlink the published
+        # postings files into the new version (O(#files) metadata ops,
+        # no data copy), then land ONLY the delta rows next to them
+        snap.link_from_current(stage, "postings")
+        (
+            tf_new.repartition(
+                n_buckets * files_per_bucket,
+                "bucket",
+                # in-bucket splitter, same layout rule as stage_bm25
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
+            )
+            .write.mode("append")
+            .partitionBy("bucket")
+            .parquet(os.path.join(stage, "postings"))
+        )
+        df_delta = tf_new.groupBy("term", "bucket").agg(
+            F.count(F.lit(1)).alias("df")
+        )
+        # reads the OLD version, writes the NEW one — no read-overwrite
+        # conflict, so no lineage truncation needed (the pre-snapshot
+        # code localCheckpoint'ed to break exactly that conflict)
+        df_old = spark.read.parquet(os.path.join(cur_root, "df"))
+        merged = (
+            df_old.unionByName(df_delta)
+            .groupBy("term", "bucket")
+            .agg(F.sum("df").cast("long").alias("df"))
+        )
+        merged.repartition(
             n_buckets * files_per_bucket,
             "bucket",
-            # in-bucket splitter, same layout rule as stage_bm25
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
+            F.pmod(F.xxhash64(F.col("term")), F.lit(files_per_bucket)),
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            os.path.join(stage, "df")
         )
-        .write.mode("append")
-        .partitionBy("bucket")
-        .parquet(os.path.join(path, "postings"))
-    )
-    df_delta = tf_new.groupBy("term", "bucket").agg(F.count(F.lit(1)).alias("df"))
-    df_old = spark.read.parquet(os.path.join(path, "df"))
-    merged = (
-        df_old.unionByName(df_delta)
-        .groupBy("term", "bucket")
-        .agg(F.sum("df").cast("long").alias("df"))
-        # vocabulary-sized (bounded), and the overwrite below reads the
-        # path it replaces — truncate lineage so the write plan has no
-        # file source on the target (the read-overwrite conflict)
-        .localCheckpoint(eager=True)
-    )
-    merged.repartition(
-        n_buckets * files_per_bucket,
-        "bucket",
-        F.pmod(F.xxhash64(F.col("term")), F.lit(files_per_bucket)),
-    ).write.mode("overwrite").partitionBy("bucket").parquet(os.path.join(path, "df"))
 
-    new_agg = toked.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
-    ).collect()[0]
-    n_total = int(st["n_docs"]) + int(new_agg["n"])
-    sum_total = int(st["sum_dl"]) + int(new_agg["s"])
-    spark.createDataFrame(
-        [(float(n_total), float(sum_total) / float(n_total), n_buckets, sum_total)],
-        "n_docs double, avgdl double, n_buckets int, sum_dl long",
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "stats"))
+        new_agg = toked.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        ).collect()[0]
+        n_total = int(st["n_docs"]) + int(new_agg["n"])
+        sum_total = int(st["sum_dl"]) + int(new_agg["s"])
+        spark.createDataFrame(
+            [
+                (
+                    float(n_total),
+                    float(sum_total) / float(n_total),
+                    n_buckets,
+                    sum_total,
+                )
+            ],
+            "n_docs double, avgdl double, n_buckets int, sum_dl long",
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(stage, "stats"))
+    except BaseException:
+        snap.abort(stage)
+        raise
+    snap.publish(stage)
 
 
 def bm25_topk_staged(
@@ -1256,7 +1301,15 @@ def bm25_topk_staged(
     the pruning (queries ≪ corpus — the same tiny-queries serving
     contract as ``ivf_probe``); terms are pushed as both a ``bucket``
     partition filter (directory pruning) and a ``term IN`` data filter
-    (parquet row-group stats within the probed buckets)."""
+    (parquet row-group stats within the probed buckets).
+
+    ``path`` resolves through the ``SnapshotIndex`` pointer ONCE here,
+    so the whole probe reads one immutable version even if a concurrent
+    append publishes mid-query (snapshot isolation; pre-r10 unversioned
+    layouts resolve to themselves)."""
+    from etl_s3_to_redshift_spark.operators.table_commit import resolve_index_root
+
+    path = resolve_index_root(path)
     stats_all = spark.read.parquet(os.path.join(path, "stats"))
     st = stats_all.collect()[0]
     n_buckets = int(st["n_buckets"])

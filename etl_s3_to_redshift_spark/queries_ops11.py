@@ -572,16 +572,17 @@ def _saved_ivf_index(spark: SparkSession, sf_dir: str):
     and a cache hit yield the same index — which is what lets the
     registered query carry a committed-expectation oracle at all.
 
-    The write is a write-then-publish: Spark's _SUCCESS receipt in
-    ``cells/`` gates reuse, so a torn build is rebuilt, not read. The
-    local testdata lakes are immutable, so the cache never goes stale;
-    point ``SPARK_GRAFT_IVF_CACHE`` at a fresh root (or wipe it) if
-    yours isn't.
+    The save is an atomic ``SnapshotIndex`` publish (r10): the
+    ``_CURRENT`` pointer gates reuse, so a torn build is rebuilt, not
+    read. The local testdata lakes are immutable, so the cache never
+    goes stale; point ``SPARK_GRAFT_IVF_CACHE`` at a fresh root (or
+    wipe it) if yours isn't.
     """
     from etl_s3_to_redshift_spark.operators.similarity import (
         IvfIndex,
         build_ivf_index,
     )
+    from etl_s3_to_redshift_spark.operators.table_commit import SnapshotIndex
 
     root = os.environ.get("SPARK_GRAFT_IVF_CACHE") or os.path.join(
         tempfile.gettempdir(), "etl_s3_to_redshift_spark_ivf"
@@ -598,7 +599,7 @@ def _saved_ivf_index(spark: SparkSession, sf_dir: str):
     idx = _IVF_MEMO.get(memo_key)
     if idx is not None:
         return idx
-    if not os.path.exists(os.path.join(base, "cells", "_SUCCESS")):
+    if not SnapshotIndex(base).exists():
         build_ivf_index(_t(spark, sf_dir, "embeddings"), n_lists=16).save(base)
     idx = IvfIndex.load(spark, base)
     _IVF_MEMO[memo_key] = idx
@@ -945,11 +946,13 @@ def _saved_bm25_path(spark: SparkSession, sf_dir: str) -> str:
     ``_saved_ivf_index``: every retrieval used to re-tokenize the whole
     corpus per call (VERDICT r8 #1 — the last unamortized scan in the
     retrieval stack); a lake stages once and every query is a
-    bucket-pruned probe. Write-then-publish: ``stage_bm25`` writes the
-    stats dataset LAST, so its _SUCCESS gates reuse and a torn build is
-    rebuilt, not read. The local testdata lakes are immutable, so the
-    cache never goes stale; point ``SPARK_GRAFT_BM25_CACHE`` at a fresh
-    root (or wipe it) if yours isn't."""
+    bucket-pruned probe. The stage is an atomic ``SnapshotIndex``
+    publish (r10): all three datasets become visible in ONE pointer
+    swap, which also gates reuse — a torn build is rebuilt, not read.
+    The local testdata lakes are immutable, so the cache never goes
+    stale; point ``SPARK_GRAFT_BM25_CACHE`` at a fresh root (or wipe
+    it) if yours isn't."""
+    from etl_s3_to_redshift_spark.operators.table_commit import SnapshotIndex
     from etl_s3_to_redshift_spark.operators.textops import stage_bm25
 
     root = os.environ.get("SPARK_GRAFT_BM25_CACHE") or os.path.join(
@@ -957,7 +960,7 @@ def _saved_bm25_path(spark: SparkSession, sf_dir: str) -> str:
     )
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
     base = os.path.join(root, key)
-    if not os.path.exists(os.path.join(base, "stats", "_SUCCESS")):
+    if not SnapshotIndex(base).exists():
         stage_bm25(_t(spark, sf_dir, "documents"), base)
     return base
 

@@ -648,11 +648,17 @@ def test_ivf_append_equals_full_reassign(spark, tmp_path):
 
     # the merged corpus is fully present
     assert a_idx.cells.count() == emb.count()
-    # layout compactness: at most one file per cell per write
-    for cell_dir in os.listdir(f"{path_a}/cells"):
+    # layout compactness: at most one file per cell per write — resolve
+    # the published SnapshotIndex version (hardlinked old files + the
+    # append's delta files live under v=<n>/)
+    from etl_s3_to_redshift_spark.operators.table_commit import resolve_index_root
+
+    a_root = resolve_index_root(path_a)
+    assert a_root != path_a, "append must publish a SnapshotIndex version"
+    for cell_dir in os.listdir(f"{a_root}/cells"):
         if not cell_dir.startswith("cell="):
             continue
-        n = len([f for f in os.listdir(f"{path_a}/cells/{cell_dir}") if f.endswith(".parquet")])
+        n = len([f for f in os.listdir(f"{a_root}/cells/{cell_dir}") if f.endswith(".parquet")])
         assert n <= 2, (cell_dir, n)
 
 
@@ -728,7 +734,9 @@ def test_bm25_staged_plan_prunes_buckets(spark, tmp_path, monkeypatch):
     assert len(first) == 30
 
     key = _os.listdir(str(tmp_path))[0]
-    receipt = _os.path.join(str(tmp_path), key, "stats", "_SUCCESS")
+    # the reuse receipt is the SnapshotIndex _CURRENT pointer — a
+    # re-stage would publish a new version and rewrite it
+    receipt = _os.path.join(str(tmp_path), key, "_CURRENT")
     mtime = _os.path.getmtime(receipt)
     again = {
         tuple(r) for r in REGISTRY["text_bm25_topk_staged"].spark(spark, sf).collect()
@@ -780,9 +788,21 @@ def test_bm25_append_equals_full_stage(spark, tmp_path):
     stage_bm25(seed, inc_p, n_buckets=8)
     append_to_staged_bm25(late, inc_p)
 
+    from etl_s3_to_redshift_spark.operators.table_commit import resolve_index_root
+
     for sub in ("postings", "df", "stats"):
-        a = {tuple(r) for r in spark.read.parquet(f"{full_p}/{sub}").collect()}
-        b = {tuple(r) for r in spark.read.parquet(f"{inc_p}/{sub}").collect()}
+        a = {
+            tuple(r)
+            for r in spark.read.parquet(
+                f"{resolve_index_root(full_p)}/{sub}"
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in spark.read.parquet(
+                f"{resolve_index_root(inc_p)}/{sub}"
+            ).collect()
+        }
         assert a == b, sub
     qs = spark.createDataFrame(
         _QUERIES + [(9, "appended")], "query_id INT, query_text STRING"
@@ -800,12 +820,16 @@ def test_bm25_append_equals_full_stage(spark, tmp_path):
 
     legacy = str(tmp_path / "legacy")
     stage_bm25(seed, legacy, n_buckets=8)
-    spark.read.parquet(f"{legacy}/stats").drop("sum_dl").write.mode(
+    legacy_root = resolve_index_root(legacy)
+    spark.read.parquet(f"{legacy_root}/stats").drop("sum_dl").write.mode(
         "overwrite"
     ).parquet(str(tmp_path / "legacy_stats"))
     import shutil
 
-    shutil.rmtree(f"{legacy}/stats")
-    shutil.move(str(tmp_path / "legacy_stats"), f"{legacy}/stats")
+    shutil.rmtree(f"{legacy_root}/stats")
+    shutil.move(str(tmp_path / "legacy_stats"), f"{legacy_root}/stats")
     with _pytest.raises(ValueError, match="re-run stage_bm25"):
         append_to_staged_bm25(late, legacy)
+    # and an unpublished path (no SnapshotIndex pointer) fails loudly too
+    with _pytest.raises(ValueError, match="re-run stage_bm25"):
+        append_to_staged_bm25(late, str(tmp_path / "nowhere"))

@@ -103,6 +103,158 @@ def test_retire_keeps_last_n_versions(spark, tmp_path):
     assert t._staged_versions() == [2, 3]
 
 
+def test_snapshot_index_atomic_multi_dataset_publish(spark, tmp_path):
+    """SnapshotIndex (the multi-dataset WAP variant): datasets staged
+    into v=<n> are invisible until the single pointer swap; an aborted
+    second commit leaves the previous version fully readable; a
+    hardlink append carries old files by reference and still publishes
+    in one swap."""
+    import shutil
+
+    from etl_s3_to_redshift_spark.operators.table_commit import (
+        SnapshotIndex,
+        resolve_index_root,
+    )
+
+    base = str(tmp_path / "idx")
+    idx = SnapshotIndex(base)
+    a0 = spark.createDataFrame([(1, "x")], "k int, v string")
+    b0 = spark.createDataFrame([(10,)], "n int")
+    s = idx.begin()
+    a0.write.parquet(os.path.join(s, "a"))
+    assert not idx.exists(), "partial stage must be invisible"
+    assert resolve_index_root(base) == base  # unpublished -> fallback
+    b0.write.parquet(os.path.join(s, "b"))
+    assert idx.publish(s) == 0
+    root0 = idx.current_path()
+
+    # crash between the two dataset writes of an append: abort leaves
+    # the published version exactly as it was
+    s1 = idx.begin()
+    spark.createDataFrame([(2, "y")], "k int, v string").write.parquet(
+        os.path.join(s1, "a")
+    )
+    idx.abort(s1)
+    assert idx.current_path() == root0
+    assert _rows(spark.read.parquet(os.path.join(root0, "a"))) == _rows(a0)
+
+    # hardlink append: old files by reference + delta, one swap
+    s2 = idx.begin()
+    idx.link_from_current(s2, "a")
+    spark.createDataFrame([(2, "y")], "k int, v string").write.mode(
+        "append"
+    ).parquet(os.path.join(s2, "a"))
+    idx.link_from_current(s2, "b")
+    idx.publish(s2)
+    root2 = idx.current_path()
+    assert root2 != root0
+    assert resolve_index_root(base) == root2
+    assert _rows(spark.read.parquet(os.path.join(root2, "a"))) == [
+        (1, "x"),
+        (2, "y"),
+    ]
+    assert _rows(spark.read.parquet(os.path.join(root2, "b"))) == _rows(b0)
+    # pinned reader: the previous version directory is retained
+    # (keep_versions=2) and untouched by the append
+    assert _rows(spark.read.parquet(os.path.join(root0, "a"))) == _rows(a0)
+
+    # publish refuses foreign directories
+    alien = str(tmp_path / "alien" / "v=7")
+    os.makedirs(alien)
+    with pytest.raises(ValueError, match="not a staging dir"):
+        idx.publish(alien)
+    shutil.rmtree(str(tmp_path / "alien"))
+
+
+def test_bm25_append_crash_leaves_previous_index_readable(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r9 #5 end-to-end: a crash at ANY point inside
+    append_to_staged_bm25 — here injected at the final pointer swap,
+    after postings/df/stats were all written — leaves the previously
+    published index the one probes read (scores unchanged, no stale
+    df/N mix), and a later append recovers cleanly."""
+    from etl_s3_to_redshift_spark.operators import textops as T
+    from etl_s3_to_redshift_spark.operators.table_commit import SnapshotIndex
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins data"), (2, "duck pond river")],
+        "doc_id INT, text STRING",
+    )
+    late = spark.createDataFrame(
+        [(3, "spark appended later")], "doc_id INT, text STRING"
+    )
+    qs = spark.createDataFrame([(0, "spark")], "query_id INT, query_text STRING")
+    base = str(tmp_path / "bm25")
+    T.stage_bm25(docs, base, n_buckets=4)
+    before = {tuple(r) for r in T.bm25_topk_staged(spark, base, qs, k=5).collect()}
+
+    boom = RuntimeError("simulated crash before index pointer swap")
+    monkeypatch.setattr(
+        SnapshotIndex, "publish", lambda self, s: (_ for _ in ()).throw(boom)
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        T.append_to_staged_bm25(late, base)
+    monkeypatch.undo()
+
+    after = {tuple(r) for r in T.bm25_topk_staged(spark, base, qs, k=5).collect()}
+    assert after == before, "crashed append must not be visible"
+    # recovery: the next append publishes past the orphaned stage
+    T.append_to_staged_bm25(late, base)
+    recovered = {
+        tuple(r) for r in T.bm25_topk_staged(spark, base, qs, k=5).collect()
+    }
+    # docs 1 and 3 contain "spark" post-append (doc 2 never did)
+    assert recovered != before and len(recovered) == 2
+
+
+def test_ivf_append_crash_leaves_previous_index_readable(
+    spark, tmp_path, monkeypatch
+):
+    """Same crash-injection for IvfIndex.append_to_saved: the pointer
+    swap is the only publish point, so a crash mid-append leaves the
+    saved index exactly as the last save/append published it."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        IvfIndex,
+        build_ivf_index,
+        ivf_probe,
+    )
+    from etl_s3_to_redshift_spark.operators.table_commit import SnapshotIndex
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) != 0)
+    late = emb.filter(F.pmod(F.col("vec_id"), F.lit(5)) == 0)
+    built = build_ivf_index(seed, n_lists=4)
+    base = str(tmp_path / "ivf")
+    built.save(base)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = {
+        tuple(r)
+        for r in ivf_probe(IvfIndex.load(spark, base), queries, k=5).collect()
+    }
+
+    boom = RuntimeError("simulated crash before index pointer swap")
+    monkeypatch.setattr(
+        SnapshotIndex, "publish", lambda self, s: (_ for _ in ()).throw(boom)
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        built.append_to_saved(late, base)
+    monkeypatch.undo()
+
+    after = {
+        tuple(r)
+        for r in ivf_probe(IvfIndex.load(spark, base), queries, k=5).collect()
+    }
+    assert after == before, "crashed append must not be visible"
+    built.append_to_saved(late, base)
+    merged = IvfIndex.load(spark, base)
+    assert merged.cells.count() == emb.count()
+
+
 def test_upsert_table_latest_wins_and_replay_idempotent(spark, tmp_path):
     rows = [(1, "a0", 10), (2, "b0", 10), (2, "b1", 20), (1, "a1", 5)]
     updates = spark.createDataFrame(rows, "k int, attr string, ver int")

@@ -147,7 +147,10 @@ def test_ivf_index_save_load_probe(spark, tmp_path):
     # the on-disk layout IS the inverted file: one directory per cell
     import os
 
-    cell_dirs = [d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")]
+    from etl_s3_to_redshift_spark.operators.table_commit import resolve_index_root
+
+    root = resolve_index_root(path)
+    cell_dirs = [d for d in os.listdir(f"{root}/cells") if d.startswith("cell=")]
     assert len(cell_dirs) == 16
 
 
