@@ -186,6 +186,9 @@ HEADLINE = [
     # (salted two-phase top-k over maximally hot domain keys)
     "web_url_dedup",
     "web_domain_quota",
+    # round-10: the composed URL-level funnel (dedup then quota, the
+    # curate_corpus stage-0 path — C4/RefinedWeb order)
+    "web_curation_funnel",
 ]
 
 # Negative-control group (VERDICT r8 #2): inline one-shot shapes that are
@@ -297,6 +300,8 @@ DATA_BOUND = [
     "sim_hybrid_rrf_staged",
     "web_url_dedup",
     "web_domain_quota",
+    # round-10: corpus-linear like its two components
+    "web_curation_funnel",
 ]
 
 

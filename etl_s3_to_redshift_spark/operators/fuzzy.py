@@ -193,8 +193,20 @@ def substitution_clique_components(
             F.length("__s").alias("__slen"),
             F.posexplode(F.expr(arr)).alias("__seg", "__comp"),
         )
+        # Two-level sort key (VERDICT r9 #2): the block-min window sorts
+        # ~n_records*n_segments rows, and with a LOW-CARDINALITY leading
+        # key (__seg: n_segments values) the 8-byte sort-prefix
+        # comparator ties on almost every comparison and falls through
+        # to full-record compares against the ~string-length complement.
+        # Leading with a 64-bit hash of the WHOLE block key gives
+        # near-unique prefixes, so comparisons (and spill merges)
+        # resolve in the prefix comparator. Collision-safe by
+        # construction: the exact (__seg, __comp, __slen) triple stays
+        # in the partition spec, so a hash collision changes nothing
+        # about which rows share a block — only sort-comparison order.
+        .withColumn("__ch", F.xxhash64("__seg", "__comp", "__slen"))
     )
-    w = Window.partitionBy("__seg", "__comp", "__slen")
+    w = Window.partitionBy("__ch", "__seg", "__comp", "__slen")
     star = (
         exploded.select("__id", F.min("__id").over(w).alias("__bmin"))
         .filter(F.col("__id") != F.col("__bmin"))

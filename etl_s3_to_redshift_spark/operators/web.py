@@ -116,6 +116,59 @@ def url_dedup_groups(
     )
 
 
+def _quota_kept_rows(
+    df: DataFrame,
+    domain_col: str,
+    quota: int,
+    order_col: str,
+    id_col: str,
+    salt_parts: int,
+) -> DataFrame:
+    """The quota KEEP decision, shared by ``domain_quota_report`` (which
+    aggregates it) and ``domain_quota_filter`` (which semi-joins it):
+    at most ``quota`` rows per domain, best-first by (order_col DESC,
+    id ASC — unique tiebreak), via the salted TWO-PHASE top-k (the
+    bm25_topk ranking pattern) — rank within (domain, id-hash salt)
+    first, then rank the <= salt_parts*quota survivors per domain, so a
+    template-heavy host's row set never funnels through one task (the
+    Zipf window trap). Returns (domain, __id, __ord) kept rows."""
+    rows = df.select(
+        F.col(domain_col).alias("domain"), F.col(id_col).alias("__id"),
+        F.col(order_col).cast("double").alias("__ord"),
+    )
+    w_salt = Window.partitionBy(
+        "domain", F.pmod(F.xxhash64(F.col("__id")), F.lit(salt_parts))
+    ).orderBy(F.col("__ord").desc(), F.col("__id").asc())
+    w_d = Window.partitionBy("domain").orderBy(
+        F.col("__ord").desc(), F.col("__id").asc()
+    )
+    return (
+        rows.withColumn("__r0", F.row_number().over(w_salt))
+        .filter(F.col("__r0") <= quota)
+        .withColumn("__r", F.row_number().over(w_d))
+        .filter(F.col("__r") <= quota)
+        .select("domain", "__id", "__ord")
+    )
+
+
+def domain_quota_filter(
+    df: DataFrame,
+    domain_col: str,
+    quota: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    salt_parts: int = 32,
+) -> DataFrame:
+    """Ids of the documents the per-domain quota KEEPS — the
+    funnel-stage form of ``domain_quota_report`` (identical keep
+    decision: same salted two-phase top-k; the report is an aggregate
+    of this set, pinned in tests). Semi-join against the corpus to
+    apply the cap."""
+    return _quota_kept_rows(
+        df, domain_col, quota, order_col, id_col, salt_parts
+    ).select(F.col("__id").alias(id_col))
+
+
 def domain_quota_report(
     df: DataFrame,
     domain_col: str,
@@ -142,17 +195,8 @@ def domain_quota_report(
         F.col(domain_col).alias("domain"), F.col(id_col).alias("__id"),
         F.col(order_col).cast("double").alias("__ord"),
     )
-    w_salt = Window.partitionBy(
-        "domain", F.pmod(F.xxhash64(F.col("__id")), F.lit(salt_parts))
-    ).orderBy(F.col("__ord").desc(), F.col("__id").asc())
-    w_d = Window.partitionBy("domain").orderBy(
-        F.col("__ord").desc(), F.col("__id").asc()
-    )
     kept = (
-        rows.withColumn("__r0", F.row_number().over(w_salt))
-        .filter(F.col("__r0") <= quota)
-        .withColumn("__r", F.row_number().over(w_d))
-        .filter(F.col("__r") <= quota)
+        _quota_kept_rows(df, domain_col, quota, order_col, id_col, salt_parts)
         .groupBy("domain")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_kept"),

@@ -6,6 +6,9 @@ oracle-checked components; this plan composes them into the standard
 web-corpus cleaning flow:
 
     raw docs
+      → URL-level pass     (optional: canonical-URL dedup + per-domain
+                            quota — C4/RefinedWeb run these FIRST; they
+                            are the cheapest gates in the stack)
       → quality gate       (length / alpha-ratio / stopword-ratio floor)
       → exact dedup        (keep lowest id per normalized content key)
       → near-dup removal   (MinHash-LSH pairs → connected components →
@@ -81,6 +84,8 @@ def curate_corpus(
     split_weights: dict[str, float] | None = None,
     order_buckets: int | None = None,
     staging_dir: str | None = None,
+    url_col: str | None = None,
+    domain_quota: int | None = None,
 ) -> CurationResult:
     """Run the full curation pipeline; see module docstring for stages.
 
@@ -88,8 +93,49 @@ def curate_corpus(
     100 TB configuration); ``None`` keeps the whole pipeline lazy (fine
     up to the scale where recomputing the upstream per join branch
     costs more than a staged write).
+
+    ``url_col`` turns on the URL-level stage 0 (the C4/RefinedWeb
+    order: canonical-URL dedup, then — with ``domain_quota`` — a
+    per-registered-domain cap keeping the longest documents first,
+    BEFORE any content-level pass: the cheapest gates run first, and at
+    web scale the same page crawled under URL variants would otherwise
+    reach the much costlier near-dup stage). ``domain_quota`` requires
+    ``url_col``.
     """
+    if domain_quota is not None and url_col is None:
+        raise ValueError("domain_quota requires url_col (the domain comes from the URL)")
     stats: dict[str, int] = {"raw": docs.count()}
+
+    # 0. URL-level pass — id-level verdicts semi-joined back, same
+    # text-column discipline as every other stage
+    if url_col is not None:
+        from etl_s3_to_redshift_spark.operators.web import (
+            canonical_url,
+            domain_quota_filter,
+            registered_domain,
+            url_dedup_groups,
+        )
+
+        kept_urls = url_dedup_groups(docs, url_col=url_col, id_col=id_col).select(
+            F.col("kept_id").alias(id_col)
+        )
+        docs = docs.join(kept_urls, [id_col], "left_semi")
+        docs = _maybe_stage(spark, docs, staging_dir, "url_deduped")
+        stats["url_deduped"] = docs.count()
+        if domain_quota is not None:
+            domains = docs.select(
+                F.col(id_col),
+                registered_domain(canonical_url(F.col(url_col))).alias("__domain"),
+                # keep-longest-first: the standard quality proxy when no
+                # scorer has run yet (the quota fires before stage 1)
+                F.length(F.col(text_col)).alias("__len"),
+            )
+            keep_ids = domain_quota_filter(
+                domains, "__domain", domain_quota, "__len", id_col=id_col
+            )
+            docs = docs.join(keep_ids, [id_col], "left_semi")
+            docs = _maybe_stage(spark, docs, staging_dir, "domain_capped")
+            stats["domain_capped"] = docs.count()
 
     # 1. quality gate — id-level verdict joined back so the text column
     # stays in its original scan stage

@@ -969,62 +969,62 @@ def _load_extensions() -> None:
 # then the oldest-registered r6-cohort entries up to the cap.  Every
 # query stays verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
-    # registered round 9 (zero driver evidence yet): the staged-BM25
-    # sparse probe, the hybrid whose BOTH legs ride saved structures,
-    # and the sparse-chain ER topology twin
-    "text_bm25_topk_staged",
-    "sim_hybrid_rrf_staged",
-    "entity_groups_sparse_chain",
-    "text_bm25_topk_appended",
-    "web_url_dedup",
-    "web_domain_quota",
-    # r5 cohort: all 35 queries whose newest driver row is round 5
-    "agg_argminmax",
-    "agg_collect_ordered",
-    "agg_exact_moments",
-    "basket_association_rules",
-    "cube_order_stats",
-    "data_group_aware_split",
-    "delta_change_feed",
-    "dq_drift_psi",
-    "dq_orders_expectations",
-    "entity_groups_fuzzy",
-    "events_top_paths",
-    "fuzzy_customer_match",
-    "hist_order_values",
-    "lateral_posexplode",
-    "orders_yoy_growth",
-    "percentile_order_value",
-    "pivot_event_counts",
-    "q20_prolific_part_suppliers",
-    "q21_waiting_supplier",
-    "q22_dormant_value_customers",
-    "scalar_string_suite",
-    "sim_ann_ivf",
-    "sim_ann_ivfpq",
-    "sim_ann_pq",
-    "sim_ann_recall_report",
-    "skew_salted_event_agg",
-    "stream_interval_join",
-    "supplier_pareto_revenue",
-    "text_bigram_logprob",
-    "text_bpe_merges",
-    "text_bpe_tokenize",
-    "ts_inflight_shipments_daily",
-    "ts_seasonal_anomalies",
-    "unpivot_lineitem_measures",
-    "w3_window_shapes",
-    # r6 cohort head: fills the slate to the 50-cap; the remainder
-    # leads round 10
-    "r1_projection",
-    "dedup_simhash",
-    "sim_topk_cosine_fast",
-    "sim_ann_lsh",
-    "mm_frame_sample",
-    "data_hash_split",
-    "data_stratified_sample",
-    "data_pack_sequences",
-    "text_repetition",
+    # registered round 10 (zero driver evidence yet): the URL-level
+    # curation funnel
+    "web_curation_funnel",
+    # r6 cohort: all 41 queries whose newest driver row is round 6
+    # (CORRECTNESS_r06 minus every later slate — the freshness rotation)
+    "agg_bool_bit_suite",
+    "agg_corr_regression",
+    "approx_heavy_hitters",
+    "approx_sketches",
+    "data_curation_funnel",
+    "data_dsir_weights",
+    "data_token_budget",
+    "data_training_order",
+    "dedup_exact_substrings",
+    "dedup_groups_incremental",
+    "dedup_keep_best_quality",
+    "dedup_lines_keepfirst",
+    "dedup_repeated_chunks",
+    "dedup_semantic_clusters",
+    "emb_bitext_margin",
+    "emb_bitext_margin_ann",
+    "emb_hard_negatives",
+    "emb_kcenter_coreset",
+    "emb_label_centroids",
+    "emb_prototypes_prune",
+    "grouping_sets_orders",
+    "hist_equidepth_deciles",
+    "mm_resize_thumbs",
+    "null_safe_join_events",
+    "regex_suite",
+    "rollup_incremental_merge",
+    "scalar_datetime_suite",
+    "scalar_math_conditional",
+    "scalar_try_safe_suite",
+    "sim_hybrid_rrf",
+    "skew_key_profile",
+    "text_bm25_topk",
+    "text_c4_rules",
+    "text_decontaminate",
+    "text_gopher_rules",
+    "text_ngram_novelty",
+    "text_perplexity_buckets",
+    "text_tokenizer_report",
+    "ts_gapfill_hourly",
+    "udf_minmax_normalize",
+    "w4_value_range_frames",
+    # r7 cohort head: fills the slate to the 50-cap; the remainder
+    # leads round 11
+    "agg_mode_median",
+    "anti_join_dormant_customers",
+    "array_map_suite",
+    "asof_next_purchase",
+    "attr_multi_touch",
+    "cohort_retention_weekly",
+    "cross_join_region_nation",
+    "data_source_mixture",
 ]
 
 

@@ -59,33 +59,34 @@ def _synth_url() -> F.Column:
     )
 
 
-@register(
-    "web_url_dedup",
-    f"""
-    WITH urls AS (
-      SELECT doc_id, {_URL_SYNTH_DUCK} AS url FROM documents
+# Shared canonicalization CTE chain (DuckDB): the same step-named
+# normalization as operators/web.canonical_url, carrying n_chars through
+# for consumers that rank on it. Prefixed by "WITH" at each use site.
+_CANON_CTES = f"""
+    urls AS (
+      SELECT doc_id, n_chars, {_URL_SYNTH_DUCK} AS url FROM documents
     ), parts AS (
-      SELECT doc_id,
+      SELECT doc_id, n_chars,
              regexp_replace(url, '#.*$', '') AS no_frag
       FROM urls
     ), parts2 AS (
-      SELECT doc_id,
+      SELECT doc_id, n_chars,
              regexp_replace(no_frag, '\\?.*$', '') AS base,
              CASE WHEN contains(no_frag, '?')
                   THEN regexp_replace(no_frag, '^[^?]*\\?', '') ELSE '' END AS q
       FROM parts
     ), parts3 AS (
-      SELECT doc_id, q,
+      SELECT doc_id, n_chars, q,
              lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              regexp_replace(base, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS rest
       FROM parts2
     ), parts4 AS (
-      SELECT doc_id, q, scheme,
+      SELECT doc_id, n_chars, q, scheme,
              lower(regexp_extract(rest, '^([^/]*)', 1)) AS hostport,
              regexp_replace(regexp_replace(rest, '^[^/]*', ''), '//+', '/', 'g') AS p1
       FROM parts3
     ), parts5 AS (
-      SELECT doc_id, q, scheme,
+      SELECT doc_id, n_chars, q, scheme,
              CASE WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
                   WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
                   ELSE hostport END AS host,
@@ -98,12 +99,19 @@ def _synth_url() -> F.Column:
                     AND split_part(p, '=', 1) != 'fbclid')), '&') AS qc
       FROM parts4
     ), canon AS (
-      SELECT doc_id,
+      SELECT doc_id, n_chars,
              concat(scheme, '://', host, path,
                     CASE WHEN qc != '' THEN concat('?', qc) ELSE '' END)
                AS canonical_url
       FROM parts5
     )
+"""
+
+
+@register(
+    "web_url_dedup",
+    f"""
+    WITH {_CANON_CTES}
     SELECT canonical_url,
            regexp_extract(regexp_extract(canonical_url, '^[a-z]+://([^/?#]*)', 1),
                           '([^.]+\\.[^.]+)$', 1) AS domain,
@@ -189,3 +197,116 @@ def web_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quota_report(
         docs, domain_col="domain", quota=_QUOTA, order_col="n_chars"
     )
+
+
+_FUNNEL_QUOTA = 40
+
+
+@register(
+    "web_curation_funnel",
+    f"""
+    WITH {_CANON_CTES},
+    kept AS (
+      SELECT min(doc_id) AS doc_id FROM canon GROUP BY canonical_url
+    ), url_level AS (
+      SELECT c.doc_id, c.n_chars,
+             regexp_extract(c.canonical_url, '^[a-z]+://([^/?#]*)', 1) AS domain
+      FROM canon c JOIN kept k ON c.doc_id = k.doc_id
+    ), ranked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY domain
+                                ORDER BY n_chars DESC, doc_id ASC) AS r
+      FROM url_level
+    ), counts AS (
+      SELECT (SELECT count(*) FROM documents) AS n0,
+             (SELECT count(*) FROM url_level) AS n1,
+             (SELECT count(*) FROM ranked WHERE r <= {_FUNNEL_QUOTA}) AS n2
+    )
+    SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_removed AS BIGINT) AS n_removed, pct_kept
+    FROM (
+      SELECT 0 AS stage_idx, 'raw' AS stage, n0 AS n_docs, 0 AS n_removed,
+             CASE WHEN n0 > 0 THEN round(1.0, 6) + 0.0 END AS pct_kept
+      FROM counts
+      UNION ALL
+      SELECT 1, 'url_deduped', n1, n0 - n1,
+             CASE WHEN n0 > 0 THEN round(CAST(n1 AS DOUBLE) / n0, 6) + 0.0 END
+      FROM counts
+      UNION ALL
+      SELECT 2, 'domain_capped', n2, n1 - n2,
+             CASE WHEN n0 > 0 THEN round(CAST(n2 AS DOUBLE) / n0, 6) + 0.0 END
+      FROM counts
+    ) t
+    """,
+    doc=(
+        "The URL-level curation funnel (plans/curation.curate_corpus "
+        "stage 0; C4/RefinedWeb run these gates FIRST because they are "
+        "the cheapest in the stack): raw corpus → canonical-URL dedup "
+        "(operators/web.url_dedup_groups — one map-side-combined "
+        "groupBy on the in-scan canonical key) → per-domain quota "
+        "(operators/web.domain_quota_filter — the salted two-phase "
+        f"top-k, keep the {_FUNNEL_QUOTA} longest docs per canonical "
+        "host), reported as (stage_idx, stage, n_docs, n_removed, "
+        "pct_kept) in the data_curation_funnel shape. The report is "
+        "three 1-row aggregates cross-joined (broadcast-trivial) and "
+        "exploded into literal stage structs — no second corpus pass. "
+        "Exact DuckDB oracle sharing the canonicalization CTE chain "
+        "with web_url_dedup; the quota window is the plain form the "
+        "oracle can afford."
+    ),
+)
+def web_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.web import (
+        canonical_url,
+        domain_quota_filter,
+        url_dedup_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", _synth_url().alias("url")
+    )
+    kept_urls = url_dedup_groups(docs, url_col="url", id_col="doc_id").select(
+        F.col("kept_id").alias("doc_id")
+    )
+    url_level = docs.join(kept_urls, ["doc_id"], "left_semi")
+    domains = url_level.select(
+        "doc_id",
+        F.regexp_extract(
+            canonical_url(F.col("url")), "^[a-z]+://([^/?#]*)", 1
+        ).alias("domain"),
+        "n_chars",
+    )
+    capped = domains.join(
+        domain_quota_filter(
+            domains, "domain", _FUNNEL_QUOTA, "n_chars", id_col="doc_id"
+        ),
+        ["doc_id"],
+        "left_semi",
+    )
+    one = (
+        docs.agg(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(url_level.agg(F.count(F.lit(1)).alias("n1")))
+        .crossJoin(capped.agg(F.count(F.lit(1)).alias("n2")))
+    )
+    c = [F.col("n0"), F.col("n1"), F.col("n2")]
+    names = ["raw", "url_deduped", "domain_capped"]
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage_idx"),
+                F.lit(names[i]).alias("stage"),
+                c[i].cast("long").alias("n_docs"),
+                (c[i - 1] - c[i] if i else F.lit(0)).cast("long").alias(
+                    "n_removed"
+                ),
+                F.when(
+                    c[0] > 0,
+                    F.round(c[i].cast("double") / c[0].cast("double"), 6)
+                    + F.lit(0.0),
+                ).alias("pct_kept"),
+            )
+            for i in range(3)
+        ]
+    )
+    return one.select(F.explode(structs).alias("st")).select("st.*")

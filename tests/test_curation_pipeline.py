@@ -76,6 +76,59 @@ def test_staged_equals_unstaged(spark, docs, bench_docs, result, tmp_path):
     assert a == b
 
 
+def test_url_stage_accounting_and_staged_equals_unstaged(spark, docs, tmp_path):
+    """Stage 0 (URL-level, VERDICT r9 #7): canonical-URL dedup collapses
+    planted URL variants FIRST, then the per-domain quota caps the
+    noisiest domain — stage accounting lands between raw and the
+    content stages, survivors respect both gates, and the staged
+    (parquet-materialized) run is row-identical."""
+    # deterministic noisy URLs: two registered domains; doc_id%2 picks
+    # the domain, doc_id%5 plants scheme-case/tracking-param variants
+    # that canonicalize to doc_id%10's URL — each (domain, doc_id%10)
+    # bucket collapses to ONE canonical URL
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("a.site-a.com")).otherwise(F.lit("b.site-b.org")),
+        F.lit("/p/"),
+        (d % 10).cast("string"),
+        F.when(d % 5 == 0, F.lit("?utm_source=x")).otherwise(F.lit("")),
+    )
+    with_urls = docs.withColumn("url", url)
+    res = curate_corpus(
+        spark, with_urls, url_col="url", domain_quota=3,
+        # neutralize the content gates so the URL stages are isolated
+        min_chars=0, min_alpha_ratio=0.0, near_dup_threshold=0.99,
+    )
+    s = res.stats
+    # 2 domains x (10 residues mod 10 alternating by parity -> 5 each)
+    assert s["url_deduped"] == 10
+    assert s["domain_capped"] == 6  # quota 3 per registered domain
+    assert s["raw"] >= s["url_deduped"] >= s["domain_capped"] >= s["curated"]
+    # survivors: at most quota per registered domain, and each kept doc
+    # is its canonical URL's minimum id
+    rows = res.curated.select("doc_id").collect()
+    kept = sorted(r.doc_id for r in rows)
+    assert all(i < 10 for i in kept), "kept_id is the min doc_id per canonical URL"
+    per_dom = {0: 0, 1: 0}
+    for i in kept:
+        per_dom[i % 2] += 1
+    assert all(v <= 3 for v in per_dom.values())
+    staged = curate_corpus(
+        spark, with_urls, url_col="url", domain_quota=3,
+        min_chars=0, min_alpha_ratio=0.0, near_dup_threshold=0.99,
+        staging_dir=str(tmp_path / "stage"),
+    )
+    assert staged.stats == s
+    a = {(r.doc_id, r.split) for r in res.curated.select("doc_id", "split").collect()}
+    b = {(r.doc_id, r.split) for r in staged.curated.select("doc_id", "split").collect()}
+    assert a == b
+    # guard: quota without a URL column is a contract error
+    with pytest.raises(ValueError, match="requires url_col"):
+        curate_corpus(spark, with_urls, domain_quota=3)
+
+
 def test_write_curated_partitions_by_split(spark, result, tmp_path):
     out = str(tmp_path / "corpus")
     write_curated(result, out)

@@ -106,6 +106,9 @@ ALLOWED_BNL = {
     "text_bm25_topk_staged": "1-row staged corpus-stats (N, avgdl) broadcast",
     "text_bm25_topk_appended": "1-row staged corpus-stats (N, avgdl) broadcast",
     "sim_hybrid_rrf_staged": "staged-sparse-leg 1-row corpus-stats broadcast",
+    # three 1-row stage-count aggregates cross-joined into the report
+    # row (the curation_funnel literal-struct pattern)
+    "web_curation_funnel": "1-row stage-count aggregates cross join",
 }
 
 
