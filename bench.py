@@ -187,8 +187,10 @@ HEADLINE = [
     "web_url_dedup",
     "web_domain_quota",
     # round-10: the composed URL-level funnel (dedup then quota, the
-    # curate_corpus stage-0 path — C4/RefinedWeb order)
+    # curate_corpus stage-0 path — C4/RefinedWeb order) and the PSL
+    # registered-domain lookup (distinct-host dim + broadcast rule join)
     "web_curation_funnel",
+    "web_psl_domains",
 ]
 
 # Negative-control group (VERDICT r8 #2): inline one-shot shapes that are
@@ -302,6 +304,7 @@ DATA_BOUND = [
     "web_domain_quota",
     # round-10: corpus-linear like its two components
     "web_curation_funnel",
+    "web_psl_domains",
 ]
 
 
@@ -322,8 +325,24 @@ def materialize(df) -> None:
 # resolved SHA ("ref_sha") next to the name, so a reader can always tell
 # exactly which commit the ratio was measured against. The tag must
 # point at the PREVIOUS round's final commit when a round's bench is
-# finalized (bench-r9-baseline -> be827db, r9-final).
-PAIRED_BASELINE_REF = "bench-r9-baseline"
+# finalized (bench-r9-baseline -> be827db, r9-final). The tag NAME is
+# derived from the newest BENCH_r{N}.json on disk (the previous round's
+# artifact), so a new round needs no hand-bump here — only the retag.
+
+
+def _paired_baseline_ref() -> str:
+    import re as _re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(repo)
+        if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return f"bench-r{max(rounds)}-baseline" if rounds else "bench-baseline"
+
+
+PAIRED_BASELINE_REF = _paired_baseline_ref()
 
 
 def _resolve_sha(ref: str) -> str | None:

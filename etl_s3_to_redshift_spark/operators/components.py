@@ -141,14 +141,19 @@ def connected_components(
     diameter graphs (near-dup cliques, converge in ~2-3 rounds) win
     under broadcast while high-diameter chains (the sf100 ER chain
     graph: ~8 rounds) lose 27% end-to-end. Since diameter is unknowable
-    up front, the loop switches ONLINE: start on the broadcast regime
-    (when the vertex count permits), and if labels are still changing
-    after ``switch_rounds`` rounds (default 3; env
-    ``SPARK_GRAFT_CC_SWITCH_ROUNDS``) materialize the bucketed edge
-    table THEN and finish on sort-merge rounds. Dense graphs never pay
-    the edge-sized table write; chains pay it once instead of ~5 more
-    broadcast rebuilds. Both regimes compute identical labelings
-    (pinned result-equal in tests)."""
+    up front, two signals pick the regime: (a) a PRE-SIGNAL — average
+    symmetrized degree (one count of the checkpointed edge frame;
+    random-graph diameter ~ log n / log deg, so degree <
+    ``SPARK_GRAFT_CC_BCAST_MIN_DEGREE`` (default 4) means chain-like,
+    bucket from round 0 — the sf100 fixtures sit at ~1.8 vs ~12.5); and
+    (b) the ONLINE backstop — if labels are still changing after
+    ``switch_rounds`` rounds (default 4 — the dense ER fixture detects
+    its fixpoint at round 4, r5 measurement, so it must never pay the
+    write; env ``SPARK_GRAFT_CC_SWITCH_ROUNDS``) materialize the
+    bucketed edge table THEN and finish on sort-merge rounds. Dense
+    graphs never pay the edge-sized table write; chains pay it up front
+    instead of ~8 broadcast rebuilds. Both regimes compute identical
+    labelings (pinned result-equal in tests)."""
     # Materialize the RAW pair selection once (narrow — no shuffle):
     # every path below consumes it at least twice, and without truncation
     # each use re-runs the whole upstream pair pipeline — ruinous when
@@ -218,9 +223,24 @@ def connected_components(
         # NULL == NULL every round (sum over zero rows) and never detect
         # the (trivial) fixpoint — return the empty labeling immediately.
         return labels
-    bcast = n_vertices <= broadcast_vertices_max
+    # Topology pre-signal (r10, measured): average degree separates the
+    # regimes BEFORE round 1 — random-graph diameter shrinks as degree
+    # grows (diam ~ log n / log deg), so a low-degree graph is chain-like
+    # (many rounds: every broadcast rebuild wasted) while a high-degree
+    # graph is clique-like (few rounds: broadcast rounds are 1.5× faster
+    # than SMJ rounds, r8). The sf100 ER fixtures sit at avg sym-degree
+    # ~1.8 (chains) vs ~12.5 (dense) — the default threshold 4 splits
+    # them with margin, and the count is one scan of the already-
+    # checkpointed edge frame. Pathological low-degree/low-diameter
+    # graphs (hub stars) just pay the bounded bucketed-regime premium;
+    # high-degree/high-diameter ones are caught by the ONLINE switch
+    # below — the pre-signal is an optimization, the switch is the
+    # correctness-of-cost backstop.
+    avg_degree = edges.count() / n_vertices
+    degree_min = float(os.environ.get("SPARK_GRAFT_CC_BCAST_MIN_DEGREE", 4.0))
+    bcast = n_vertices <= broadcast_vertices_max and avg_degree >= degree_min
     if switch_rounds is None:
-        switch_rounds = int(os.environ.get("SPARK_GRAFT_CC_SWITCH_ROUNDS", 3))
+        switch_rounds = int(os.environ.get("SPARK_GRAFT_CC_SWITCH_ROUNDS", 4))
     scratch_tables: list[str] = []
 
     def bucketize(e: DataFrame) -> DataFrame:
@@ -264,7 +284,7 @@ def _cc_loop(
     max_iter: int,
     bcast: bool,
     bucketize=None,
-    switch_rounds: int = 3,
+    switch_rounds: int = 4,
 ) -> DataFrame:
     def maybe_b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if bcast else df

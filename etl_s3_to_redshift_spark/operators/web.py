@@ -80,14 +80,103 @@ def canonical_url(url: Column) -> Column:
 def registered_domain(host_or_url: Column) -> Column:
     """Naive registered domain: the last two dot-labels of the host
     (example.com from a.b.example.com). A production system consults the
-    Public Suffix List (co.uk et al.) — that is a ~10k-row broadcast
-    TABLE lookup, deliberately out of scope here; the two-label rule is
-    the standard approximation when no PSL is shipped, and the quota
-    operator takes ANY domain column, so a PSL-derived one drops in."""
+    Public Suffix List (co.uk et al.) — ``psl_registered_domain`` below
+    is that lookup as a broadcast table join; the two-label rule is the
+    standard approximation when no PSL is shipped, and the quota
+    operator takes ANY domain column, so either drops in."""
     host = F.lower(
         F.regexp_extract(host_or_url, r"^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/:?#]*)", 1)
     )
     return F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+
+
+def psl_registered_domain(
+    df: DataFrame,
+    host_col: str,
+    psl: DataFrame,
+    out_col: str = "registered_domain",
+    max_suffix_labels: int = 4,
+) -> DataFrame:
+    """Registered domain via a Public Suffix List TABLE (publicsuffix.org
+    — the list Mozilla/Chromium ship): the registered domain is one
+    label more than the LONGEST public suffix matching the host, so
+    a.b.example.co.uk → example.co.uk under the 'co.uk' rule while the
+    naive two-label rule wrongly yields 'co.uk'. ``psl`` is a one-column
+    (``suffix``) frame of lowercase rules — ~10k rows in the real list,
+    a textbook broadcast dimension.
+
+    Plan shape: per host, build the ≤``max_suffix_labels`` candidate
+    dot-suffixes with narrow array expressions (split/slice/array_join —
+    no UDF; 4 labels covers the deepest rules in the published list),
+    posexplode, broadcast-hash-join against the rule table, and keep the
+    longest hit per row (one match-sized aggregation — the exploded
+    frame is ≤4× hosts and sheds immediately on the semi-ish join).
+    Hosts matching NO rule fall back to the list's implicit default rule
+    ``*`` (TLD = last label ⇒ registered domain = last two labels, the
+    ``registered_domain`` approximation); single-label hosts yield ''.
+    Wildcard (``*.ck``) and exception (``!www.ck``) rules are
+    deliberately out of scope — expand them into plain rows when
+    loading the list. Returns the input columns plus ``out_col``."""
+    # the matched-suffix length is a pure function of the HOST, so the
+    # lookup runs once per DISTINCT host (a hosts dimension ≪ corpus)
+    # and hash-joins back by host value — deterministic under any
+    # partition layout (a row-id join would re-derive layout-dependent
+    # monotonically_increasing_ids per plan branch)
+    hosts = (
+        df.select(F.lower(F.col(host_col)).alias("__host"))
+        .distinct()
+        .withColumn("__labels", F.split(F.col("__host"), r"\."))
+    )
+    # candidate suffixes: the last k labels for k = 1..min(n-1, max);
+    # k stops at n-1 because a suffix consuming the WHOLE host leaves no
+    # label for the registrable part (single-label hosts get no
+    # candidates — F.sequence would count DOWN for stop < start, so the
+    # degenerate case is guarded explicitly)
+    ks = F.when(
+        F.size("__labels") >= 2,
+        F.sequence(
+            F.lit(1), F.least(F.size("__labels") - 1, F.lit(max_suffix_labels))
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    cand = hosts.select(
+        "__host",
+        F.posexplode(
+            F.transform(
+                ks,
+                lambda k: F.array_join(
+                    F.slice(F.col("__labels"), F.size("__labels") - k + 1, k), "."
+                ),
+            )
+        ).alias("__pos", "__suffix"),
+    )
+    hits = (
+        cand.join(
+            F.broadcast(psl.select(F.lower(F.col("suffix")).alias("__suffix"))),
+            "__suffix",
+        )
+        .groupBy("__host")
+        .agg(F.max(F.col("__pos") + 1).alias("__k"))  # longest rule, in labels
+    )
+    per_host = hosts.join(hits, "__host", "left").withColumn(
+        "__k",
+        # default rule '*': TLD = last label -> registered = last 2
+        F.coalesce(F.col("__k"), F.lit(1)),
+    )
+    reg = F.when(
+        F.size("__labels") >= F.col("__k") + 1,
+        F.array_join(
+            F.slice(
+                F.col("__labels"),
+                F.size("__labels") - F.col("__k"),
+                F.col("__k") + 1,
+            ),
+            ".",
+        ),
+    ).otherwise(F.lit(""))
+    dim = per_host.select("__host", reg.alias(out_col))
+    return df.join(
+        dim, F.lower(F.col(host_col)) == F.col("__host"), "left"
+    ).drop("__host")
 
 
 def url_dedup_groups(

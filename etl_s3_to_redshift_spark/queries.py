@@ -970,8 +970,9 @@ def _load_extensions() -> None:
 # query stays verifiable locally via tools/check_oracle.py (no cap).
 _DRIVER_FIRST = [
     # registered round 10 (zero driver evidence yet): the URL-level
-    # curation funnel
+    # curation funnel and the PSL registered-domain lookup
     "web_curation_funnel",
+    "web_psl_domains",
     # r6 cohort: all 41 queries whose newest driver row is round 6
     # (CORRECTNESS_r06 minus every later slate — the freshness rotation)
     "agg_bool_bit_suite",
@@ -1024,7 +1025,6 @@ _DRIVER_FIRST = [
     "attr_multi_touch",
     "cohort_retention_weekly",
     "cross_join_region_nation",
-    "data_source_mixture",
 ]
 
 

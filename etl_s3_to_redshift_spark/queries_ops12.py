@@ -199,6 +199,77 @@ def web_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSL_RULES = ["com", "co.uk", "uk"]
+
+
+@register(
+    "web_psl_domains",
+    f"""
+    WITH psl(suffix) AS (VALUES {", ".join(f"('{r}')" for r in _PSL_RULES)}),
+    hosts AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN concat('a.b.', source, '.co.uk')
+               WHEN 1 THEN concat(source, '.COM')
+               WHEN 2 THEN concat('x.', source, '.example')
+               ELSE 'localhost' END AS host
+      FROM documents
+    ), lab AS (
+      SELECT doc_id, host, string_split(lower(host), '.') AS ls FROM hosts
+    ), cand AS (
+      SELECT doc_id, k,
+             array_to_string(ls[len(ls) - k + 1 :], '.') AS suffix
+      FROM lab, unnest(range(1, least(len(ls) - 1, 4) + 1)) AS t(k)
+      WHERE len(ls) >= 2
+    ), hit AS (
+      SELECT c.doc_id, max(c.k) AS k
+      FROM cand c JOIN psl p ON c.suffix = p.suffix
+      GROUP BY c.doc_id
+    ), fin AS (
+      SELECT l.doc_id, l.host, l.ls, coalesce(h.k, 1) AS k
+      FROM lab l LEFT JOIN hit h ON l.doc_id = h.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, host,
+           CASE WHEN len(ls) >= k + 1
+                THEN array_to_string(ls[len(ls) - k :], '.')
+                ELSE '' END AS registered_domain
+    FROM fin
+    """,
+    doc=(
+        "Public-Suffix-List registered domains (operators/web."
+        "psl_registered_domain; publicsuffix.org — the list "
+        "Mozilla/Chromium ship): the registered domain is one label "
+        "more than the LONGEST matching public suffix, so the fixture's "
+        "a.b.<source>.co.uk resolves to <source>.co.uk under the "
+        "'co.uk' rule (the naive two-label rule would wrongly say "
+        "'co.uk' — both 'uk' and 'co.uk' are planted so longest-match "
+        "is actually exercised), unmatched hosts fall back to the "
+        "list's implicit '*' rule, single-label hosts yield ''. Plan "
+        "shape: the lookup runs once per DISTINCT host (a hosts "
+        "dimension, ≪ corpus), candidate suffixes are narrow array "
+        "expressions (≤4 posexploded rows per host), the rule table is "
+        "a broadcast hash join, and rows get their domain back via one "
+        "host-keyed hash join. Exact DuckDB oracle (same algorithm, "
+        "inline rule table)."
+    ),
+)
+def web_psl_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_s3_to_redshift_spark.operators.web import psl_registered_domain
+
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 4 == 0, F.concat(F.lit("a.b."), F.col("source"), F.lit(".co.uk")))
+        .when(d % 4 == 1, F.concat(F.col("source"), F.lit(".COM")))
+        .when(d % 4 == 2, F.concat(F.lit("x."), F.col("source"), F.lit(".example")))
+        .otherwise(F.lit("localhost"))
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", host.alias("host"))
+    psl = spark.createDataFrame([(r,) for r in _PSL_RULES], "suffix string")
+    return psl_registered_domain(docs, "host", psl).select(
+        "doc_id", "host", "registered_domain"
+    )
+
+
 _FUNNEL_QUOTA = 40
 
 

@@ -174,6 +174,9 @@ def test_components_topology_adaptive_switch_result_equal(spark, monkeypatch):
     chain = [(i, i + 1) for i in range(40)]
     df = spark.createDataFrame(chain, "id_a long, id_b long")
     want = union_find(chain)
+    # a chain's avg degree (<4) triggers the bucketed pre-signal; force
+    # the broadcast start here so the ONLINE switch itself is exercised
+    monkeypatch.setenv("SPARK_GRAFT_CC_BCAST_MIN_DEGREE", "0")
     switched = {
         r.vertex: r.component
         for r in connected_components(
@@ -196,6 +199,17 @@ def test_components_topology_adaptive_switch_result_equal(spark, monkeypatch):
         ).collect()
     }
     assert via_env == want
+    # and the degree PRE-SIGNAL path (default env): chain-like degree
+    # buckets from round 0, result-identical
+    monkeypatch.delenv("SPARK_GRAFT_CC_BCAST_MIN_DEGREE")
+    monkeypatch.delenv("SPARK_GRAFT_CC_SWITCH_ROUNDS")
+    pre = {
+        r.vertex: r.component
+        for r in connected_components(
+            df, driver_edges_max=0, max_iter=40
+        ).collect()
+    }
+    assert pre == want
 
 
 def test_cc_scratch_sweep_spares_live_app_tables(spark):

@@ -63,6 +63,39 @@ def test_registered_domain(spark):
     assert got[2] == ""
 
 
+def test_psl_registered_domain_rules(spark):
+    """PSL semantics: longest matching rule wins (co.uk beats uk), no
+    match falls back to the implicit '*' rule (last two labels),
+    single-label hosts yield '', matching is case-folded, and rules
+    deeper than max_suffix_labels are simply not candidates."""
+    psl = spark.createDataFrame(
+        [("com",), ("co.uk",), ("uk",), ("a.b.c.d.e",)], "suffix string"
+    )
+    hosts = [
+        (0, "www.Example.CO.UK"),     # longest match co.uk -> example.co.uk
+        (1, "sub.deep.host.com"),     # com -> host.com
+        (2, "x.y.internal"),          # no rule -> fallback: y.internal
+        (3, "localhost"),             # single label -> ''
+        (4, "uk"),                    # host IS a rule, no label left -> ''
+        (5, "z.a.b.c.d.e"),           # rule has 5 labels > max 4 -> fallback d.e
+    ]
+    df = spark.createDataFrame(hosts, "i long, host string")
+    got = {
+        r.i: r.registered_domain
+        for r in W.psl_registered_domain(df, "host", psl).collect()
+    }
+    assert got[0] == "example.co.uk"
+    assert got[1] == "host.com"
+    assert got[2] == "y.internal"
+    assert got[3] == ""
+    assert got[4] == ""
+    assert got[5] == "d.e"
+    # original columns survive, one output row per input row
+    out = W.psl_registered_domain(df, "host", psl)
+    assert set(out.columns) == {"i", "host", "registered_domain"}
+    assert out.count() == len(hosts)
+
+
 def test_url_dedup_groups_counts(spark):
     df = spark.createDataFrame(
         [
