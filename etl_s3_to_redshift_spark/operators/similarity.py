@@ -659,6 +659,45 @@ class IvfIndex:
         snap.publish(stage)
 
     @classmethod
+    def compact_saved(
+        cls, spark, path: str, files_per_cell: int = 1,
+        id_col: str = "vec_id", vec_col: str = "embedding",
+    ) -> None:
+        """Fold an appended index's accumulated small files back to the
+        save-time layout (every ``append_to_saved`` lands one file per
+        touched cell) — the OPTIMIZE analogue for the inverted file.
+        Rewrites the published cells compacted (one shuffle keyed
+        exactly like ``save``), carries the centroids by hardlink, and
+        publishes a new atomic ``SnapshotIndex`` version: readers
+        mid-compaction keep the fragmented old version; probe output is
+        row-identical (rows untouched, layout only — pinned in tests)."""
+        from etl_s3_to_redshift_spark.operators.table_commit import SnapshotIndex
+
+        snap = SnapshotIndex(path)
+        cur_root = snap.current_path()
+        cells = spark.read.parquet(f"{cur_root}/cells")
+        n_cells = spark.read.schema("i int, centroid array<double>").json(
+            f"{cur_root}/centroids"
+        ).count()
+        stage = snap.begin()
+        try:
+            (
+                cells.repartition(
+                    int(n_cells) * files_per_cell,
+                    F.col("cell"),
+                    F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+                )
+                .write.mode("overwrite")
+                .partitionBy("cell")
+                .parquet(f"{stage}/cells")
+            )
+            snap.link_from_current(stage, "centroids")
+        except BaseException:
+            snap.abort(stage)
+            raise
+        snap.publish(stage)
+
+    @classmethod
     def load(cls, spark, path: str, id_col: str = "vec_id", vec_col: str = "embedding") -> "IvfIndex":
         # resolve the SnapshotIndex pointer ONCE: both datasets read one
         # immutable version even if a concurrent append publishes

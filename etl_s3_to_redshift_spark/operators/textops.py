@@ -1282,6 +1282,53 @@ def append_to_staged_bm25(
     snap.publish(stage)
 
 
+def compact_staged_bm25(
+    spark,
+    path: str,
+    files_per_bucket: int = 1,
+    id_col: str = "doc_id",
+) -> None:
+    """Fold an appended BM25 index's accumulated small files back to the
+    stage-time layout — the ``compact_snapshot`` / OPTIMIZE analogue for
+    the inverted index. Every ``append_to_staged_bm25`` lands one file
+    per touched bucket (by design: arriving data costs its own size),
+    so after many appends a probe pays file listing/open per bucket
+    instead of scan; compaction rewrites the published postings
+    compacted (one shuffle keyed exactly like ``stage_bm25``), carries
+    df/stats by hardlink (the append just rewrote them — they are
+    already compact), and publishes as a new atomic ``SnapshotIndex``
+    version: readers mid-compaction keep the fragmented old version,
+    and a crash changes nothing. Scores are byte-identical — postings
+    ROWS are untouched, only their file layout changes (pinned in
+    tests)."""
+    from etl_s3_to_redshift_spark.operators.table_commit import SnapshotIndex
+
+    snap = SnapshotIndex(path)
+    cur_root = snap.current_path()
+    postings = spark.read.parquet(os.path.join(cur_root, "postings"))
+    n_buckets = int(
+        spark.read.parquet(os.path.join(cur_root, "stats")).collect()[0]["n_buckets"]
+    )
+    stage = snap.begin()
+    try:
+        (
+            postings.repartition(
+                n_buckets * files_per_bucket,
+                "bucket",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_bucket)),
+            )
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(stage, "postings"))
+        )
+        snap.link_from_current(stage, "df")
+        snap.link_from_current(stage, "stats")
+    except BaseException:
+        snap.abort(stage)
+        raise
+    snap.publish(stage)
+
+
 def bm25_topk_staged(
     spark,
     path: str,

@@ -255,6 +255,85 @@ def test_ivf_append_crash_leaves_previous_index_readable(
     assert merged.cells.count() == emb.count()
 
 
+def _parquet_files_per_part(root: str, prefix: str) -> dict[str, int]:
+    out = {}
+    for d in os.listdir(root):
+        if d.startswith(prefix):
+            out[d] = len(
+                [f for f in os.listdir(os.path.join(root, d)) if f.endswith(".parquet")]
+            )
+    return out
+
+
+def test_bm25_compaction_atomic_and_result_identical(spark, tmp_path):
+    """compact_staged_bm25 (the OPTIMIZE analogue): appends accumulate
+    one file per touched bucket; compaction folds them back to one,
+    publishes as a new SnapshotIndex version (old version retained for
+    pinned readers), and probe output is byte-identical."""
+    from etl_s3_to_redshift_spark.operators import textops as T
+    from etl_s3_to_redshift_spark.operators.table_commit import resolve_index_root
+
+    docs = spark.createDataFrame(
+        [(i, f"spark data words w{i}") for i in range(8)], "doc_id INT, text STRING"
+    )
+    base = str(tmp_path / "bm25")
+    T.stage_bm25(docs.filter("doc_id < 4"), base, n_buckets=4)
+    T.append_to_staged_bm25(docs.filter("doc_id in (4, 5)"), base)
+    T.append_to_staged_bm25(docs.filter("doc_id in (6, 7)"), base)
+    qs = spark.createDataFrame([(0, "spark words")], "query_id INT, query_text STRING")
+    before = {tuple(r) for r in T.bm25_topk_staged(spark, base, qs, k=8).collect()}
+    frag_root = resolve_index_root(base)
+    frag = _parquet_files_per_part(os.path.join(frag_root, "postings"), "bucket=")
+    assert max(frag.values()) >= 2, f"appends should fragment buckets: {frag}"
+
+    T.compact_staged_bm25(spark, base, files_per_bucket=1)
+    new_root = resolve_index_root(base)
+    assert new_root != frag_root, "compaction must publish a NEW version"
+    compacted = _parquet_files_per_part(os.path.join(new_root, "postings"), "bucket=")
+    assert max(compacted.values()) <= 1, compacted
+    after = {tuple(r) for r in T.bm25_topk_staged(spark, base, qs, k=8).collect()}
+    assert after == before
+    # pinned readers: the fragmented version directory is still readable
+    assert os.path.isdir(os.path.join(frag_root, "postings"))
+
+
+def test_ivf_compaction_atomic_and_result_identical(spark, tmp_path):
+    """IvfIndex.compact_saved: same contract for the ANN inverted file."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from etl_s3_to_redshift_spark.operators.similarity import (
+        IvfIndex,
+        build_ivf_index,
+        ivf_probe,
+    )
+    from etl_s3_to_redshift_spark.operators.table_commit import resolve_index_root
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    built = build_ivf_index(emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) != 0), n_lists=4)
+    base = str(tmp_path / "ivf")
+    built.save(base)
+    built.append_to_saved(emb.filter(F.pmod(F.col("vec_id"), F.lit(3)) == 0), base)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    before = {
+        tuple(r)
+        for r in ivf_probe(IvfIndex.load(spark, base), queries, k=5).collect()
+    }
+    frag_root = resolve_index_root(base)
+
+    IvfIndex.compact_saved(spark, base, files_per_cell=1)
+    new_root = resolve_index_root(base)
+    assert new_root != frag_root
+    compacted = _parquet_files_per_part(os.path.join(new_root, "cells"), "cell=")
+    assert compacted and max(compacted.values()) <= 1, compacted
+    after = {
+        tuple(r)
+        for r in ivf_probe(IvfIndex.load(spark, base), queries, k=5).collect()
+    }
+    assert after == before
+
+
 def test_upsert_table_latest_wins_and_replay_idempotent(spark, tmp_path):
     rows = [(1, "a0", 10), (2, "b0", 10), (2, "b1", 20), (1, "a1", 5)]
     updates = spark.createDataFrame(rows, "k int, attr string, ver int")
