@@ -50,6 +50,37 @@ def dedup_events(
     return events.dropDuplicates(keys)
 
 
+def dedup_urls(
+    docs: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    streaming: bool = False,
+) -> DataFrame:
+    """Streaming twin of the URL-level dedup (operators/web
+    .url_dedup_groups' keep decision): one surviving document per
+    CANONICAL URL. Canonicalization is the same narrow in-scan
+    expression (``web.canonical_url`` — no UDF, so it composes with the
+    stateful dedup unchanged); streaming state is one entry per
+    distinct canonical URL inside the watermark horizon — the bound a
+    crawl-ingest pipeline wants, since the same page's URL variants
+    arrive near each other in crawl time. Batch form: plain
+    ``dropDuplicates`` on the canonical key (first-encountered row
+    wins — the deterministic min-id REPORT form is the registered
+    ``web_url_dedup``). Returns the input columns plus
+    ``canonical_url``."""
+    from pyspark.sql import functions as F
+
+    from etl_s3_to_redshift_spark.operators.web import canonical_url
+
+    canon = docs.withColumn("canonical_url", canonical_url(F.col(url_col)))
+    if streaming:
+        return canon.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["canonical_url"]
+        )
+    return canon.dropDuplicates(["canonical_url"])
+
+
 def distinct_keys(events: DataFrame, keys: list[str]) -> DataFrame:
     """The dedup manifest: DISTINCT key projection (works on both batch
     and streaming frames; streaming requires a watermark upstream when

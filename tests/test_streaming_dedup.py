@@ -53,6 +53,47 @@ def test_streaming_dedup_equals_batch(spark, dup_events, dup_stream):
     assert len(got) == len(batch_ids)  # every duplicate suppressed exactly once
 
 
+def test_streaming_url_dedup_equals_batch(spark, tmp_path):
+    """dedup_urls: canonical-URL variants (scheme case, :443, utm
+    params, fragments) collapse to ONE survivor per canonical form, in
+    batch and across micro-batches (state-store path), with identical
+    canonical key sets."""
+    from pyspark.sql.types import StructField, StructType
+
+    rows = []
+    for i in range(40):
+        variant = [
+            f"https://h{i % 10}.com/p/{i % 10}",
+            f"HTTPS://H{i % 10}.com:443/p/{i % 10}",
+            f"https://h{i % 10}.com/p/{i % 10}?utm_source=x#frag",
+        ][i % 3]
+        rows.append((i, variant))
+    docs = spark.createDataFrame(rows, "doc_id long, url string").withColumn(
+        "ts", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("doc_id"))
+    )
+    batch = SD.dedup_urls(docs)
+    batch_keys = {r.canonical_url for r in batch.collect()}
+    assert len(batch_keys) == 10 and batch.count() == 10
+
+    path = str(tmp_path / "urls")
+    docs.repartition(4).write.mode("overwrite").parquet(path)
+    schema = StructType(
+        [StructField(f.name, f.dataType, True) for f in docs.schema.fields]
+    )
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    streamed = run_stream_to_memory(
+        spark,
+        SD.dedup_urls(stream, watermark="3650 days", streaming=True),
+        "t_url_dedup_stream",
+        output_mode="append",
+    )
+    got = streamed.collect()
+    assert {r.canonical_url for r in got} == batch_keys
+    assert len(got) == 10  # every variant suppressed exactly once
+
+
 def test_distinct_keys_manifest(spark, dup_events):
     m = SD.distinct_keys(dup_events, ["user_id", "event_type"])
     assert m.count() == dup_events.select("user_id", "event_type").distinct().count()
