@@ -578,10 +578,12 @@ def test_sim_ann_ivf_saved_plan_prunes_and_matches_inline(spark, tmp_path, monke
     }
     assert first == inline
 
-    # cache hit: the index dir is reused, not rebuilt
+    # cache hit: the index dir is reused, not rebuilt — the receipt is
+    # the SnapshotIndex _CURRENT pointer (a rebuild would publish a new
+    # version and rewrite it)
     import os as _os
 
-    cells = _os.path.join(str(tmp_path), _os.listdir(str(tmp_path))[0], "cells")
+    cells = _os.path.join(str(tmp_path), _os.listdir(str(tmp_path))[0], "_CURRENT")
     mtime = _os.path.getmtime(cells)
     again = {
         tuple(r)
