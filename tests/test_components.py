@@ -212,6 +212,44 @@ def test_components_topology_adaptive_switch_result_equal(spark, monkeypatch):
     assert pre == want
 
 
+def test_concurrent_cc_calls_do_not_interfere(spark):
+    """The ADVICE r9 scenario made live: two connected_components calls
+    racing in ONE session, both on the bucketed regime (low-degree
+    chains trigger the pre-signal), both creating cc_edges_* scratch
+    tables and both running the entry sweep — neither may drop the
+    other's live scratch mid-loop, and both labelings must be exact."""
+    import threading
+
+    chain_a = [(i, i + 1) for i in range(25)]
+    chain_b = [(1000 + i, 1001 + i) for i in range(25)]
+    results: dict = {}
+    errors: list = []
+
+    def run(name, edges):
+        try:
+            df = spark.createDataFrame(edges, "id_a long, id_b long")
+            results[name] = {
+                r.vertex: r.component
+                for r in connected_components(
+                    df, driver_edges_max=0, max_iter=40
+                ).collect()
+            }
+        except Exception as e:  # noqa: BLE001 - surface to the assert
+            errors.append((name, repr(e)))
+
+    threads = [
+        threading.Thread(target=run, args=("a", chain_a)),
+        threading.Thread(target=run, args=("b", chain_b)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert results["a"] == union_find(chain_a)
+    assert results["b"] == union_find(chain_b)
+
+
 def test_cc_scratch_sweep_spares_live_app_tables(spark):
     """The orphan sweep must drop dead-app leftovers (including pre-r10
     names with no app token) but NEVER a table embedding the CURRENT
