@@ -319,9 +319,15 @@ _FUNNEL_QUOTA = 40
         "(operators/web.domain_quota_filter — the salted two-phase "
         f"top-k, keep the {_FUNNEL_QUOTA} longest docs per canonical "
         "host), reported as (stage_idx, stage, n_docs, n_removed, "
-        "pct_kept) in the data_curation_funnel shape. The report is "
-        "three 1-row aggregates cross-joined (broadcast-trivial) and "
-        "exploded into literal stage structs — no second corpus pass. "
+        "pct_kept) in the data_curation_funnel shape. r10 optimization "
+        "(guide §2.3/§2.4: aggregate before you shuffle, remove "
+        "accidental exchanges): every count the report needs lives on "
+        "the GROUP dimension — one groupBy(canonical_url) carries "
+        "min(doc_id) (the kept doc), min_by(n_chars, doc_id) (its "
+        "length) and the group size, so n0 = sum of group sizes, n1 = "
+        "group count (one 1-row aggregate) and n2 counts the quota's "
+        "kept rows directly — zero corpus-keyed semi-joins, 14 parquet "
+        "scans → 2, 14 exchanges → 6, identical counts by construction. "
         "Exact DuckDB oracle sharing the canonicalization CTE chain "
         "with web_url_dedup; the quota window is the plain form the "
         "oracle can afford."
@@ -331,34 +337,47 @@ def web_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_s3_to_redshift_spark.operators.web import (
         canonical_url,
         domain_quota_filter,
-        url_dedup_groups,
     )
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", _synth_url().alias("url")
     )
-    kept_urls = url_dedup_groups(docs, url_col="url", id_col="doc_id").select(
-        F.col("kept_id").alias("doc_id")
+    # One corpus pass: the canonical-URL groupBy produces, per group,
+    # the kept doc (min doc_id — the url_dedup_groups keep rule), that
+    # doc's n_chars (min_by over the unique doc_id), and the group
+    # size. Everything downstream runs on the GROUP dimension (distinct
+    # canonical URLs ≪ corpus): n0 = Σ group sizes (== |documents|, the
+    # synth url is never null), n1 = group count, and n2 counts the
+    # quota's kept rows directly — the corpus is never joined back.
+    groups = (
+        docs.select(
+            "doc_id", "n_chars",
+            canonical_url(F.col("url")).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        )
     )
-    url_level = docs.join(kept_urls, ["doc_id"], "left_semi")
-    domains = url_level.select(
+    url_level = groups.select(
         "doc_id",
         F.regexp_extract(
-            canonical_url(F.col("url")), "^[a-z]+://([^/?#]*)", 1
+            F.col("canonical_url"), "^[a-z]+://([^/?#]*)", 1
         ).alias("domain"),
         "n_chars",
     )
-    capped = domains.join(
-        domain_quota_filter(
-            domains, "domain", _FUNNEL_QUOTA, "n_chars", id_col="doc_id"
-        ),
-        ["doc_id"],
-        "left_semi",
-    )
     one = (
-        docs.agg(F.count(F.lit(1)).alias("n0"))
-        .crossJoin(url_level.agg(F.count(F.lit(1)).alias("n1")))
-        .crossJoin(capped.agg(F.count(F.lit(1)).alias("n2")))
+        groups.agg(
+            F.sum("__n").cast("long").alias("n0"),
+            F.count(F.lit(1)).cast("long").alias("n1"),
+        )
+        .crossJoin(
+            domain_quota_filter(
+                url_level, "domain", _FUNNEL_QUOTA, "n_chars", id_col="doc_id"
+            ).agg(F.count(F.lit(1)).cast("long").alias("n2"))
+        )
     )
     c = [F.col("n0"), F.col("n1"), F.col("n2")]
     names = ["raw", "url_deduped", "domain_capped"]
