@@ -301,6 +301,18 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _baskets(li) -> DataFrame:
+    """Per-order sorted distinct part arrays — ONE fact shuffle that
+    every basket-level aggregate (pairs, per-item order counts, basket
+    total) derives from, so branches sharing it plan byte-identical
+    Exchange subtrees and ReuseExchange collapses them to a single
+    physical shuffle (guide §2.4: operations keyed the same way share
+    one exchange)."""
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+
+
 def _order_pair_counts(li) -> DataFrame:
     """(part_a < part_b, n_orders) co-occurrence counts, generated IN-ROW:
     one shuffle groups lineitems into per-order sorted distinct part
@@ -309,9 +321,7 @@ def _order_pair_counts(li) -> DataFrame:
     the items-level self-join — joining two corpus-sized sides on
     l_orderkey — with a single fact shuffle; measured 5.8 -> 3.6 s at
     sf1 with identical output."""
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("ps")
-    )
+    baskets = _baskets(li)
     pairs = baskets.select(
         F.explode(
             F.flatten(
@@ -1364,25 +1374,37 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 optimization (guide §2.4): every aggregate the metrics need —
+    # pair counts, per-item order counts (explode the distinct-part set),
+    # and the basket total (1-row count of baskets, crossJoined as a
+    # broadcast scalar instead of a construction-time driver .count()
+    # action) — derives from the SAME _baskets frame, so the plan carries
+    # ONE fact-level Exchange reused three times (ReusedExchange pinned in
+    # tests) instead of three independent fact scans + distinct shuffles.
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    n = items.select("l_orderkey").distinct().count()  # basket-count scalar
-    item_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    baskets = _baskets(li)
+    item_n = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_a"))
+    )
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("long").alias("__n"))
     pair_n = _order_pair_counts(li).withColumnRenamed("n_orders", "n_ab")
     ia = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n_a").alias("na"))
     ib = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n_a").alias("nb"))
     return (
         pair_n.join(ia, "part_a")
         .join(ib, "part_b")
+        .crossJoin(n_orders)
         .select(
             "part_a",
             "part_b",
             "n_ab",
-            F.round(F.col("n_ab").cast("double") / F.lit(n), 6).alias("support"),
+            F.round(F.col("n_ab").cast("double") / F.col("__n"), 6).alias("support"),
             F.round(F.col("n_ab").cast("double") / F.col("na"), 6).alias("confidence"),
             F.round(
                 F.col("n_ab").cast("double")
-                * F.lit(n)
+                * F.col("__n")
                 / (F.col("na").cast("double") * F.col("nb")),
                 6,
             ).alias("lift"),

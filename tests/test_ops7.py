@@ -521,6 +521,19 @@ def test_association_rules_metric_identities(spark):
         assert r["support"] <= r["confidence"] + 1e-9
 
 
+def test_association_rules_single_fact_exchange(spark):
+    """r10 optimization pin: pair counts, item counts and the basket
+    total all derive from the shared _baskets frame, so the executed
+    (final AQE) plan reuses the fact-level exchange instead of running
+    three independent fact passes — and the basket total is a 1-row
+    crossJoin scalar, not a construction-time driver action."""
+    df = REGISTRY["basket_association_rules"].spark(spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("ReusedExchange") >= 1, executed
+    assert "BroadcastNestedLoopJoin" in executed  # the 1-row total
+
+
 def test_top_paths_deterministic_and_bounded(spark):
     rows = REGISTRY["events_top_paths"].spark(spark, SF_SMOKE).collect()
     assert 0 < len(rows) <= 20

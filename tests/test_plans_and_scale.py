@@ -106,9 +106,14 @@ ALLOWED_BNL = {
     "text_bm25_topk_staged": "1-row staged corpus-stats (N, avgdl) broadcast",
     "text_bm25_topk_appended": "1-row staged corpus-stats (N, avgdl) broadcast",
     "sim_hybrid_rrf_staged": "staged-sparse-leg 1-row corpus-stats broadcast",
-    # three 1-row stage-count aggregates cross-joined into the report
-    # row (the curation_funnel literal-struct pattern)
+    # two 1-row stage-count aggregates cross-joined into the report
+    # row (the curation_funnel literal-struct pattern; r10 fused the
+    # three independent count branches onto the group dimension)
     "web_curation_funnel": "1-row stage-count aggregates cross join",
+    # r10: the basket total became a 1-row aggregate crossJoin (it was a
+    # construction-time driver .count() action — an extra fact pass per
+    # call) so it can ride the shared _baskets exchange
+    "basket_association_rules": "1-row basket-total broadcast",
 }
 
 
