@@ -332,6 +332,7 @@ def materialize(df) -> None:
 
 def _paired_baseline_ref() -> str:
     import re as _re
+    import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
     rounds = [
@@ -339,7 +340,33 @@ def _paired_baseline_ref() -> str:
         for f in os.listdir(repo)
         if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
     ]
-    return f"bench-r{max(rounds)}-baseline" if rounds else "bench-baseline"
+    if not rounds:
+        return "bench-baseline"
+    tag = f"bench-r{max(rounds)}-baseline"
+    probe = subprocess.run(
+        ["git", "-C", repo, "rev-parse", "--verify", "--quiet", tag + "^{commit}"],
+        capture_output=True,
+        text=True,
+    )
+    if probe.returncode == 0:
+        return tag
+    # Tags do not travel with commits: a fresh clone/handoff of the repo
+    # drops them (measured: the round-10 opt session found ZERO tags on
+    # disk and the gate degraded to cross-session, loudly but wastefully).
+    # Since r10 the stdout line carries "head_sha" — the commit the
+    # previous round's bench was MEASURED AT — which is exactly the pin
+    # the next round's gate wants; recover it from the artifact instead
+    # of giving up. (paired.ref_sha is NOT a substitute: it records what
+    # that round compared against, i.e. two rounds back.)
+    art = os.path.join(repo, f"BENCH_r{max(rounds):02d}.json")
+    try:
+        with open(art) as f:
+            parsed = json.load(f).get("parsed") or {}
+        # strip a "+dirty" marker — still the best available pin
+        sha = (parsed.get("head_sha") or "").split("+")[0] or None
+    except (OSError, ValueError):
+        sha = None
+    return sha or tag
 
 
 PAIRED_BASELINE_REF = _paired_baseline_ref()
@@ -545,6 +572,21 @@ def main() -> None:
 
     metric = "data_bound_queries_total_sec" if data_bound_pass else "headline_queries_total_sec"
     total = round(sum(timings.values()), 3)
+    # the commit this bench measured (next round's paired-gate pin when
+    # the tag goes missing — see _paired_baseline_ref); "+dirty" marks a
+    # tree with uncommitted changes so a reader knows the SHA is approximate
+    head_sha = _resolve_sha("HEAD")
+    if head_sha:
+        import subprocess
+
+        dirty = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "status", "--porcelain", "--untracked-files=no"],
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        if dirty:
+            head_sha += "+dirty"
 
     detail = {
         "metric": metric,
@@ -555,6 +597,7 @@ def main() -> None:
         "reps": all_reps,
         "best": {n: min(ts) for n, ts in all_reps.items()},
         "sf": sf,
+        "head_sha": head_sha,
     }
     if paired is not None:
         detail["paired"] = {**paired, "pin_reps": pin_reps}
@@ -580,6 +623,7 @@ def main() -> None:
         "queries_omitted": 0,
         "detail": detail_name,
         "sf": sf,
+        "head_sha": head_sha,
     }
     if paired is not None:
         out["paired"] = paired
