@@ -326,8 +326,8 @@ _FUNNEL_QUOTA = 40
         "min(doc_id) (the kept doc), min_by(n_chars, doc_id) (its "
         "length) and the group size, so n0 = sum of group sizes, n1 = "
         "group count (one 1-row aggregate) and n2 counts the quota's "
-        "kept rows directly — zero corpus-keyed semi-joins, 14 parquet "
-        "scans → 2, 14 exchanges → 6, identical counts by construction. "
+        "kept rows directly — zero corpus-keyed semi-joins, 7 parquet "
+        "scans → 2, 8 exchanges → 6, identical counts by construction. "
         "Exact DuckDB oracle sharing the canonicalization CTE chain "
         "with web_url_dedup; the quota window is the plain form the "
         "oracle can afford."
