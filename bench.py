@@ -366,6 +366,15 @@ def _paired_baseline_ref() -> str:
         sha = (parsed.get("head_sha") or "").split("+")[0] or None
     except (OSError, ValueError):
         sha = None
+    if sha:
+        return sha
+    # last resort: the committed round→final-SHA map (BENCH_r09.json and
+    # older predate head_sha)
+    try:
+        with open(os.path.join(repo, "BENCH_BASELINES.json")) as f:
+            sha = json.load(f).get(str(max(rounds)))
+    except (OSError, ValueError):
+        sha = None
     return sha or tag
 
 
