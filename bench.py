@@ -312,6 +312,50 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Saved/staged-structure queries build their index at most once per lake
+# into a deterministic scratch path (queries_ops11/_staged_minhash_path);
+# a later process reuses it. That is the declared amortized contract, but
+# it makes a cold-cache bench run and a warm-cache one silently different
+# experiments (VERDICT r10 #4/#6) — so the detail artifact now records,
+# per saved-structure query, whether its on-disk index existed BEFORE the
+# query's first rep ("warm") or had to be built inside rep 1 ("cold").
+# Publish markers: _CURRENT for SnapshotIndex layouts, _SUCCESS for the
+# plain staged minhash table, _APPEND_DONE for the appended-IVF twin.
+_INDEX_MARKERS = {
+    "sim_ann_ivf_saved": [("ivf", "", "_CURRENT")],
+    "sim_hybrid_rrf_ann_saved": [("ivf", "", "_CURRENT")],
+    "sim_ann_ivf_appended": [("ivf", "_appended", "_APPEND_DONE")],
+    "dedup_minhash_staged": [("ivf", "_minhash", "_SUCCESS")],
+    "text_bm25_topk_staged": [("bm25", "", "_CURRENT")],
+    "text_bm25_topk_appended": [("bm25", "_appended", "_CURRENT")],
+    "sim_hybrid_rrf_staged": [("bm25", "", "_CURRENT"), ("ivf", "", "_CURRENT")],
+}
+
+
+def _index_cache_state(name: str, sf_dir: str) -> str | None:
+    """"warm"/"cold" for saved-structure queries (None otherwise): warm
+    iff every index the query rides is already published on disk."""
+    import hashlib
+    import tempfile
+
+    specs = _INDEX_MARKERS.get(name)
+    if specs is None:
+        return None
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:16]
+    roots = {
+        "ivf": os.environ.get("SPARK_GRAFT_IVF_CACHE")
+        or os.path.join(tempfile.gettempdir(), "etl_s3_to_redshift_spark_ivf"),
+        "bm25": os.environ.get("SPARK_GRAFT_BM25_CACHE")
+        or os.path.join(tempfile.gettempdir(), "etl_s3_to_redshift_spark_bm25"),
+    }
+    for root_kind, suffix, marker in specs:
+        if not os.path.exists(
+            os.path.join(roots[root_kind], key + suffix, marker)
+        ):
+            return "cold"
+    return "warm"
+
+
 # Paired-gate baseline (VERDICT r8 #4): cross-round BENCH totals compare
 # across sessions, and byte-identical code measured ±10-15% host spread
 # (SCALING.md drift study) — an unfalsifiable gate below that band. The
@@ -335,14 +379,18 @@ def _paired_baseline_ref() -> str:
     import subprocess
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
+    # keep the matched FILENAME alongside the round (ADVICE r10 #2): the
+    # fallback below must reopen exactly the file the scan found, not a
+    # re-derived zero-padded name an unpadded artifact would not match
+    artifacts = [
+        (int(m.group(1)), f)
         for f in os.listdir(repo)
         if (m := _re.fullmatch(r"BENCH_r(\d+)\.json", f))
     ]
-    if not rounds:
+    if not artifacts:
         return "bench-baseline"
-    tag = f"bench-r{max(rounds)}-baseline"
+    newest_round, newest_file = max(artifacts)
+    tag = f"bench-r{newest_round}-baseline"
     probe = subprocess.run(
         ["git", "-C", repo, "rev-parse", "--verify", "--quiet", tag + "^{commit}"],
         capture_output=True,
@@ -358,12 +406,22 @@ def _paired_baseline_ref() -> str:
     # the next round's gate wants; recover it from the artifact instead
     # of giving up. (paired.ref_sha is NOT a substitute: it records what
     # that round compared against, i.e. two rounds back.)
-    art = os.path.join(repo, f"BENCH_r{max(rounds):02d}.json")
+    art = os.path.join(repo, newest_file)
     try:
         with open(art) as f:
             parsed = json.load(f).get("parsed") or {}
-        # strip a "+dirty" marker — still the best available pin
-        sha = (parsed.get("head_sha") or "").split("+")[0] or None
+        raw_sha = parsed.get("head_sha") or ""
+        sha = raw_sha.split("+")[0] or None
+        # a "+dirty" head_sha names a commit the measured tree had
+        # uncommitted changes ON TOP of — still the best available pin,
+        # but the gate ratio may be skewed; say so (ADVICE r10 #1)
+        if sha and raw_sha != sha:
+            print(
+                f"WARNING: paired baseline pin recovered from a '+dirty' "
+                f"head_sha in {newest_file}; the pinned commit may not "
+                f"match the code that bench actually measured",
+                file=sys.stderr,
+            )
     except (OSError, ValueError):
         sha = None
     if sha:
@@ -372,7 +430,7 @@ def _paired_baseline_ref() -> str:
     # older predate head_sha)
     try:
         with open(os.path.join(repo, "BENCH_BASELINES.json")) as f:
-            sha = json.load(f).get(str(max(rounds)))
+            sha = json.load(f).get(str(newest_round))
     except (OSError, ValueError):
         sha = None
     return sha or tag
@@ -510,28 +568,40 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     pin_reps: dict[str, list[float]] = {}
+    index_cache: dict[str, str] = {}
     reps = 2 if data_bound_pass else 3
     for name in names:
         ts = []
         ps = []
         pin_spec = pinned.get(name) if pinned else None
+        state = _index_cache_state(name, sf_dir)
+        if state is not None:
+            index_cache[name] = state
         for _ in range(reps):
             t0 = time.time()
             materialize(REGISTRY[name].spark(spark, sf_dir))
             ts.append(round(time.time() - t0, 3))
+            # isolate REPS, not just queries (VERDICT r10 #3): an
+            # operator-internal persist (the kcenter base was one until
+            # r11) otherwise survives into the next rep via CacheManager
+            # plan-dedup, so reps 2..n measure a warm cache rep 1 never
+            # had. clearCache after EVERY rep — head and pin alike, so
+            # the paired ratio stays apples-to-apples under the new
+            # protocol (declared in OPTIMIZATION_r11.md; r10 medians are
+            # kept there for the old-protocol comparison).
+            spark.catalog.clearCache()
             if pin_spec is not None:
                 t0 = time.time()
                 materialize(pin_spec.spark(spark, sf_dir))
                 ps.append(round(time.time() - t0, 3))
+                spark.catalog.clearCache()
         all_reps[name] = ts
         if ps:
             pin_reps[name] = ps
-        # isolate queries: drop SQL-cached relations and let the
-        # ContextCleaner reap lineage-truncating localCheckpoint RDDs
-        # whose Python references just went out of scope — a 100+-query
-        # session otherwise accumulates storage blocks that bleed
-        # memory/disk pressure into later queries' timings
-        spark.catalog.clearCache()
+        # let the ContextCleaner reap lineage-truncating localCheckpoint
+        # RDDs whose Python references just went out of scope — a
+        # 100+-query session otherwise accumulates storage blocks that
+        # bleed memory/disk pressure into later queries' timings
         gc.collect()
         ordered = sorted(ts)
         # median for odd reps; for 2 reps the min (matches the prior
@@ -588,9 +658,15 @@ def main() -> None:
     if head_sha:
         import subprocess
 
+        # only CODE paths make the SHA approximate (ADVICE r10 #4): a
+        # prior bench run rewrites tracked artifacts (BENCH_DETAIL.json,
+        # PROGRESS.jsonl is harness-written too) — flagging those as
+        # dirty would weaken the next round's head_sha pin even when the
+        # measured code is exactly HEAD
         dirty = subprocess.run(
             ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
-             "status", "--porcelain", "--untracked-files=no"],
+             "status", "--porcelain", "--untracked-files=no", "--",
+             "*.py", "etl_s3_to_redshift_spark"],
             capture_output=True,
             text=True,
         ).stdout.strip()
@@ -612,6 +688,8 @@ def main() -> None:
         detail["paired"] = {**paired, "pin_reps": pin_reps}
     if neg_control:
         detail["negative_control"] = neg_control
+    if index_cache:
+        detail["index_cache"] = index_cache
     # the sf>=1 data-bound pass writes its own detail file so it can't
     # clobber the headline artifact (it did, once)
     detail_name = "BENCH_DETAIL_sf1.json" if data_bound_pass else "BENCH_DETAIL.json"

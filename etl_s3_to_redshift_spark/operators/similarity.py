@@ -2268,6 +2268,14 @@ def kcenter_coreset(
     # so the incremental chain can release before the caller ever runs it
     for p in pinned:
         p.unpersist()
+    # release the base cache too (VERDICT r10 #3): the k driver rounds —
+    # the reason it was cached — are done; the returned frame's one
+    # materialization re-reads the narrow (id, vec) projection instead.
+    # Left persisted, the blocks outlive this call and a REPEAT call in
+    # the same session (bench reps re-run the whole loop) silently
+    # re-binds to them via CacheManager plan-dedup, so reps 2..n measure
+    # a warm cache the first rep never had.
+    base.unpersist()
     # nearest = FIRST (earliest-rank) center achieving mindist —
     # equivalent to the incremental strict-< update (earlier center wins
     # ties); only the FINAL state needs it, the in-loop far queries

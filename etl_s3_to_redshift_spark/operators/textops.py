@@ -588,66 +588,124 @@ def bigram_logprob_scores(
     bigram key, so both engines iterate identical values; the per-doc
     mean rounds 6 dp (libm ``ln`` drift sits ~10 orders below).
 
-    Scale shape: ONE corpus tokenization into the per-(doc, w1, w2) tf
-    aggregate; the MODEL is derived as map-side-combined groupBy
-    aggregates (bigram-key-sized ``c12``, context-key-sized ``c1``) and
-    joined back as a per-KEY ``neglogp`` scores frame — never
-    broadcast, never a corpus rescan. The earlier form computed the
-    model with ``sum() OVER (PARTITION BY w1[, w2])`` windows on the
-    corpus-sized tf frame: besides shuffling that frame twice more, the
-    context window put EVERY tf row of a stopword context ('the', ...)
-    into ONE window task — a single-key sort that dominated the sf100
-    decade (465 s, 13.6×/decade; the aggregate+join form measures
-    233.7 s, 11.2×/decade, and sf10 34.2 → 20.9 s — see SCALING.md
-    round 8). Aggregates combine before the exchange and AQE splits
-    skewed join keys, so no single task ever owns a context. ``vocab_size`` (V = distinct second words) is
-    a scalar; passing it skips the driver-side distinct-count job.
+    Scale shape (r11, guide §2.3/§2.4 — aggregate before you shuffle,
+    and shuffle key-sized rows, not the corpus): a document's bigrams
+    all live in its OWN row, so the per-(doc, w1, w2) tf is computed
+    IN-SCAN as a run-length pass over the sorted per-doc gram array —
+    the corpus-sized ``groupBy(doc, w1, w2)`` exchange of the r8–r10
+    shape (536M exploded rows at sf100) disappears outright. Every
+    exchange left is bounded by the data's bigram-TYPE cardinality or
+    the doc count: the model aggregates map-side-combine per-doc tf
+    rows down to the bigram vocabulary, V (distinct second words) rides
+    the same model exchange as a 1-row ``count_distinct`` crossJoin
+    (no driver round-trip; AQE reuses the model12 exchange across its
+    three consumers — pinned in tests), the vocab-sized scores frame
+    joins back under the auto-broadcast threshold, and the final
+    per-doc mean's partial aggregation collapses each doc's rows in
+    its scan partition before the docs-sized exchange. The r9
+    spill-regime-gated DISK_ONLY checkpoint of tf existed to avoid
+    re-tokenizing the corpus for the second consumer; with no
+    corpus-sized shuffle left, two in-scan tokenize passes are cheaper
+    than materializing a near-corpus-sized frame to disk at every SF
+    measured (sf1/sf10/sf100 A/B in OPTIMIZATION_r11.md), so the gate
+    is gone. ``vocab_size``: passing it pins V as a literal; None
+    derives it in-plan (same exact integer).
     """
     arr = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"), lambda x: x != ""
     )
-    pairs = df.select(
-        F.col(id_col),
-        F.explode(
-            F.zip_with(
-                F.slice(arr, 1, F.size(arr) - 1),
-                F.slice(arr, 2, F.size(arr) - 1),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("p"),
-    ).select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    tf = pairs.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
-    # tf is consumed by BOTH the model derivation and the scoring join
-    # (so the tokenize+groupBy chain evaluates twice). A DISK_ONLY
-    # localCheckpoint of tf (the DSIR precedent) was A/B'd in r8: sf100
-    # 229.5 → 192.0 s but sf10 22.3 → 49.0 s — the bigram tf frame is
-    # near-corpus-sized, so the write+barrier costs more than the
-    # re-tokenization until deep into the spill regime. Round 9 ships
-    # the materialization GATED on the session's deployment-scale knob
-    # (VERDICT r8 #6): spark.sql.shuffle.partitions is how this repo's
-    # protocol (and a real cluster deployment) declares the data-bound
-    # regime — 128 for the sf100 lake, cores (≤32) for everything
-    # smaller. Keying on the session knob, not a data sample, keeps
-    # the plan deterministic per session shape; result equality
-    # gated-vs-not is pinned in tests (localCheckpoint only truncates
-    # lineage — same rows either way).
-    if _session_spill_regime(df.sparkSession):
-        tf = tf.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
-    if vocab_size is None:
-        vocab_size = tf.select("w2").distinct().count()  # scalar model size
-    # model counts: same integers the windows produced (Σ tf per key),
-    # so neglogp is the identical double per (w1, w2) key
+    m = F.greatest(F.size(arr) - 1, F.lit(0))
+    grams = F.zip_with(
+        F.slice(arr, 1, m),
+        F.slice(arr, 2, m),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    # STAGE each array as a real projected column before anything
+    # references it from inside a higher-order-function lambda: a bare
+    # expression is INLINED at every use by the analyzer, and a use
+    # inside a lambda re-evaluates it PER ELEMENT — element_at(<sort
+    # expr>, i) re-sorts the doc's grams for every i, O(n² log n) per
+    # document (measured: the un-staged form hung the sf0.1 bench; the
+    # ngram_top_terms docstring pins the same trap). Multi-use non-cheap
+    # aliases survive CollapseProject, so each step evaluates once per
+    # row.
+    s = F.col("__s")
+    n = F.size(s)
+    # run starts: 1-based positions where the sorted gram differs from
+    # its predecessor (position 1 guarded — ANSI element_at(s, 0) would
+    # throw; CaseWhen evaluates lazily, so the otherwise-branch never
+    # sees i == 1). The n == 0 guard is mandatory HERE, not only on
+    # ``runs``: staged as its own column this evaluates for every row,
+    # and sequence(1, 0) DESCENDS ([1, 0]) — its 0 would reach
+    # element_at
+    idx_expr = F.when(n == 0, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(1), n),
+            lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
+                F.element_at(s, i) != F.element_at(s, i - 1)
+            ),
+        )
+    )
+    # each run's end boundary = the next run's start (size+1 for the
+    # last); n == 0 must short-circuit BEFORE sequence/zip_with:
+    # sequence(1, 0) descends and zip_with null-pads the shorter side
+    idx = F.col("__idx")
+    nxt = F.concat(
+        F.slice(idx, 2, F.greatest(F.size(idx) - 1, F.lit(0))),
+        F.array(n + 1),
+    )
+    runs = F.when(
+        n == 0,
+        F.lit(None).cast("array<struct<g:struct<w1:string,w2:string>,tf:bigint>>"),
+    ).otherwise(
+        F.zip_with(
+            idx,
+            nxt,
+            lambda a, b: F.struct(
+                F.element_at(s, a).alias("g"), (b - a).cast("long").alias("tf")
+            ),
+        )
+    )
+    # exactly the rows groupBy(doc, w1, w2) produced — computed without
+    # the exchange (explode(NULL) drops gram-less docs, matching the
+    # old shape where such docs contributed no pair rows)
+    tf = (
+        df.select(F.col(id_col), F.array_sort(grams).alias("__s"))
+        .select(id_col, "__s", idx_expr.alias("__idx"))
+        .select(id_col, F.explode(runs).alias("r"))
+        .select(
+            id_col,
+            F.col("r.g.w1").alias("w1"),
+            F.col("r.g.w2").alias("w2"),
+            F.col("r.tf").alias("tf"),
+        )
+    )
+    # model counts: same integers the r8 windows produced (Σ tf per
+    # key), so neglogp is the identical double per (w1, w2) key
     model12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
     model1 = model12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    scores = model12.join(model1, "w1").select(
-        "w1",
-        "w2",
-        (
-            -F.log(
-                (2 * F.col("c12") + 1).cast("double")
-                / (2 * F.col("c1") + F.lit(int(vocab_size))).cast("double")
-            )
-        ).alias("neglogp"),
+    if vocab_size is None:
+        # in-plan scalar: count_distinct over the already-aggregated
+        # bigram keys — rides the model12 exchange (AQE ReusedExchange),
+        # replacing the r8–r10 driver-side distinct-count job
+        v_df = model12.agg(F.count_distinct("w2").cast("long").alias("__V"))
+    else:
+        v_df = df.sparkSession.range(1).select(
+            F.lit(int(vocab_size)).cast("long").alias("__V")
+        )
+    scores = (
+        model12.join(model1, "w1")
+        .crossJoin(v_df)
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    (2 * F.col("c12") + 1).cast("double")
+                    / (2 * F.col("c1") + F.col("__V")).cast("double")
+                )
+            ).alias("neglogp"),
+        )
     )
     scored = tf.join(scores, ["w1", "w2"])
     return scored.groupBy(id_col).agg(
@@ -1358,8 +1416,6 @@ def bm25_topk_staged(
 
     path = resolve_index_root(path)
     stats_all = spark.read.parquet(os.path.join(path, "stats"))
-    st = stats_all.collect()[0]
-    n_buckets = int(st["n_buckets"])
     stats = stats_all.select(
         F.col("n_docs").alias("__n_docs"), F.col("avgdl").alias("__avgdl")
     )
@@ -1371,12 +1427,19 @@ def bm25_topk_staged(
         ).alias("term"),
     )
     # static pruning values, hashed by the SAME JVM expression used at
-    # stage time (xxhash64 is seed-stable across sessions)
+    # stage time (xxhash64 is seed-stable across sessions). ONE driver
+    # round-trip plans the probe (VERDICT r10 #7 — was two): the 1-row
+    # stats frame rides the term collect as a broadcast crossJoin, so
+    # n_buckets and the per-term buckets arrive together; both frames
+    # read the SAME already-resolved version root, so snapshot isolation
+    # is untouched.
     q_rows = (
         qterms.select("term")
         .distinct()
+        .crossJoin(F.broadcast(stats_all.select("n_buckets")))
         .select(
-            "term", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).alias("b")
+            "term",
+            F.pmod(F.xxhash64(F.col("term")), F.col("n_buckets")).alias("b"),
         )
         .collect()
     )

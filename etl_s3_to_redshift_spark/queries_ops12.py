@@ -319,65 +319,65 @@ _FUNNEL_QUOTA = 40
         "(operators/web.domain_quota_filter — the salted two-phase "
         f"top-k, keep the {_FUNNEL_QUOTA} longest docs per canonical "
         "host), reported as (stage_idx, stage, n_docs, n_removed, "
-        "pct_kept) in the data_curation_funnel shape. r10 optimization "
-        "(guide §2.3/§2.4: aggregate before you shuffle, remove "
-        "accidental exchanges): every count the report needs lives on "
-        "the GROUP dimension — one groupBy(canonical_url) carries "
-        "min(doc_id) (the kept doc), min_by(n_chars, doc_id) (its "
-        "length) and the group size, so n0 = sum of group sizes, n1 = "
-        "group count (one 1-row aggregate) and n2 counts the quota's "
-        "kept rows directly — zero corpus-keyed semi-joins, 7 parquet "
-        "scans → 2, 8 exchanges → 6, identical counts by construction. "
-        "Exact DuckDB oracle sharing the canonicalization CTE chain "
-        "with web_url_dedup; the quota window is the plain form the "
-        "oracle can afford."
+        "pct_kept) in the data_curation_funnel shape. r11 optimization "
+        "(guide §1.2 — don't compute what you throw away; §2.3/§2.4): "
+        "the report needs COUNTS only, and the quota's keep rule is "
+        "row_number ≤ q over a deterministic total order, which keeps "
+        "EXACTLY least(q, n_urls) rows per domain regardless of the "
+        "ordering — so n2 = Σ_domain least(quota, n_urls) needs no "
+        "window at all. One subtree: groupBy(canonical_url) carries "
+        "the group size (n0 = Σ sizes, n1 = group count), a second "
+        "groupBy(domain) rolls the URL dimension up, and one 1-row "
+        "aggregate emits all three counts — 1 parquet scan (r10: 2), "
+        "3 exchanges (r10: 6), no joins, identical counts by "
+        "construction (the r10 window form is pinned row-equal in "
+        "tests). Exact DuckDB oracle sharing the canonicalization CTE "
+        "chain with web_url_dedup; the oracle keeps the plain window "
+        "form, so the least(q, n) equivalence is oracle-checked too."
     ),
 )
 def web_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from etl_s3_to_redshift_spark.operators.web import (
-        canonical_url,
-        domain_quota_filter,
-    )
+    from etl_s3_to_redshift_spark.operators.web import canonical_url
 
     docs = _t(spark, sf_dir, "documents").select(
-        "doc_id", "n_chars", _synth_url().alias("url")
+        "doc_id", _synth_url().alias("url")
     )
-    # One corpus pass: the canonical-URL groupBy produces, per group,
-    # the kept doc (min doc_id — the url_dedup_groups keep rule), that
-    # doc's n_chars (min_by over the unique doc_id), and the group
-    # size. Everything downstream runs on the GROUP dimension (distinct
-    # canonical URLs ≪ corpus): n0 = Σ group sizes (== |documents|, the
-    # synth url is never null), n1 = group count, and n2 counts the
-    # quota's kept rows directly — the corpus is never joined back.
+    # ONE corpus pass, one subtree (VERDICT r10 #2): the canonical-URL
+    # groupBy produces each group's size; a domain rollup of that URL
+    # dimension then carries every number the report needs. n0 = Σ group
+    # sizes (== |documents|, the synth url is never null), n1 = URL
+    # count, and n2 = Σ_domain least(quota, n_urls): the quota operator
+    # (operators/web.domain_quota_filter) keeps the top-`quota` rows per
+    # domain by row_number over a deterministic TOTAL order, i.e.
+    # exactly least(quota, n_urls) rows — the ordering decides WHICH
+    # urls survive, never HOW MANY, and the funnel reports how many.
+    # (Row-equality of this arithmetic form vs the materialized
+    # quota-filter count is pinned in tests/test_ops12.py; the DuckDB
+    # oracle still computes n2 through the plain window.)
     groups = (
-        docs.select(
-            "doc_id", "n_chars",
-            canonical_url(F.col("url")).alias("canonical_url"),
-        )
+        docs.select("doc_id", canonical_url(F.col("url")).alias("canonical_url"))
         .groupBy("canonical_url")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    dom = (
+        groups.select(
+            "__n",
+            F.regexp_extract(
+                F.col("canonical_url"), "^[a-z]+://([^/?#]*)", 1
+            ).alias("domain"),
+        )
+        .groupBy("domain")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("__n"),
-            F.min("doc_id").alias("doc_id"),
-            F.min_by("n_chars", "doc_id").alias("n_chars"),
+            F.sum("__n").cast("long").alias("rows_n"),
+            F.count(F.lit(1)).cast("long").alias("urls_n"),
         )
     )
-    url_level = groups.select(
-        "doc_id",
-        F.regexp_extract(
-            F.col("canonical_url"), "^[a-z]+://([^/?#]*)", 1
-        ).alias("domain"),
-        "n_chars",
-    )
-    one = (
-        groups.agg(
-            F.sum("__n").cast("long").alias("n0"),
-            F.count(F.lit(1)).cast("long").alias("n1"),
-        )
-        .crossJoin(
-            domain_quota_filter(
-                url_level, "domain", _FUNNEL_QUOTA, "n_chars", id_col="doc_id"
-            ).agg(F.count(F.lit(1)).cast("long").alias("n2"))
-        )
+    one = dom.agg(
+        F.sum("rows_n").cast("long").alias("n0"),
+        F.sum("urls_n").cast("long").alias("n1"),
+        F.sum(F.least(F.lit(_FUNNEL_QUOTA).cast("long"), F.col("urls_n")))
+        .cast("long")
+        .alias("n2"),
     )
     c = [F.col("n0"), F.col("n1"), F.col("n2")]
     names = ["raw", "url_deduped", "domain_capped"]

@@ -649,6 +649,23 @@ def test_kcenter_regimes_bit_identical_over_the_bound(spark):
     assert inc == rec and len(inc) == 500
 
 
+def test_kcenter_releases_every_cache_block(spark):
+    """kcenter must unpersist its internal caches (the base projection
+    AND the incremental mindist chain) before returning (VERDICT r10
+    #3): left persisted, a repeat call in the same session — a bench
+    rep — silently re-binds to the old blocks via CacheManager
+    plan-dedup, so reps 2..n measure a warm cache rep 1 never had."""
+    from etl_s3_to_redshift_spark.operators.similarity import kcenter_coreset
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = kcenter_coreset(emb, k=5)
+    out.write.format("noop").mode("overwrite").save()
+    after = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after <= before, f"leaked cache blocks: {after - before}"
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer evaluation report
 # ---------------------------------------------------------------------------

@@ -655,30 +655,81 @@ def test_bpe_batched_fold_equals_sequential_folds(spark):
     assert row["aabb"] == ["a", "ab", "b", "</w>"]
 
 
-def test_bigram_spill_gate_result_identical(spark):
-    """The spill-regime-gated tf materialization (VERDICT r8 #6) must be
-    result-invisible: forcing the session's shuffle-partitions knob over
-    the gate threshold (the sf100 protocol's 128) yields row-identical
-    scores to the ungated shape — localCheckpoint truncates lineage,
-    never changes rows. Also pins the gate's signal: OFF at the local
-    default, ON at the protocol's 128."""
-    from etl_s3_to_redshift_spark.operators.textops import (
-        _session_spill_regime,
-        bigram_logprob_scores,
-    )
+def test_bigram_runlength_tf_matches_groupby_reference(spark):
+    """The r11 in-row run-length tf (sorted per-doc gram array → run
+    boundaries → (gram, count)) must reproduce the r8–r10
+    groupBy(doc, w1, w2) shape exactly: same per-doc rows, same model
+    integers, same 6-dp scores. The reference below IS that old shape
+    (explode pairs → groupBy → windows-equivalent aggregate model),
+    rebuilt inline. Also covers the edge docs the array path must not
+    mangle: empty text, one token (no bigram), all-identical bigrams
+    (single run), and NULL text."""
+    from pyspark.sql import functions as F
 
-    docs = spark.createDataFrame(
-        [(i, f"alpha beta gamma delta doc {i} alpha beta") for i in range(50)],
-        ["doc_id", "text"],
+    from etl_s3_to_redshift_spark.operators.textops import bigram_logprob_scores
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog the quick brown"),
+        (1, "alpha beta alpha beta alpha beta"),
+        (2, "loner"),
+        (3, ""),
+        (4, None),
+        (5, "zz zz zz zz zz"),
+        (6, "Mixed CASE tokens 123 mixed case tokens"),
+    ] + [(10 + i, f"alpha beta gamma delta doc word{i % 7} alpha beta") for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != "")
+    # the r10 reference used slice(arr, 1, size-1), which under ANSI
+    # rejects a token-less doc (length -1) — clamp like the r11 shape so
+    # the reference itself survives the edge docs this test adds
+    mm = F.greatest(F.size(arr) - 1, F.lit(0))
+    pairs = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.zip_with(
+                F.slice(arr, 1, mm),
+                F.slice(arr, 2, mm),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.select("w2").distinct().count()
+    model12 = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    model1 = model12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scores = model12.join(model1, "w1").select(
+        "w1",
+        "w2",
+        (
+            -F.log(
+                (2 * F.col("c12") + 1).cast("double")
+                / (2 * F.col("c1") + F.lit(int(vocab))).cast("double")
+            )
+        ).alias("neglogp"),
     )
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    try:
-        spark.conf.set("spark.sql.shuffle.partitions", "17")
-        assert not _session_spill_regime(spark)
-        ungated = {tuple(r) for r in bigram_logprob_scores(docs).collect()}
-        spark.conf.set("spark.sql.shuffle.partitions", "128")
-        assert _session_spill_regime(spark)
-        gated = {tuple(r) for r in bigram_logprob_scores(docs).collect()}
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
-    assert gated == ungated and len(gated) == 50
+    ref = {
+        tuple(r)
+        for r in tf.join(scores, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(F.sum(F.col("tf") * F.col("neglogp")) / F.sum("tf"), 6).alias(
+                "avg_neglogp"
+            ),
+        )
+        .collect()
+    }
+    got = {tuple(r) for r in bigram_logprob_scores(docs).collect()}
+    assert got == ref
+    # docs 2/3/4 have no bigram and must be ABSENT (the old shape's
+    # contract); doc 5 is a single run of tf=4
+    ids = {t[0] for t in got}
+    assert not {2, 3, 4} & ids
+    assert (5, 4) in {(t[0], t[1]) for t in got}
+    # vocab_size passed explicitly must pin the same V the in-plan
+    # count_distinct derives
+    got_pinned = {
+        tuple(r) for r in bigram_logprob_scores(docs, vocab_size=vocab).collect()
+    }
+    assert got_pinned == ref

@@ -106,10 +106,13 @@ ALLOWED_BNL = {
     "text_bm25_topk_staged": "1-row staged corpus-stats (N, avgdl) broadcast",
     "text_bm25_topk_appended": "1-row staged corpus-stats (N, avgdl) broadcast",
     "sim_hybrid_rrf_staged": "staged-sparse-leg 1-row corpus-stats broadcast",
-    # two 1-row stage-count aggregates cross-joined into the report
-    # row (the curation_funnel literal-struct pattern; r10 fused the
-    # three independent count branches onto the group dimension)
-    "web_curation_funnel": "1-row stage-count aggregates cross join",
+    # (web_curation_funnel was here until r11: the quota count became
+    # Σ least(quota, n_urls) on the domain rollup, so the report is ONE
+    # 1-row aggregate — no cross join left in the plan)
+    # r11: V (distinct second words) moved from a driver-side distinct-
+    # count job to a 1-row count_distinct crossJoined onto the
+    # vocab-sized scores frame (rides the model exchange via AQE reuse)
+    "text_bigram_logprob": "1-row vocab-size (V) broadcast",
     # r10: the basket total became a 1-row aggregate crossJoin (it was a
     # construction-time driver .count() action — an extra fact pass per
     # call) so it can ride the shared _baskets exchange

@@ -161,6 +161,89 @@ def test_domain_quota_plan_has_no_unsalted_domain_window_first(spark):
     assert "pmod" in plan and "xxhash64" in plan, plan[:2000]
 
 
+def test_quota_kept_count_is_least_quota_nurls(spark):
+    """The r11 web_curation_funnel computes its domain-capped count as
+    Σ_domain least(quota, n_urls) instead of materializing the quota
+    filter — sound because the keep rule is row_number ≤ quota over a
+    deterministic TOTAL order: the ordering decides WHICH rows survive,
+    never HOW MANY. Pinned here against the materialized
+    domain_quota_filter on a skew mix where the quota BINDS (the
+    registered fixture's domains never exceed it): hot domain 25 urls,
+    quota 7; mid domain exactly at quota; small domains below it; plus
+    duplicate order keys (ties broken by id — still exactly quota
+    kept)."""
+    rows = []
+    rid = 0
+    for dom, n in [("hot.com", 25), ("edge.com", 7), ("a.com", 3), ("b.com", 1)]:
+        for i in range(n):
+            rid += 1
+            # constant order_col on hot.com: maximal tie pressure
+            rows.append((rid, dom, 100 if dom == "hot.com" else 100 + i))
+    df = spark.createDataFrame(rows, "doc_id long, domain string, n_chars long")
+    quota = 7
+    kept = W.domain_quota_filter(df, "domain", quota, "n_chars").count()
+    arith = (
+        df.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.sum(F.least(F.lit(quota).cast("long"), F.col("n"))).alias("k"))
+        .collect()[0]["k"]
+    )
+    assert kept == arith == 7 + 7 + 3 + 1
+
+
+def test_curation_funnel_matches_materialized_quota(spark):
+    """End-to-end pin of the r11 one-subtree funnel against the r10
+    window form: rebuild the r10 counts (groupBy → quota filter →
+    count) on the registered fixture and assert the registered query
+    reports the identical rows."""
+    from etl_s3_to_redshift_spark.queries import REGISTRY
+    from etl_s3_to_redshift_spark.queries_ops12 import (
+        _FUNNEL_QUOTA,
+        _synth_url,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    # r10 shape, inline: canonical groupBy -> url dimension -> quota
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars", "source"
+    )
+    urls = base.select("doc_id", "n_chars", _synth_url().alias("url"))
+    groups = (
+        urls.select(
+            "doc_id",
+            "n_chars",
+            W.canonical_url(F.col("url")).alias("canonical_url"),
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("n_chars", "doc_id").alias("n_chars"),
+        )
+    )
+    url_level = groups.select(
+        "doc_id",
+        F.regexp_extract(F.col("canonical_url"), "^[a-z]+://([^/?#]*)", 1).alias(
+            "domain"
+        ),
+        "n_chars",
+    )
+    n0 = groups.agg(F.sum("__n")).collect()[0][0]
+    n1 = groups.count()
+    n2 = W.domain_quota_filter(
+        url_level, "domain", _FUNNEL_QUOTA, "n_chars", id_col="doc_id"
+    ).count()
+    got = {
+        (r["stage_idx"], r["stage"], r["n_docs"], r["n_removed"])
+        for r in REGISTRY["web_curation_funnel"].spark(spark, sf_dir).collect()
+    }
+    assert got == {
+        (0, "raw", n0, 0),
+        (1, "url_deduped", n1, n0 - n1),
+        (2, "domain_capped", n2, n1 - n2),
+    }
+
+
 def test_canonical_url_idempotent_property(spark):
     """Canonicalization must be IDEMPOTENT — canon(canon(u)) == canon(u)
     for arbitrary URL-shaped inputs (hypothesis-generated scheme / host
