@@ -24,6 +24,23 @@ def _segment_bounds(n_segments: int) -> list[tuple[str, str]]:
     return bounds
 
 
+def _star_sizing_enabled(spark) -> bool:
+    """Scale-adaptive star-exchange sizing runs only in spill-regime
+    sessions (shuffle partitions ≥ 96 — the deployment-scale knob, same
+    signal the r9 bigram materialization keyed on): below it the sort
+    fits memory and the sizing's count job would be pure overhead.
+    ``SPARK_GRAFT_STAR_SIZING=off`` force-disables (A/B hook)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_STAR_SIZING", "auto") == "off":
+        return False
+    from etl_s3_to_redshift_spark.operators.textops import (
+        _session_spill_regime,
+    )
+
+    return _session_spill_regime(spark)
+
+
 def blocked_substitution_join(
     probes: DataFrame,
     reference: DataFrame,
@@ -159,15 +176,31 @@ def substitution_clique_components(
     coalesce, same contract as connected_components over pairs).
 
     In spill-regime sessions (shuffle partitions ≥ 96, the deployment-
-    scale knob) a singleton PREFILTER may replace the full-width window
-    sort with a narrow block-hash histogram + broadcast semi-filter +
-    window over the surviving rows only — exact, topology-gated, and
-    result-equal to the direct path (see inline comments and
-    ``SPARK_GRAFT_STAR_PREFILTER``).
+    scale knob) the block-min window's exchange is re-sized from the
+    input (guide §2.2: ~128 MB of row bytes per sort task) so the
+    exact-key sort stays in memory instead of spilling — result-
+    identical, plan-identical below the knob. A singleton PREFILTER
+    experiment is also kept behind ``SPARK_GRAFT_STAR_PREFILTER=on``;
+    it measured NEGATIVE on this box (see inline comments) and defaults
+    off.
     """
-    from pyspark.sql import Window
-
     from etl_s3_to_redshift_spark.operators.components import connected_components
+
+    star = _star_frame(records, id_col, s_col, n_segments)
+    return connected_components(
+        star, src="__id", dst="__bmin", driver_edges_max=driver_edges_max
+    )
+
+
+def _star_frame(
+    records: DataFrame, id_col: str, s_col: str, n_segments: int
+) -> DataFrame:
+    """The (__id, __bmin) per-block star edges substitution_clique_
+    components feeds to connected components — split out so tests and
+    probes can inspect the star plan (the public function's output
+    frame hides it behind the CC regime, e.g. a driver-union-find
+    LogicalRDD)."""
+    from pyspark.sql import Window
 
     segs = []
     for start, length in _segment_bounds(n_segments):
@@ -233,40 +266,32 @@ def substitution_clique_components(
     # ~800M at sf100 — far over the broadcast cap, and an exact dim
     # would need the very string shuffle being avoided).
     #
-    # Regime gates, cheapest first (both measured, r11):
-    # 1. SESSION gate — prefiltering trades one wide sort for TWO narrow
-    #    corpus passes, which only pays when the sort SPILLS. Measured:
-    #    sf10 in-memory sort 38.5 s direct vs 54.3 s prefiltered (the
-    #    second pass loses); sf100 spill regime is where the win lives.
-    #    The honest session-level spill signal is the deployment-scale
-    #    knob this repo already keys the bigram materialization on
-    #    (``_session_spill_regime``: shuffle partitions ≥ 96 — the sf100
-    #    protocol's 128; local runs sit at core count). Below it the
-    #    plan is byte-identical to r10 — no stats pass, no regression.
-    # 2. TOPOLOGY gate — one 1-row aggregate over the block-size
-    #    histogram (the CC degree-pre-signal precedent). Prefilter only
-    #    when (a) the surviving fraction is small (dense near-clique
-    #    fixtures keep ~all rows — the extra pass would be pure
-    #    overhead) and (b) the candidate-hash set fits a broadcast.
-    # ``SPARK_GRAFT_STAR_PREFILTER`` = auto (default) | on | off lets
-    # tests pin each regime; regimes are result-equal (pinned).
+    # Singleton-prefilter experiment (r11) — MEASURED NEGATIVE, default
+    # OFF. The idea (aggregate block sizes on the 8-byte hash, broadcast
+    # the multi-member hashes, window only survivors — exact, since the
+    # window still partitions by the exact triple and collisions can
+    # only RETAIN rows) loses on this box at every SF measured: sf10
+    # star-only 38.5 s direct vs 54.3 s prefiltered, sf100 full query
+    # 715.3 s vs 1003.6 s (tools/er_prefilter_ab.py, same-session,
+    # 128 partitions). Counting ~830M nearly-unique hashes has nothing
+    # to map-side combine, so the "narrow" histogram degenerates to a
+    # sort-spill of its own — paid twice (gate stats + candidate build)
+    # plus a ~15M-row broadcast. Kept behind
+    # ``SPARK_GRAFT_STAR_PREFILTER=on`` (result-equality pinned in
+    # tests) so the experiment stays reproducible; a network-bound
+    # cluster, where shuffle BYTES not local sort I/O dominate, may
+    # re-run it and decide differently.
+    import math
     import os
 
-    from etl_s3_to_redshift_spark.operators.textops import (
-        _session_spill_regime,
-    )
-
-    mode = os.environ.get("SPARK_GRAFT_STAR_PREFILTER", "auto")
+    mode = os.environ.get("SPARK_GRAFT_STAR_PREFILTER", "off")
     gate_frac = float(os.environ.get("SPARK_GRAFT_STAR_PREFILTER_FRAC", 0.5))
     bcast_max = int(
         os.environ.get("SPARK_GRAFT_STAR_PREFILTER_BCAST_MAX", 64_000_000)
     )
-    consider = mode == "on" or (
-        mode == "auto" and _session_spill_regime(records.sparkSession)
-    )
     use_prefilter = False
     block_sizes = exploded.groupBy("__ch").agg(F.count(F.lit(1)).alias("__n"))
-    if consider:
+    if mode == "on":
         stats = block_sizes.agg(
             F.sum("__n").alias("total"),
             F.sum(F.when(F.col("__n") >= 2, F.col("__n"))).alias("surv"),
@@ -282,11 +307,40 @@ def substitution_clique_components(
     if use_prefilter:
         cand = block_sizes.filter(F.col("__n") >= 2).select("__ch")
         source = exploded.join(F.broadcast(cand), "__ch")
+    elif _star_sizing_enabled(records.sparkSession):
+        # Scale-adaptive star-exchange sizing (r11, guide §2.2 — size
+        # shuffle partitions so the window's external sort stays in
+        # memory, ~100–128 MB of row bytes per task, instead of a
+        # constant tuned for either local mode or one cluster). At the
+        # sf100 protocol's 128 partitions the ~45 GB sort runs ~350 MB
+        # per task and spills (GCLocker retry warnings all over the
+        # log); re-deriving the count from the input size measured
+        # star-only 421 → 363 s (ABBA means, same session —
+        # tools/er_star_partitions_ab.py). Spill-regime sessions only:
+        # local runs (partitions = cores) skip the extra count job and
+        # keep the r10 plan byte-identical. Only ever RAISES the
+        # session's partition count — a deployment that already sized
+        # partitions generously is respected. The explicit repartition
+        # carries the window's exact partition keys, so the window adds
+        # no second exchange on top of it.
+        n_rows = records.count() * int(n_segments)
+        # unsafe-row footprint: ~48 B fixed (null bitmap, id, seg,
+        # slen, hash, string offsets) + the complement bytes (≤ slen ≤
+        # n_segments)
+        est_bytes = n_rows * (48 + int(n_segments))
+        target = int(
+            os.environ.get("SPARK_GRAFT_STAR_PARTITION_BYTES", 128 * 1024 * 1024)
+        )
+        cap = int(os.environ.get("SPARK_GRAFT_STAR_PARTITIONS_MAX", 4096))
+        try:
+            cur = int(records.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            cur = 0
+        n_parts = min(cap, max(1, math.ceil(est_bytes / max(target, 1))))
+        if n_parts > cur:
+            source = source.repartition(n_parts, "__ch", "__seg", "__comp", "__slen")
     w = Window.partitionBy("__ch", "__seg", "__comp", "__slen")
-    star = (
+    return (
         source.select("__id", F.min("__id").over(w).alias("__bmin"))
         .filter(F.col("__id") != F.col("__bmin"))
-    )
-    return connected_components(
-        star, src="__id", dst="__bmin", driver_edges_max=driver_edges_max
     )

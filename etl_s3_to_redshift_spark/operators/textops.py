@@ -560,11 +560,12 @@ def _session_spill_regime(spark, threshold: int = 96) -> bool:
     regime: ``spark.sql.shuffle.partitions`` at or above ``threshold``.
     This is the knob every deployment of this engine already turns with
     data volume (the sf100 protocol sets 128; local correctness runs sit
-    at core count, ≤32) — so it is the honest session-level signal for
-    "is a corpus-sized double evaluation more expensive than a DISK_ONLY
-    materialization barrier here". Deliberately NOT a data-size sample:
-    sampling would make the physical plan depend on the data and cost a
-    scan of its own."""
+    at core count, ≤32) — the honest session-level signal for "is a
+    scale-only mitigation worth its overhead here" (r9–r10 it gated the
+    bigram tf materialization, gone in r11; now it gates the ER star
+    exchange sizing in operators/fuzzy). Deliberately NOT a data-size
+    sample: sampling would make the physical plan depend on the data
+    and cost a scan of its own."""
     try:
         return int(spark.conf.get("spark.sql.shuffle.partitions")) >= threshold
     except (TypeError, ValueError):  # e.g. "auto" on some deployments

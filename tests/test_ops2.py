@@ -644,6 +644,58 @@ def test_star_prefilter_regimes_result_equal(spark, monkeypatch):
     assert {(200 + i, 200) for i in range(len(clique))} <= direct
 
 
+def test_star_sizing_raises_window_partitions_in_spill_regime(spark, monkeypatch):
+    """In spill-regime sessions the star window's exchange is re-sized
+    from the input (guide §2.2): with a 1-byte target the derived count
+    hits the cap, the repartition carries the window's exact keys (so
+    no second exchange is added), and rows are identical to the unsized
+    plan. Below the spill knob (local core counts) the plan must NOT
+    carry the explicit repartition."""
+    from etl_s3_to_redshift_spark.operators.fuzzy import (
+        _star_frame,
+        substitution_clique_components,
+    )
+
+    chain = ["aaaa", "aaab", "aabb", "abbb"]
+    rows = [(100 - i, s) for i, s in enumerate(chain)] + [(1, "zzzz")]
+    df = spark.createDataFrame(rows, "rec_id long, name string")
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        baseline = {
+            (r.vertex, r.component)
+            for r in substitution_clique_components(
+                df, "rec_id", "name", n_segments=4
+            ).collect()
+        }
+        from tests.test_plans_and_scale import executed_plan_of
+
+        # below the spill knob: no explicit repartition in the star plan
+        plan_local = executed_plan_of(
+            _star_frame(df, "rec_id", "name", 4), materialize=False
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "128")
+        monkeypatch.setenv("SPARK_GRAFT_STAR_PARTITION_BYTES", "1")
+        monkeypatch.setenv("SPARK_GRAFT_STAR_PARTITIONS_MAX", "131")
+        plan_sized = executed_plan_of(
+            _star_frame(df, "rec_id", "name", 4), materialize=False
+        )
+        assert "131" in plan_sized, plan_sized
+        assert "131" not in plan_local, plan_local
+        # exactly one exchange feeds the window: the explicit
+        # repartition satisfies the window's distribution
+        assert plan_sized.count("hashpartitioning(__ch") == 1, plan_sized
+        sized = {
+            (r.vertex, r.component)
+            for r in substitution_clique_components(
+                df, "rec_id", "name", n_segments=4
+            ).collect()
+        }
+        assert sized == baseline
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
 def test_substitution_clique_components_rejects_long_strings(spark):
     """Strings longer than n_segments get >=2-char segments whose blocks
     are NOT cliques — the in-scan assert_true guard must fail the job

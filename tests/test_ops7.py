@@ -527,9 +527,10 @@ def test_association_rules_single_fact_exchange(spark):
     (final AQE) plan reuses the fact-level exchange instead of running
     three independent fact passes — and the basket total is a 1-row
     crossJoin scalar, not a construction-time driver action."""
+    from tests.test_plans_and_scale import executed_plan_of
+
     df = REGISTRY["basket_association_rules"].spark(spark, SF_SMOKE)
-    df.collect()
-    executed = df._jdf.queryExecution().executedPlan().toString()
+    executed = executed_plan_of(df)
     assert executed.count("ReusedExchange") >= 1, executed
     assert "BroadcastNestedLoopJoin" in executed  # the 1-row total
 

@@ -21,6 +21,17 @@ def plan_of(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def executed_plan_of(df, materialize: bool = True) -> str:
+    """Final (post-AQE) physical plan — the authoritative shape for
+    pins that depend on runtime decisions (ReusedExchange, AQE join
+    swaps). Every plan-shape pin in the suite routes through this
+    module (ADVICE r10 #3) so a Spark upgrade that changes the private
+    accessors or node names breaks in ONE place."""
+    if materialize:
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_flagship_enrich_broadcasts_all_dims(spark):
     """diststyle-all dims (SURVEY §4) must become broadcast hash joins —
     the fact side must never shuffle for enrichment at any test SF.
